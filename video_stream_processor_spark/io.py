@@ -1,0 +1,83 @@
+"""Table loaders and sources (SURVEY §2.1).
+
+All readers are declarative ``spark.read``/``spark.readStream`` — column
+pruning and predicate pushdown reach the parquet scan for free. At
+100 TB the same code holds: each table becomes a directory of parquet
+files (ideally partitioned / bucketed by its join key) and the path is
+the only thing that changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import EVENTS_RAW_SCHEMA, TABLES
+from .session import ensure_runtime_confs
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return f"{sf_dir.rstrip('/')}/{name}.parquet"
+
+
+def _normalize_events(raw: DataFrame) -> DataFrame:
+    """events.ts is stored as parquet TIMESTAMP(NANOS) → int64 nanos
+    under nanosAsLong. Expose ``ts`` as TimestampType (micros, floor —
+    matches DuckDB epoch_us) and keep exact nanos as ``ts_ns``."""
+    if dict(raw.dtypes).get("ts") != "bigint":
+        return raw.withColumn(
+            "ts_ns", (F.col("ts").cast("double") * F.lit(1e9)).cast("long")
+        )
+    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    )
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table; events gets timestamp normalization."""
+    ensure_runtime_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        df = _normalize_events(df)
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
+    """Register every table as a temp view (for the SQL entry point)."""
+    for name in TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}{suffix}")
+
+
+def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events as an unbounded relation (T2/T5-T11 fixtures): the parquet
+    file replayed through the streaming file source. Schema must be
+    declared for streaming reads; one file per trigger keeps micro-batch
+    boundaries deterministic in tests."""
+    ensure_runtime_confs(spark)
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(table_path(sf_dir, "events"))
+    )
+    return _normalize_events(raw)
+
+
+def read_links(spark: SparkSession, path: str, streaming: bool = False) -> DataFrame:
+    """S1: text line scan with comment/blank filtering.
+
+    Reference: ``/root/reference/video_processor.py:325-336`` — strip
+    each line, drop blanks and ``#``-comments (:329). Dedup (:330) is
+    applied separately (operators.dedup / dropDuplicates) so the scan
+    stays streaming-compatible.
+    """
+    reader = spark.readStream if streaming else spark.read
+    lines = reader.text(path)
+    trimmed = F.trim(F.col("value"))
+    return (
+        lines.select(trimmed.alias("url"))
+        .filter((F.col("url") != "") & (~F.col("url").startswith("#")))
+    )
