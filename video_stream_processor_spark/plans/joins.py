@@ -1,0 +1,264 @@
+"""Join surface (SURVEY §2.3 J3-J7): outer, semi/anti, cross-theta,
+range, as-of. J1/J2 live in relational.py.
+
+The reference has no relational join — its closest analogs are the
+constant-dict lookups (video_processor.py:194-217, broadcast-join
+degenerate form) and the stopword anti-membership test (:223). The
+general surface is mandated by the driver contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..operators.asof import asof_join
+from .base import register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+@register(
+    "join_left_outer",
+    survey_ids="J3,P6,A3",
+    oracle="""
+SELECT
+  c.c_custkey                                 AS custkey,
+  c.c_mktsegment                              AS segment,
+  count(o.o_orderkey)                         AS n_orders,
+  round(coalesce(sum(o.o_totalprice), 0), 2)  AS total_spend
+FROM customer c
+LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+GROUP BY 1, 2
+""",
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer + null-safe defaulting: order-less customers survive
+    with n_orders=0 (the J1 `.get(default)` idiom generalized — P6)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spend"
+            ),
+        )
+    )
+
+
+@register(
+    "join_full_outer",
+    survey_ids="J3,A3,P6",
+    oracle="""
+SELECT
+  coalesce(cn.nk, sn.nk)   AS nationkey,
+  coalesce(cn.n_cust, 0)   AS n_cust,
+  coalesce(sn.n_supp, 0)   AS n_supp
+FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) cn
+FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) sn
+  ON cn.nk = sn.nk
+""",
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer over pre-aggregated sides — aggregate-before-join keeps
+    the outer join input tiny regardless of base-table scale."""
+    c = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    s = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("snk"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        c.join(s, c.nk == s.snk, "full")
+        .select(
+            F.coalesce(F.col("nk"), F.col("snk")).alias("nationkey"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@register(
+    "join_semi",
+    survey_ids="J4",
+    oracle="""
+SELECT c.c_custkey AS custkey, c.c_name AS name
+FROM customer c
+WHERE EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi = EXISTS. No right-side columns ever materialize, so
+    the probe side streams — the membership-test analog of the
+    reference's stopword check (video_processor.py:223)."""
+    c = _t(spark, sf_dir, "customer")
+    urgent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+    )
+
+
+@register(
+    "join_anti",
+    survey_ids="J4",
+    oracle="""
+SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+)
+""",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left anti = NOT EXISTS (customers with no urgent order — every
+    customer has *some* order in this data, so the urgent predicate
+    keeps the anti set non-trivial)."""
+    c = _t(spark, sf_dir, "customer")
+    o = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_custkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+    )
+
+
+@register(
+    "join_cross_theta",
+    survey_ids="J5",
+    oracle="""
+SELECT n.n_name AS nation, r.r_name AS region
+FROM nation n CROSS JOIN region r
+WHERE n.n_nationkey < r.r_regionkey * 3 AND n.n_regionkey <> r.r_regionkey
+""",
+)
+def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi theta on a cross join — Catalyst plans broadcast
+    nested-loop; only sane when one side is dimension-sized, which is
+    exactly how it's used here (25×5 rows)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.crossJoin(F.broadcast(r))
+        .filter(
+            (F.col("n_nationkey") < F.col("r_regionkey") * 3)
+            & (F.col("n_regionkey") != F.col("r_regionkey"))
+        )
+        .select(F.col("n_name").alias("nation"), F.col("r_name").alias("region"))
+    )
+
+
+@register(
+    "join_range_events",
+    survey_ids="J6,A3",
+    oracle="""
+SELECT
+  a.event_id AS event_id,
+  count(b.event_id) AS n_follow
+FROM events a
+LEFT JOIN events b
+  ON a.user_id = b.user_id
+ AND epoch_ns(b.ts) > epoch_ns(a.ts)
+ AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
+WHERE a.event_type = 'error'
+GROUP BY 1
+""",
+)
+def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range/interval join: events within 1h after each error event of
+    the same user. Equi-join on user_id carries the shuffle; the time
+    range is a post-join filter — pairs explode only within a user, so
+    cost is bounded by per-user activity, not table size. (Streaming
+    twin: stream-stream join with watermark + time-range condition.)
+    Comparisons use raw nanos (ts_ns) so sub-microsecond ordering
+    matches the nanosecond-precision oracle exactly."""
+    ev = _t(spark, sf_dir, "events")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"), F.col("user_id").alias("a_user"),
+        F.col("ts_ns").alias("a_ns"),
+    )
+    b = ev.select(
+        F.col("event_id").alias("b_id"), F.col("user_id").alias("b_user"),
+        F.col("ts_ns").alias("b_ns"),
+    )
+    hour_ns = 3_600_000_000_000
+    return (
+        a.join(
+            b,
+            (F.col("a_user") == F.col("b_user"))
+            & (F.col("b_ns") > F.col("a_ns"))
+            & (F.col("b_ns") <= F.col("a_ns") + hour_ns),
+            "left",
+        )
+        .groupBy(F.col("a_id").alias("event_id"))
+        .agg(F.count("b_id").alias("n_follow"))
+    )
+
+
+@register(
+    "join_asof_signup",
+    survey_ids="J7,W3",
+    oracle="""
+WITH u AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id, NULL::BIGINT AS signup_id, 1 AS is_left
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, epoch_ns(ts), NULL, event_id, 0
+  FROM events WHERE event_type = 'signup'
+), f AS (
+  SELECT event_id, is_left,
+         last_value(signup_id IGNORE NULLS) OVER (
+           PARTITION BY user_id
+           ORDER BY tsn ASC, is_left ASC, coalesce(signup_id, -1) ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS signup_event_id
+  FROM u
+)
+SELECT event_id, signup_event_id FROM f WHERE is_left = 1
+""",
+)
+def join_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join via operators.asof_join (union–sort–fill, one shuffle,
+    no pair blowup): each purchase event gets the latest at-or-before
+    signup of the same user; purchases before any signup get null."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts_ns"), F.col("event_id").alias("signup_src")
+    )
+    joined = asof_join(
+        purchases,
+        signups,
+        on="user_id",
+        left_ts="ts_ns",
+        right_ts="ts_ns",
+        right_cols=["signup_src"],
+        right_tiebreak="signup_src",
+    )
+    return joined.select(
+        "event_id", F.col("asof_signup_src").alias("signup_event_id")
+    )
