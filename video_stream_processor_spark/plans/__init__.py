@@ -10,7 +10,15 @@ def all_specs() -> dict[str, QuerySpec]:
     the full name → QuerySpec registry."""
     from . import relational  # noqa: F401
 
-    for mod in ("windows", "setops", "joins", "streaming_batch", "llm", "station"):
+    for mod in (
+        "windows",
+        "setops",
+        "joins",
+        "scalars",
+        "streaming_batch",
+        "llm",
+        "station",
+    ):
         try:
             __import__(f"{__name__}.{mod}")
         except ImportError:
