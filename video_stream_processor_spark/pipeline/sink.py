@@ -1,0 +1,66 @@
+"""Sinks (SURVEY §2.1 S6-S8, §2.8 T3).
+
+Two tiers, per the SURVEY §7 watch list:
+
+* ``write_json_array`` — reference-parity sink: ONE pretty-printed JSON
+  array file, overwrite, post-write verification
+  (video_processor.py:338-354). Inherently single-file → driver-side,
+  small outputs only (the reference writes ~11 records).
+* ``write_partitioned`` — the scale path: partitioned JSON-lines or
+  parquet via the distributed writer.
+* ``foreach_batch_overwrite`` — the streaming commit protocol: the
+  workflow's diff-then-commit loop (update-streams.yml:74-100) becomes
+  an idempotent overwrite-by-batch ``foreachBatch`` sink with
+  checkpointing; re-running a failed epoch rewrites the same output.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+
+
+class SinkVerificationError(RuntimeError):
+    pass
+
+
+def write_json_array(df: DataFrame, path: str, verify: bool = True) -> int:
+    """S6: single JSON array file, UTF-8, ensure_ascii=False, overwrite;
+    verify exists & non-empty after write (:346-350). Returns count."""
+    records = [row.asDict(recursive=True) for row in df.collect()]
+    d = os.path.dirname(os.path.abspath(path)) or "."
+    os.makedirs(d, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")
+    try:
+        with os.fdopen(fd, "w", encoding="utf-8") as fh:
+            json.dump(records, fh, indent=2, ensure_ascii=False, default=str)
+        os.replace(tmp, path)  # atomic overwrite — no torn output.json
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    if verify:
+        if not os.path.exists(path) or os.path.getsize(path) == 0:
+            raise SinkVerificationError(f"sink verification failed: {path}")
+    return len(records)
+
+
+def write_partitioned(df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
+    """The 100 TB sink: distributed writer, optional hive partitioning."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)
+
+
+def foreach_batch_overwrite(path: str, fmt: str = "json"):
+    """S7/T3: complete-recompute streaming sink — every micro-batch
+    rewrites the whole output (the reference's per-run overwrite, :341),
+    idempotent w.r.t. epoch replay."""
+
+    def _sink(batch_df: DataFrame, epoch_id: int) -> None:  # noqa: ARG001
+        batch_df.write.mode("overwrite").format(fmt).save(path)
+
+    return _sink
