@@ -1,0 +1,233 @@
+"""Phase 3: streaming analytics (T5-T11).
+
+Strategy (SURVEY §5.2): replay events.parquet through the streaming
+file source with availableNow triggers and assert the streaming result
+equals the batch twin of the same builder — plus dedicated tests for
+watermark late-data drop (T10), streaming dedup state (T8), the
+arbitrary stateful operator (T9), and progress metrics (T11).
+"""
+
+from __future__ import annotations
+
+import shutil
+import uuid
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from video_stream_processor_spark.io import load_events_stream, load_table, table_path
+from video_stream_processor_spark.streaming import (
+    running_user_totals,
+    session_stats,
+    sliding_counts,
+    stream_dedup,
+    tumbling_stats,
+)
+from video_stream_processor_spark.streaming.stateful import user_totals_batch
+
+
+def run_stream(sdf, tmp_path, name=None):
+    """Drain a streaming DataFrame via availableNow into a memory sink;
+    return (rows, query)."""
+    name = name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}").collect(), q
+
+
+def run_stream_append(sdf, tmp_path, name=None):
+    name = name or f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return sdf.sparkSession.sql(f"SELECT * FROM {name}").collect(), q
+
+
+def assert_same_rows(got, want):
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+
+@pytest.fixture(scope="module")
+def events_batch(spark, sf_dir):
+    return load_table(spark, sf_dir, "events")
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, sf_dir):
+    return load_events_stream(spark, sf_dir)
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_batch, events_stream, tmp_path):
+    """T5/T6: watermarked tumbling agg over the replayed stream must
+    equal the batch twin (complete mode sees all windows). n_users is
+    approx (HLL++) on the streaming side — compared within rsd."""
+    want = tumbling_stats(events_batch, size="1 hour").collect()
+    got, _ = run_stream(
+        tumbling_stats(events_stream, size="1 hour", watermark="1 hour"), tmp_path
+    )
+
+    def key(r):
+        return (r["win_start"], r["win_end"], r["event_type"])
+
+    exact = ["n_events", "sum_value", "avg_value"]
+    want_by_key = {key(r): r for r in want}
+    assert {key(r) for r in got} == set(want_by_key)
+    for r in got:
+        w = want_by_key[key(r)]
+        assert [r[c] for c in exact] == [w[c] for c in exact]
+        # HLL++ default rsd = 5%; allow 3 sigma
+        assert abs(r["n_users"] - w["n_users"]) <= max(3, 0.15 * w["n_users"])
+
+
+def test_sliding_stream_equals_batch(spark, events_batch, events_stream, tmp_path):
+    want = sliding_counts(events_batch).collect()
+    got, _ = run_stream(sliding_counts(events_stream, watermark="1 hour"), tmp_path)
+    assert_same_rows(got, want)
+
+
+def test_session_stream_equals_batch(spark, events_batch, events_stream, tmp_path):
+    """T7: session windows need a watermark in streaming mode."""
+    want = session_stats(events_batch, gap="30 minutes").collect()
+    got, _ = run_stream(
+        session_stats(events_stream, gap="30 minutes", watermark="1 hour"), tmp_path
+    )
+    assert_same_rows(got, want)
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, events_batch, tmp_path):
+    """T8: duplicated input (same file twice = every event_id twice)
+    collapses back to the batch distinct count."""
+    src_dir = tmp_path / "dup_events"
+    src_dir.mkdir()
+    src = table_path(sf_dir, "events")
+    shutil.copy(src, src_dir / "a.parquet")
+    shutil.copy(src, src_dir / "b.parquet")
+    from video_stream_processor_spark.io import _normalize_events
+    from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    deduped = stream_dedup(
+        _normalize_events(raw),
+        keys=["event_id"],
+        watermark="10 minutes",
+        within_watermark=True,
+    ).select("event_id")
+    got, _ = run_stream_append(deduped, tmp_path)
+    n_batch = events_batch.count()
+    assert len(got) == n_batch
+    assert len({r["event_id"] for r in got}) == n_batch
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """T10: append-mode watermark semantics. A window whose end has
+    passed the watermark is emitted exactly once and its state evicted;
+    a late event arriving after eviction is dropped — it neither
+    resurrects the window nor re-emits it. (A late event arriving
+    *before* eviction still merges — Spark's documented best-effort.)
+    """
+    import time
+
+    src_dir = tmp_path / "late_events"
+    src_dir.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def mk(rows, name):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+        pdf.to_parquet(src_dir / name)
+
+    # batch 0: events at 10:00 and 14:00 (wm stays at epoch for batch 0)
+    mk(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 14:00:00", 1, "click", 1.0, "{}"),
+        ],
+        "a.parquet",
+    )
+    time.sleep(1.1)  # file-source orders batches by mtime
+    # batch 1: wm → 13:50; the [10:00,11:00) window emits and evicts
+    mk([(3, "2024-01-01 14:30:00", 1, "click", 1.0, "{}")], "b.parquet")
+    time.sleep(1.1)
+    # batch 2: wm → 14:20; event 4 (10:30) is late past eviction →
+    # dropped; event 5 (15:00) is on time
+    mk(
+        [
+            (4, "2024-01-01 10:30:00", 1, "click", 1.0, "{}"),
+            (5, "2024-01-01 15:00:00", 1, "click", 1.0, "{}"),
+        ],
+        "c.parquet",
+    )
+    from video_stream_processor_spark.io import _normalize_events
+    from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    agg = tumbling_stats(_normalize_events(raw), size="1 hour", watermark="10 minutes")
+    got, _ = run_stream_append(agg, tmp_path)
+    h10 = 1704103200  # 2024-01-01 10:00:00 UTC
+    h10_rows = [r for r in got if r["win_start"] == h10]
+    # emitted exactly once, with only the on-time event — the late
+    # event 4 neither merged (state already evicted) nor re-emitted
+    assert len(h10_rows) == 1
+    assert h10_rows[0]["n_events"] == 1
+
+
+def test_stateful_running_totals(spark, events_stream, events_batch, tmp_path):
+    """T9: applyInPandasWithState running totals converge to the batch
+    groupBy — take each user's last emitted snapshot."""
+    sdf = running_user_totals(events_stream)
+    name = f"q_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt_state"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    snaps = spark.sql(f"SELECT * FROM {name}").collect()
+    # last snapshot per user = max n_events per user (monotone)
+    final = {}
+    for r in snaps:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    want = {r["user_id"]: r for r in user_totals_batch(events_batch).collect()}
+    assert final.keys() == want.keys()
+    for uid, row in final.items():
+        assert row["n_events"] == want[uid]["n_events"]
+        assert row["sum_value"] == pytest.approx(want[uid]["sum_value"], abs=0.05)
+
+
+def test_streaming_metrics_progress(spark, events_stream, tmp_path):
+    """T11: StreamingQueryProgress exposes per-batch row counts — the
+    engine's analog of the reference's processed/failed counters."""
+    got, q = run_stream(
+        tumbling_stats(events_stream, size="1 hour", watermark="1 hour"), tmp_path
+    )
+    progress = q.recentProgress
+    assert progress, "no progress events recorded"
+    total_in = sum(p["numInputRows"] for p in progress)
+    assert total_in > 0

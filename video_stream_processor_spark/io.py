@@ -58,10 +58,13 @@ def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     declared for streaming reads; one file per trigger keeps micro-batch
     boundaries deterministic in tests."""
     ensure_runtime_confs(spark)
+    # The streaming file source needs a directory or glob (a bare file
+    # path fails "basePath must be a directory"); a trailing-* glob
+    # keeps this zero-copy over the read-only fixture file.
     raw = (
         spark.readStream.schema(EVENTS_RAW_SCHEMA)
         .option("maxFilesPerTrigger", "1")
-        .parquet(table_path(sf_dir, "events"))
+        .parquet(table_path(sf_dir, "events") + "*")
     )
     return _normalize_events(raw)
 

@@ -1,0 +1,184 @@
+"""Batch twins of the streaming analytics (SURVEY §2.8 T5-T8, J8).
+
+Structured Streaming runs the *same* logical plan incrementally; these
+registrations prove the plan's semantics against the DuckDB oracle in
+batch mode, while tests/test_streaming.py proves stream==batch on the
+replayed file source. Window bounds leave as epoch-second BIGINTs
+(no raw timestamps — engine-portable hashing).
+
+Reference parity: the reference's cron loop (update-streams.yml:4-10)
+is T1-T3 (covered by pipeline/station + tests); the windowed surface
+here is the north-star generalization over ``events``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import load_table
+from ..streaming.analytics import session_stats, sliding_counts, tumbling_stats
+from .base import register
+
+EVENT_CATEGORIES = [
+    ("click", "engagement"),
+    ("view", "engagement"),
+    ("purchase", "conversion"),
+    ("signup", "conversion"),
+    ("error", "problem"),
+]
+
+
+@register(
+    "stream_tumbling_1h",
+    survey_ids="T6,A3,F17",
+    oracle="""
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start,
+       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) + 3600 AS win_end,
+       event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 6) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1, 2, 3
+""",
+)
+def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 tumbling 1h window × event_type stats (batch twin)."""
+    return tumbling_stats(load_table(spark, sf_dir, "events"), size="1 hour")
+
+
+@register(
+    "stream_sliding_1h_15m",
+    survey_ids="T6",
+    oracle="""
+WITH bucketed AS (
+  SELECT value, CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS b
+  FROM events
+), expanded AS (
+  SELECT value, b - js.j * 900 AS win_start
+  FROM bucketed
+  CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+)
+SELECT win_start, win_start + 3600 AS win_end,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM expanded
+GROUP BY 1, 2
+""",
+)
+def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6 sliding window (1h size / 15m slide): each event expands to
+    size/slide = 4 overlapping windows. Spark plans this as a generator
+    over the window expression + one hash aggregate — the oracle
+    replicates via an explicit offset cross join."""
+    return sliding_counts(
+        load_table(spark, sf_dir, "events"), size="1 hour", slide="15 minutes"
+    )
+
+
+@register(
+    "stream_session_30m",
+    survey_ids="T7,W3",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+), numbered AS (
+  SELECT user_id, ts, value,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS sess
+  FROM flagged
+)
+SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
+       CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS sess_end,
+       user_id,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM numbered
+GROUP BY user_id, sess
+""",
+)
+def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T7 session windows (30m gap) per user. Session = maximal run of
+    a user's events with consecutive gaps < 30m; window = [first_ts,
+    last_ts + gap). Oracle = classic gaps-and-islands (lag + running
+    sum), proving the semantics rather than restating the API."""
+    return session_stats(load_table(spark, sf_dir, "events"), gap="30 minutes")
+
+
+@register(
+    "stream_first_per_key",
+    survey_ids="T8,O5,A8",
+    oracle="""
+SELECT user_id, event_type, first_ts_us, first_event_id, first_value
+FROM (
+  SELECT user_id, event_type,
+         epoch_us(ts) AS first_ts_us,
+         event_id AS first_event_id,
+         round(value, 2) AS first_value,
+         row_number() OVER (
+           PARTITION BY user_id, event_type ORDER BY ts, event_id
+         ) AS rn
+  FROM events
+)
+WHERE rn = 1
+""",
+)
+def stream_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic dedup twin of T8: earliest event per (user,
+    event_type) with an explicit (ts, event_id) tiebreak — unlike
+    dropDuplicates' arbitrary survivor, this is oracle-checkable, and
+    it is the semantics dropDuplicatesWithinWatermark converges to on
+    an ordered replay."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.expr("ts_ns div 1000").alias("first_ts_us"),
+            F.col("event_id").alias("first_event_id"),
+            F.round("value", 2).alias("first_value"),
+        )
+    )
+
+
+@register(
+    "stream_static_join_categories",
+    survey_ids="J8,J1,A3",
+    oracle="""
+SELECT d.category,
+       count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events e
+JOIN (VALUES ('click','engagement'), ('view','engagement'),
+             ('purchase','conversion'), ('signup','conversion'),
+             ('error','problem')) AS d(event_type, category)
+  ON e.event_type = d.event_type
+GROUP BY d.category
+""",
+)
+def stream_static_join_categories(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 stream-static join shape: unbounded events × tiny static dim.
+    The dim is broadcast — zero shuffle added to the stream side; the
+    same join works unchanged under readStream (tests prove it)."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = spark.createDataFrame(EVENT_CATEGORIES, "event_type string, category string")
+    return (
+        ev.join(F.broadcast(dim), "event_type")
+        .groupBy("category")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -1,0 +1,19 @@
+"""Streaming analytics (SURVEY §2.8 T1-T11).
+
+Design rule: every analytic is a *plan builder* that accepts either a
+batch or a streaming DataFrame — Structured Streaming treats a stream
+as an unbounded relation, so the same declarative graph serves both.
+Batch twins are registered as oracle-checked queries (plans/
+streamshape.py); streaming execution is covered by equivalence tests
+(tests/test_streaming.py) that replay the same parquet through the
+file source and assert identical results.
+"""
+
+from .analytics import (  # noqa: F401
+    session_stats,
+    sliding_counts,
+    stream_dedup,
+    tumbling_stats,
+    windowed_to_flat,
+)
+from .stateful import running_user_totals  # noqa: F401

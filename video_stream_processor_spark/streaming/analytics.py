@@ -1,0 +1,144 @@
+"""Windowed / stateful event analytics — one builder, two execution
+modes (batch relation or unbounded stream).
+
+Reference parity: the reference's only "streaming" is a 2-hour-cron
+full recompute (update-streams.yml:4-10); the general windowed surface
+(T5-T8, T10) is north-star mandated. All builders take the normalized
+``events`` shape (io.load_table / io.load_events_stream).
+
+Scale notes (100 TB):
+* Watermarks bound state: without them a streaming groupBy keeps every
+  window forever. Every streaming caller passes ``watermark=...``.
+* Window aggregation shuffles once on (window, keys) — partial
+  aggregation happens map-side automatically, so the shuffle carries
+  one row per (window, key) per input partition, not per event.
+* ``session_window`` state is per key; skewed users are the hazard —
+  AQE skew handling covers the batch twin, and the watermark caps the
+  streaming state lifetime.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _maybe_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
+    """T5: bound event-time state; no-op for batch relations."""
+    if watermark is not None and events.isStreaming:
+        return events.withWatermark("ts", watermark)
+    return events
+
+
+def windowed_to_flat(df: DataFrame) -> DataFrame:
+    """Flatten the struct ``window`` column to epoch-second bounds so
+    results hash identically across engines (no raw timestamps out)."""
+    return df.select(
+        F.unix_timestamp(F.col("window.start")).alias("win_start"),
+        F.unix_timestamp(F.col("window.end")).alias("win_end"),
+        *[c for c in df.columns if c != "window"],
+    ).drop("window")
+
+
+def tumbling_stats(
+    events: DataFrame,
+    size: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """T6 tumbling: per (window, event_type) count + value stats.
+
+    ``n_users``: exact ``count_distinct`` in batch; streaming
+    aggregations cannot hold per-group distinct sets incrementally, so
+    the streaming path uses HLL++ ``approx_count_distinct`` (A5) — the
+    same trade Spark mandates and the right one at 100 TB anyway.
+    """
+    distinct_users = (
+        F.approx_count_distinct("user_id")
+        if events.isStreaming
+        else F.count_distinct("user_id")
+    )
+    w = _maybe_watermark(events, watermark)
+    agg = w.groupBy(F.window("ts", size), "event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.round(F.avg("value"), 6).alias("avg_value"),
+        distinct_users.alias("n_users"),
+    )
+    return windowed_to_flat(agg)
+
+
+def sliding_counts(
+    events: DataFrame,
+    size: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """T6 sliding: overlapping windows — each event lands in
+    size/slide windows; Spark expands via the same ``window`` expr."""
+    w = _maybe_watermark(events, watermark)
+    agg = w.groupBy(F.window("ts", size, slide)).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return windowed_to_flat(agg)
+
+
+def session_stats(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """T7 session windows: per-user activity bursts separated by ≥gap.
+
+    Semantics (must match the batch/SQL twin): a session is a maximal
+    run of a user's events where each consecutive pair is < gap apart;
+    window = [first_ts, last_ts + gap).
+    """
+    w = _maybe_watermark(events, watermark)
+    agg = w.groupBy(F.session_window("ts", gap), "user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return agg.select(
+        F.unix_timestamp(F.col("session_window.start")).alias("sess_start"),
+        F.unix_timestamp(F.col("session_window.end")).alias("sess_end"),
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+
+
+def stream_dedup(
+    events: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str | None = None,
+    within_watermark: bool = False,
+) -> DataFrame:
+    """T8/O5: dedup by key.
+
+    Batch: plain ``dropDuplicates``. Streaming: state per key — forever
+    with ``dropDuplicates`` (exact, unbounded state), or bounded with
+    ``dropDuplicatesWithinWatermark`` (correct iff true duplicates
+    arrive within the watermark delay — the 100 TB default).
+    """
+    keys = keys or ["event_id"]
+    df = _maybe_watermark(events, watermark)
+    if within_watermark and df.isStreaming:
+        return df.dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def first_event_per_key(
+    events: DataFrame,
+    keys: list[str],
+    watermark: str | None = None,
+) -> Column | DataFrame:
+    """Deterministic dedup twin: earliest event per key via min_by —
+    unlike dropDuplicates (arbitrary survivor) this is oracle-checkable.
+    """
+    w = _maybe_watermark(events, watermark)
+    return w.groupBy(*keys).agg(
+        F.min("ts_ns").alias("first_ts_ns"),
+        F.min_by("event_id", "ts_ns").alias("first_event_id"),
+        F.round(F.min_by("value", "ts_ns"), 2).alias("first_value"),
+    )
