@@ -1,0 +1,134 @@
+"""Phase 4: LLM-pipeline operators (SURVEY §2.10, L1-L5).
+
+Oracle-differential coverage lives in test_oracle.py (all llm_* with
+SQL oracles); here we pin what the oracle can't see: LSH recall vs the
+exact forms, IVF recall vs the exact scan, decoder injection, and the
+binary-column round trip.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_stream_processor_spark.io import load_table
+from video_stream_processor_spark.llm import (
+    attach_payload,
+    cosine_topk,
+    extract_binary_features,
+    ivf_topk,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from video_stream_processor_spark.llm.dedup import simhash64
+from video_stream_processor_spark.llm.multimodal import real_media_decoder, stub_decoder
+from video_stream_processor_spark.llm.text import FP_BASE, FP_MOD, fingerprint_col
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, sf_dir, "documents")
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return load_table(spark, sf_dir, "embeddings")
+
+
+def pairs_set(df):
+    return {(r["doc_a"], r["doc_b"]) for r in df.collect()}
+
+
+def test_minhash_recall_vs_exact(docs):
+    """L2: every MinHash+LSH pair is exact-verified (precision 1.0 by
+    construction); recall vs the exact Jaccard>=0.5 pairs must be high
+    (8 bands x 4 rows -> p>=0.6 even at j=0.5; planted dups are ~0.9)."""
+    exact = pairs_set(ngram_jaccard_pairs(docs, threshold=0.5))
+    lsh = pairs_set(minhash_near_dup_pairs(docs, threshold=0.5))
+    assert lsh <= exact  # verification step guarantees no false positives
+    assert exact, "fixture should contain planted near-dups"
+    recall = len(lsh & exact) / len(exact)
+    assert recall >= 0.8, f"LSH recall {recall} too low"
+
+
+def test_simhash_symmetric_and_bounded(docs):
+    """L2: SimHash pairs are (a<b)-canonical, hamming-bounded, and the
+    signature is deterministic across plans."""
+    pairs = simhash_near_dup_pairs(docs, max_hamming=3).collect()
+    assert pairs, "expected some near-dup pairs in fixture"
+    for r in pairs:
+        assert r["doc_a"] < r["doc_b"]
+        assert 0 <= r["hamming"] <= 3
+    sig1 = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    sig2 = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert sig1 == sig2
+
+
+def test_simhash_near_dups_overlap_jaccard(docs):
+    """High-Jaccard pairs (>=0.8) are token-multiset near-identical, so
+    SimHash at hamming<=3 should find most of them."""
+    strong = pairs_set(ngram_jaccard_pairs(docs, threshold=0.8))
+    sim = pairs_set(
+        simhash_near_dup_pairs(docs, max_hamming=3).select("doc_a", "doc_b")
+    )
+    if strong:
+        hit = len(sim & strong) / len(strong)
+        assert hit >= 0.5, f"simhash missed too many strong near-dups ({hit})"
+
+
+def test_ivf_recall_vs_bruteforce(emb):
+    """L3: IVF probes 4/8 cells; its top-10 must overlap the exact
+    top-10 well and never contain a vector the exact scan scores
+    higher than rank 10 misses... (recall >= 0.5 pinned)."""
+    exact = [r["vec_id"] for r in cosine_topk(emb, query_vec_id=0, k=10).collect()]
+    pruned = [r["vec_id"] for r in ivf_topk(emb, query_vec_id=0, k=10).collect()]
+    recall = len(set(exact) & set(pruned)) / len(exact)
+    assert recall >= 0.5, f"IVF recall {recall} too low"
+    # scores of returned vectors must match the exact scorer
+    exact_all = {
+        r["vec_id"]: r["cosine"]
+        for r in cosine_topk(emb, query_vec_id=0, k=500).collect()
+    }
+    for r in ivf_topk(emb, query_vec_id=0, k=10).collect():
+        assert exact_all[r["vec_id"]] == pytest.approx(r["cosine"], abs=1e-6)
+
+
+def test_multimodal_stub_and_real_decoder_seam(spark, docs):
+    """L5: stub decoder features are byte-derived; the real-decoder
+    seam raises NotImplementedError (no codecs in this container)."""
+    media = attach_payload(docs.limit(20))
+    feats = extract_binary_features(media, decoder=stub_decoder).collect()
+    texts = {r["doc_id"]: r["text"] for r in docs.limit(20).collect()}
+    assert len(feats) == 20
+    for r in feats:
+        raw = texts[r["doc_id"]].encode("utf-8")
+        assert r["n_bytes"] == len(raw)
+        assert r["first_byte"] == raw[0]
+        assert r["last_byte"] == raw[-1]
+        assert r["tag"] == "stub"
+    with pytest.raises(NotImplementedError):
+        real_media_decoder(b"\x89PNG")
+
+
+def test_binary_payload_parquet_roundtrip(spark, docs, tmp_path):
+    """L5: BinaryType survives a parquet round trip bit-exactly."""
+    media = attach_payload(docs.limit(10))
+    path = str(tmp_path / "media.parquet")
+    media.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    assert dict(back.dtypes)["payload"] == "binary"
+    orig = {r["doc_id"]: bytes(r["payload"]) for r in media.collect()}
+    rt = {r["doc_id"]: bytes(r["payload"]) for r in back.collect()}
+    assert orig == rt
+
+
+def test_fingerprint_matches_python_reference(docs):
+    """L4 property: the Column rolling hash == a plain-Python reference
+    on real rows (same base/mod/token values)."""
+    rows = docs.limit(25).select("doc_id", "text", fingerprint_col().alias("fp")).collect()
+    for r in rows:
+        fp = 0
+        for tok in [t for t in r["text"].split(" ") if t != ""]:
+            fp = (fp * FP_BASE + (len(tok) * 31 + ord(tok[0]))) % FP_MOD
+        assert fp == r["fp"], r["doc_id"]

@@ -1,0 +1,44 @@
+"""LLM-data-pipeline operators (SURVEY §2.10, L1-L5).
+
+The reference has one dedup (``video_processor.py:330`` — ``set()`` on
+URLs) and no similarity/text/multimodal surface; everything here is the
+north-star generalization exercised over the ``documents`` and
+``embeddings`` test tables.
+
+Modules:
+* dedup        — L1 exact/canonical dedup, L2 near-dup (n-gram Jaccard,
+                 MinHash+LSH, SimHash)
+* similarity   — L3 cosine top-k (brute force) + IVF-style pruned search
+* text         — L4 token/quality stats, BPE-ish token counts, language
+                 ID, rolling-hash fingerprints
+* multimodal   — L5 binary payload columns + Arrow-batched feature
+                 extraction with a stubbed decoder
+"""
+
+from .dedup import (
+    canonical_dedup_groups,
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+)
+from .similarity import cosine_topk, embedding_near_dup_pairs, ivf_topk
+from .text import doc_fingerprints, langid_confusion, text_quality_by_lang, token_counts_by_source
+from .multimodal import attach_payload, extract_binary_features
+
+__all__ = [
+    "attach_payload",
+    "canonical_dedup_groups",
+    "cosine_topk",
+    "doc_fingerprints",
+    "embedding_near_dup_pairs",
+    "exact_dedup_groups",
+    "extract_binary_features",
+    "ivf_topk",
+    "langid_confusion",
+    "minhash_near_dup_pairs",
+    "ngram_jaccard_pairs",
+    "simhash_near_dup_pairs",
+    "text_quality_by_lang",
+    "token_counts_by_source",
+]

@@ -1,0 +1,94 @@
+"""L5 — multimodal columns: opaque binary payloads + typed metadata,
+with Arrow-batched feature extraction.
+
+Design (north-star; no analog in the reference): media travels as a
+``BinaryType`` column next to relational metadata. Decode / resize /
+frame-sample are per-batch Pandas functions over ``mapInPandas`` —
+Arrow moves the bytes once per batch, and the decoder is dependency-
+injected so environments without image/audio libs run the pipeline
+with the deterministic stub (the container has no codec libs; the
+real-decoder seam raises NotImplementedError by design).
+
+Scale notes: payload bytes never shuffle — ``extract_binary_features``
+is a narrow mapInPandas directly over the scan, and only the small
+typed feature rows flow downstream. Partition sizing is governed by
+``spark.sql.files.maxPartitionBytes`` against payload size, not row
+count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("first_byte", IntegerType()),
+        StructField("last_byte", IntegerType()),
+        StructField("tag", StringType()),
+    ]
+)
+
+Decoder = Callable[[bytes], dict]
+
+
+def real_media_decoder(payload: bytes) -> dict:
+    """Seam for a real image/audio decoder (PIL / ffmpeg / torchaudio).
+    Not available in this container — wire your own through
+    ``extract_binary_features(decoder=...)``."""
+    raise NotImplementedError(
+        "media codecs are not installed; inject a decoder or use stub_decoder"
+    )
+
+
+def stub_decoder(payload: bytes) -> dict:
+    """Deterministic fake decode: metadata derived only from the bytes,
+    so tests and the oracle can recompute it."""
+    return {
+        "n_bytes": len(payload),
+        "first_byte": payload[0] if payload else -1,
+        "last_byte": payload[-1] if payload else -1,
+        "tag": "stub",
+    }
+
+
+def attach_payload(docs: DataFrame) -> DataFrame:
+    """Model documents as multimodal rows: utf-8 bytes of the text as
+    the opaque payload (stand-in for image/audio bytes) + metadata."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+        F.lit("text/plain").alias("media_type"),
+    )
+
+
+def extract_binary_features(
+    media: DataFrame, decoder: Decoder = stub_decoder
+) -> DataFrame:
+    """L5: per-batch feature extraction over the binary column.
+
+    ``mapInPandas`` (not a scalar UDF) so the decoder can amortize
+    per-batch setup (model load, codec context) across rows — the same
+    shape a real frame-sampler or embedder needs.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [decoder(p) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+
+    return media.mapInPandas(extract, FEATURE_SCHEMA)

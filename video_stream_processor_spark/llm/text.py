@@ -1,0 +1,138 @@
+"""L4 — text analysis over ``documents``: quality stats, BPE-ish token
+counting, language ID, rolling-hash fingerprints.
+
+Reference parity: generalizes the reference's tag tokenizer
+(``video_processor.py:221-224`` — regex tokenize, stopword filter) and
+keyword language classifier (``:226-244``, F9). Everything is built-in
+Column expressions — zero Python in the row path.
+
+Scale notes: all per-doc derivations are map-side (narrow); the only
+shuffles are the final small groupBys. Fingerprints use integer
+arithmetic inside ``F.aggregate`` (whole-stage codegen'd), not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .dedup import tokens
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in"]
+
+# GPT-2-flavoured pre-tokenizer classes: letter runs, digit runs,
+# single non-space symbols. Portable subset (no \p classes) so the
+# DuckDB oracle can run the identical pattern.
+BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+# Deterministic marker-token language model (F9 generalized): priority
+# order is fixed — first max score wins, so ties are stable. The test
+# corpus is synthetic word-soup, so the interesting property is the
+# classifier's determinism and shape, not its accuracy on fake labels.
+LANG_MARKERS: list[tuple[str, list[str]]] = [
+    ("en", ["the", "a", "and", "of"]),
+    ("de", ["der", "die", "und", "nicht"]),
+    ("es", ["el", "la", "que", "los"]),
+    ("fr", ["le", "la", "et", "les"]),
+    ("zh", []),  # no latin markers — reachable only as explicit default
+]
+
+FP_BASE = 1000003
+FP_MOD = (1 << 31) - 1
+
+
+def quality_columns() -> dict[str, Column]:
+    """Per-doc quality signals (length / stopword / diversity ratios)."""
+    tok = tokens()
+    n_tok = F.size(tok)
+    stop = F.array([F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(tok, lambda x: F.array_contains(stop, x)))
+    return {
+        "n_chars": F.length("text"),
+        "n_tokens": n_tok,
+        "n_distinct_tokens": F.size(F.array_distinct(tok)),
+        "stopword_ratio": n_stop / n_tok,
+        "avg_token_len": (F.length("text") - (n_tok - 1)) / n_tok,
+    }
+
+
+def text_quality_by_lang(docs: DataFrame) -> DataFrame:
+    """L4: corpus quality profile per lang — the filter basis a
+    training-data pipeline thresholds on."""
+    q = quality_columns()
+    per_doc = docs.select("lang", *[v.alias(k) for k, v in q.items()])
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("n_distinct_tokens"), 6).alias("avg_distinct_tokens"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("avg_token_len"), 6).alias("avg_token_len"),
+    )
+
+
+def token_counts_by_source(docs: DataFrame) -> DataFrame:
+    """L4: BPE-ish pre-tokenizer counts per source (budgeting signal:
+    how many tokens a source contributes)."""
+    n = F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE))
+    return docs.select("source", n.alias("n_bpe")).groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.min("n_bpe").alias("min_bpe"),
+        F.max("n_bpe").alias("max_bpe"),
+        F.round(F.avg("n_bpe"), 6).alias("avg_bpe"),
+    )
+
+
+def _contains_any(markers: list[str]):
+    """One-arg lambda factory (a default arg would change the lambda's
+    arity and flip pyspark into (value, index) mode)."""
+    arr = F.array([F.lit(m) for m in markers])
+    return lambda x: F.array_contains(arr, x)
+
+
+def predicted_lang() -> Column:
+    """Marker-scored language prediction with fixed priority order."""
+    tok = tokens()
+    scores = [
+        (
+            lang,
+            F.size(F.filter(tok, _contains_any(markers))) if markers else F.lit(0),
+        )
+        for lang, markers in LANG_MARKERS
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    pred: Column = F.lit("und")
+    # reverse order => earlier languages win ties (first-max priority)
+    for lang, s in reversed(scores):
+        pred = F.when((s == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return pred
+
+
+def langid_confusion(docs: DataFrame) -> DataFrame:
+    """L4: labeled-lang × predicted-lang confusion counts."""
+    return (
+        docs.select("lang", predicted_lang().alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def fingerprint_col() -> Column:
+    """Order-sensitive polynomial rolling hash of the token stream:
+    fp = fold(fp * B + (31*len(tok) + ascii(tok[0]))) mod M. Pure
+    integer Column arithmetic — identical in the DuckDB oracle."""
+    tok_val = lambda x: (F.length(x) * 31 + F.ascii(x)).cast("long")  # noqa: E731
+    return F.aggregate(
+        tokens(),
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * FP_BASE + tok_val(x)) % FP_MOD,
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """L4: per-doc rolling-hash fingerprint + a grouped collision
+    profile would be dedup L1 on ordered content."""
+    return docs.select(
+        "doc_id", fingerprint_col().alias("fingerprint"), F.length("text").alias("n_chars")
+    )

@@ -1,0 +1,314 @@
+"""SURVEY §2.10 registrations — LLM-data-pipeline operators (L1-L5)
+over ``documents`` and ``embeddings``.
+
+Oracle notes: the shared tokenizer is a single-space split with empty
+tokens dropped — ``list_filter(string_split(text,' '), x -> x != '')``
+in DuckDB, ``F.filter(F.split(text,' '), x -> x != '')`` in Spark.
+MinHash / SimHash / IVF use xxhash64 (no DuckDB equivalent) → rows-only
+driver checks; their semantics are pinned against the oracle-checked
+exact forms in tests/test_llm.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..io import load_table
+from ..llm import (
+    attach_payload,
+    canonical_dedup_groups,
+    cosine_topk,
+    doc_fingerprints,
+    embedding_near_dup_pairs,
+    exact_dedup_groups,
+    extract_binary_features,
+    ivf_topk,
+    langid_confusion,
+    minhash_near_dup_pairs,
+    ngram_jaccard_pairs,
+    simhash_near_dup_pairs,
+    text_quality_by_lang,
+    token_counts_by_source,
+)
+from .base import register
+
+_TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
+
+
+@register(
+    "llm_dedup_exact",
+    survey_ids="L1,A3",
+    oracle=f"""
+SELECT sha256(text) AS content_hash,
+       min(doc_id) AS survivor_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+""",
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1: exact content dedup via sha256(text); deterministic survivor
+    = min doc_id. One map-side hash + one shuffle at any scale."""
+    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_dedup_canonical",
+    survey_ids="L1,F6,F7",
+    oracle=f"""
+SELECT sha256(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
+         AS canon_hash,
+       min(doc_id) AS survivor_id,
+       count(*) AS n_copies
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+""",
+)
+def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1+: dedup on the sorted distinct token set — catches reordered
+    copies (21 planted groups at sf0.01) while staying one hash-agg."""
+    return canonical_dedup_groups(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_ngram_jaccard_pairs",
+    survey_ids="L2,J2,A3",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1]))) AS sh
+  FROM toks WHERE len(t) >= 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (x.n_sh + y.n_sh - common), 6) AS jaccard
+FROM pairs
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+""",
+)
+def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 ground truth: bigram-shingle Jaccard >= 0.5 pairs via shingle
+    explode + self-join (the exact verifier behind the LSH paths)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("llm_minhash_pairs", survey_ids="L2,U3")
+def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 scale path: MinHash(32) + LSH(8 bands x 4) candidates, exact-
+    Jaccard verified >= 0.5. Rows-only driver check (xxhash64 has no
+    DuckDB twin); recall vs llm_ngram_jaccard_pairs pinned in tests."""
+    return minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register("llm_simhash_pairs", survey_ids="L2")
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: 64-bit SimHash pairs at Hamming <= 3 with pigeonhole chunk
+    blocking (4 x 16-bit). Rows-only driver check."""
+    return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "llm_embedding_near_dup",
+    survey_ids="L2,L3,J5",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v))
+                * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v))
+         * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+""",
+)
+def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: embedding-cosine near-dup pairs (cos >= 0.4 — the corpus max
+    is ~0.51). Exact all-pairs ground truth; IVF/LSH prune at scale."""
+    return embedding_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
+    "llm_cosine_topk",
+    survey_ids="L3,O1,O3",
+    oracle="""
+WITH q AS (
+  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+)
+SELECT vec_id, label,
+       round(list_dot_product(embedding::DOUBLE[], qe)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(qe, qe))), 6) AS cosine
+FROM embeddings, q
+WHERE vec_id != 0
+ORDER BY cosine DESC, vec_id
+LIMIT 10
+""",
+)
+def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 baseline: exact cosine top-10 for the vec_id=0 query vector —
+    broadcast query, one scan, TakeOrderedAndProject."""
+    return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+
+
+@register("llm_ivf_topk", survey_ids="L3")
+def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3 scale path: IVF-pruned top-10 (8 coarse cells, probe 4).
+    Rows-only driver check; recall vs llm_cosine_topk pinned in tests."""
+    return ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        query_vec_id=0,
+        k=10,
+        n_centroids=8,
+        nprobe=4,
+    )
+
+
+@register(
+    "llm_text_quality",
+    survey_ids="L4,A3",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT lang,
+         length(text) AS n_chars,
+         len({_TOKS}) AS n_tokens,
+         len(list_distinct({_TOKS})) AS n_distinct_tokens,
+         len(list_filter({_TOKS},
+             x -> x IN ('the','a','of','and','to','in'))) * 1.0
+           / len({_TOKS}) AS stopword_ratio,
+         (length(text) - (len({_TOKS}) - 1)) * 1.0
+           / len({_TOKS}) AS avg_token_len
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       round(avg(n_tokens), 6) AS avg_tokens,
+       round(avg(n_distinct_tokens), 6) AS avg_distinct_tokens,
+       round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
+       round(avg(avg_token_len), 6) AS avg_token_len
+FROM per_doc GROUP BY lang
+""",
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: quality-scoring profile per lang (length / diversity /
+    stopword ratios) — the thresholds a data pipeline filters on."""
+    return text_quality_by_lang(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_token_counts",
+    survey_ids="L4,F6",
+    oracle="""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+           AS n_bpe
+  FROM documents
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       min(n_bpe) AS min_bpe,
+       max(n_bpe) AS max_bpe,
+       round(avg(n_bpe), 6) AS avg_bpe
+FROM per_doc GROUP BY source
+""",
+)
+def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: BPE-ish pre-tokenizer counts per source (token budgeting)."""
+    return token_counts_by_source(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_langid",
+    survey_ids="L4,F9",
+    oracle=f"""
+WITH scored AS (
+  SELECT lang,
+         len(list_filter({_TOKS}, x -> x IN ('the','a','and','of'))) AS s_en,
+         len(list_filter({_TOKS}, x -> x IN ('der','die','und','nicht'))) AS s_de,
+         len(list_filter({_TOKS}, x -> x IN ('el','la','que','los'))) AS s_es,
+         len(list_filter({_TOKS}, x -> x IN ('le','la','et','les'))) AS s_fr,
+         0 AS s_zh
+  FROM documents
+), pred AS (
+  SELECT lang,
+         CASE
+           WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
+           WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
+           WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
+           WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
+           WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh)
+                AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
+           ELSE 'und'
+         END AS predicted
+  FROM scored
+)
+SELECT lang, predicted, count(*) AS n_docs
+FROM pred GROUP BY 1, 2
+""",
+)
+def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 (F9 generalized): marker-token language ID with fixed
+    priority tie-break; labeled x predicted confusion counts."""
+    return langid_confusion(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_fingerprints",
+    survey_ids="L4,F10",
+    oracle=f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform({_TOKS},
+             x -> CAST(length(x) * 31 + ascii(x) AS BIGINT))),
+         (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint,
+       length(text) AS n_chars
+FROM documents
+""",
+)
+def llm_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: order-sensitive polynomial rolling-hash fingerprint per doc
+    — pure integer Column arithmetic (codegen'd, no UDF)."""
+    return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_multimodal_features",
+    survey_ids="L5,U1,U4",
+    oracle="""
+SELECT doc_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       ascii(substr(text, 1, 1)) AS first_byte,
+       ascii(substr(text, length(text), 1)) AS last_byte,
+       'stub' AS tag
+FROM documents
+""",
+)
+def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: binary-payload plumbing — utf-8 payload column + Arrow-
+    batched mapInPandas feature extraction through the injected stub
+    decoder (real-codec seam raises NotImplementedError by design)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return extract_binary_features(attach_payload(docs))

@@ -27,6 +27,8 @@ Config rationale (written for the 100 TB target, exercised on local[N]):
 from __future__ import annotations
 
 import os
+import tempfile
+import zipfile
 
 from pyspark.sql import SparkSession
 
@@ -45,6 +47,39 @@ _RUNTIME_CONFS = {
 }
 
 
+_shipped_sessions: set[int] = set()
+
+
+def _ship_package(spark: SparkSession) -> None:
+    """Make this package importable on executors (mapInPandas / pandas
+    UDF workers unpickle module-level functions by reference). The
+    cluster-idiomatic move is ``--py-files``; for an externally built
+    session the runtime equivalent is ``addPyFile`` with a package zip.
+    Idempotent per session."""
+    key = id(spark.sparkContext)
+    if key in _shipped_sessions:
+        return
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    zip_path = os.path.join(
+        tempfile.gettempdir(), f"{pkg_name}-{os.getpid()}.zip"
+    )
+    if not os.path.exists(zip_path):
+        with zipfile.ZipFile(zip_path, "w") as zf:
+            for root, _dirs, files in os.walk(pkg_dir):
+                for fn in files:
+                    if not fn.endswith(".py"):
+                        continue
+                    full = os.path.join(root, fn)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    try:
+        spark.sparkContext.addPyFile(zip_path)
+    except Exception:
+        pass  # e.g. Spark Connect — workers then need PYTHONPATH instead
+    _shipped_sessions.add(key)
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Set the runtime confs this engine relies on; safe on any session."""
     for key, value in _RUNTIME_CONFS.items():
@@ -54,6 +89,7 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
             # Static conf on this build — get_spark() sets it at build
             # time; an externally built session keeps its value.
             pass
+    _ship_package(spark)
     return spark
 
 
