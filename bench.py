@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Headline benchmark — runs the engine's representative query mix at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Query mix rationale: one per engine pillar — scan+agg (TPC-H Q1 shape),
+multi-way join, rollup, window ranking, top-k sort, event-time windows,
+sessionization, and the LLM ops (exact dedup, MinHash+LSH near-dup as
+the scale path, cosine top-k, text quality). Execution via the noop
+sink: full computation, zero driver materialization — what a cluster
+run would measure.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.abspath(__file__))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from video_stream_processor_spark.plans import all_specs  # noqa: E402
+from video_stream_processor_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "scan_filter_project",
+    "join_revenue_by_nation",
+    "join_asof_signup",
+    "agg_rollup",
+    "win_ranking",
+    "sort_topk_offset",
+    "stream_tumbling_1h",
+    "stream_session_30m",
+    "llm_dedup_exact",
+    "llm_minhash_pairs",
+    "llm_cosine_topk",
+    "llm_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark(app_name="vsp-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    specs = all_specs()
+
+    # Warm the JVM/codegen/parquet-footer paths once so per-query times
+    # measure the plan, not first-touch initialization.
+    specs["q1_pricing_summary"].builder(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        builder = specs[name].builder
+        t0 = time.perf_counter()
+        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_query_mix_total",
+                "value": round(sum(times.values()), 3),
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

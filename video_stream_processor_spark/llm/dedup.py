@@ -84,22 +84,33 @@ def canonical_dedup_groups(docs: DataFrame) -> DataFrame:
 def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFrame:
     """Exact Jaccard over bigram-shingle sets for doc pairs.
 
-    With ``candidates`` (doc_a, doc_b) the verification join touches
-    only candidate pairs (the LSH path); without, all co-shingled pairs
-    (the ground-truth path).
+    With ``candidates`` (doc_a, doc_b): the intersection is computed by
+    expanding each candidate pair with doc_a's shingles and probing the
+    (doc_id, shingle) set of doc_b — cost O(|candidates| * shingles/doc),
+    independent of posting-list skew. That is the whole point of LSH:
+    the quadratic co-shingle join below (the no-candidates ground-truth
+    path) never runs at scale.
     """
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    pairs = (
-        a.join(b, "sh")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
     if candidates is not None:
-        pairs = pairs.join(candidates, ["doc_a", "doc_b"], "left_semi")
+        a_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        b_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+        pairs = (
+            candidates.join(a_sh, "doc_a")
+            .join(b_sh, ["doc_b", "sh"], "left_semi")
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
+    else:
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = (
+            a.join(b, "sh")
+            .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            )
+            .agg(F.count(F.lit(1)).alias("common"))
+        )
     na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (
@@ -143,15 +154,29 @@ def minhash_near_dup_pairs(
     """L2 at scale: MinHash -> LSH banding -> bucket join -> exact
     verification of candidates only.
 
+    Plan shape (what makes this hold at 100 TB):
+    1. ONE aggregation pass builds, per doc, the k min-hashes AND the
+       collected shingle set — a single shuffle keyed by doc_id; the
+       shingle set stays bounded by doc length (document the A7 hazard:
+       this is per-doc, never per-group-of-docs).
+    2. Band buckets are derived map-side and self-joined on
+       (band, bucket) — small uniform keys, no posting-list skew.
+    3. Only candidate pairs re-join the per-doc table (twice, keyed by
+       doc_id) and Jaccard comes from ``array_intersect`` map-side.
+    The quadratic co-shingle join of ``ngram_jaccard_pairs`` never runs.
+
     Output equals ``ngram_jaccard_pairs`` up to LSH recall (pairs at
     j >= 0.5 surface with p ~ 0.61 per band structure 8x4; tests pin
     recall on seeded near-dups). Rows-only driver check — DuckDB has
-    no xxhash64 — but verification reuses the oracle-checked exact
-    Jaccard, so false positives are impossible.
+    no xxhash64 — but the exact verification makes false positives
+    impossible.
     """
     rows = k // bands
     sh = _doc_shingles(docs)
-    sig = minhash_signatures(sh, k)
+    per_doc = sh.groupBy("doc_id").agg(
+        F.collect_set("sh").alias("sh_set"),
+        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)],
+    )
     band_cols = F.array(
         *[
             F.struct(
@@ -163,7 +188,7 @@ def minhash_near_dup_pairs(
             for b in range(bands)
         ]
     )
-    banded = sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
+    banded = per_doc.select("doc_id", F.explode(band_cols).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
     a, b_ = banded.alias("a"), banded.alias("b")
@@ -175,7 +200,25 @@ def minhash_near_dup_pairs(
         )
         .distinct()
     )
-    return _pair_jaccard(sh, candidates=cand).filter(F.col("jaccard") >= threshold)
+    sets = per_doc.select("doc_id", "sh_set")
+    verified = (
+        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")), "doc_a")
+        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b"))
+                / (
+                    F.size("set_a")
+                    + F.size("set_b")
+                    - F.size(F.array_intersect("set_a", "set_b"))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return verified.filter(F.col("jaccard") >= threshold)
 
 
 def simhash64(docs: DataFrame) -> DataFrame:
