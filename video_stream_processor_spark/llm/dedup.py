@@ -47,11 +47,39 @@ def word_shingles(tok: Column, n: int = 2) -> Column:
     return F.array_distinct(joined)
 
 
+def _spread(docs: DataFrame) -> DataFrame:
+    """Repartition by doc_id before per-row-expensive work. The test
+    tables are one parquet file -> one input split -> ONE task would
+    run the whole shingle/hash pipeline serially; at cluster scale the
+    source arrives pre-split, so this shuffle of raw text is a no-op
+    there and a 32x parallelism win here."""
+    n = int(docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32"))
+    return docs.repartition(n, "doc_id")
+
+
 def _doc_shingles(docs: DataFrame) -> DataFrame:
     """(doc_id, sh) — exploded distinct bigram shingles per doc."""
+    docs = _spread(docs)
     return (
         docs.filter(F.size(tokens()) >= 2)
         .select("doc_id", F.explode(word_shingles(tokens())).alias("sh"))
+    )
+
+
+def _doc_shingles_hashed(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh) with sh = xxhash64(word_i, word_i+1) — the shingle
+    as a LONG, no string materialization. 64-bit collisions are
+    negligible (p ~ n^2/2^65), so Jaccard over hashed sets equals
+    Jaccard over string sets; the MinHash/SimHash paths use this, the
+    oracle-checked exact path keeps strings (DuckDB parity)."""
+    tok = tokens()
+    hashed = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - 1),
+        lambda i: F.xxhash64(F.get(tok, i - 1), F.get(tok, i)),
+    )
+    return (
+        _spread(docs).filter(F.size(tok) >= 2)
+        .select("doc_id", F.explode(F.array_distinct(hashed)).alias("sh"))
     )
 
 
@@ -155,15 +183,16 @@ def minhash_near_dup_pairs(
     verification of candidates only.
 
     Plan shape (what makes this hold at 100 TB):
-    1. ONE aggregation pass builds, per doc, the k min-hashes AND the
-       collected shingle set — a single shuffle keyed by doc_id; the
-       shingle set stays bounded by doc length (document the A7 hazard:
-       this is per-doc, never per-group-of-docs).
-    2. Band buckets are derived map-side and self-joined on
-       (band, bucket) — small uniform keys, no posting-list skew.
-    3. Only candidate pairs re-join the per-doc table (twice, keyed by
-       doc_id) and Jaccard comes from ``array_intersect`` map-side.
-    The quadratic co-shingle join of ``ngram_jaccard_pairs`` never runs.
+    1. Narrow signature pass over every doc: k min-hashes (32 longs per
+       doc), one shuffle keyed by doc_id.
+    2. Band buckets derive map-side and self-join on (band, bucket) —
+       small uniform keys, no posting-list skew.
+    3. Shingle sets (collect_set — bounded by doc length, the A7
+       hazard never applies across docs) are collected ONLY for docs
+       that survived LSH, via a broadcast semi-join pushdown; Jaccard
+       comes from ``array_intersect`` map-side.
+    The quadratic co-shingle join of ``ngram_jaccard_pairs`` never runs,
+    and the wide collect never touches the non-candidate long tail.
 
     Output equals ``ngram_jaccard_pairs`` up to LSH recall (pairs at
     j >= 0.5 surface with p ~ 0.61 per band structure 8x4; tests pin
@@ -172,9 +201,10 @@ def minhash_near_dup_pairs(
     impossible.
     """
     rows = k // bands
-    sh = _doc_shingles(docs)
-    per_doc = sh.groupBy("doc_id").agg(
-        F.collect_set("sh").alias("sh_set"),
+    sh = _doc_shingles_hashed(docs)
+    # Stage 1 (every doc, narrow): k min-hashes only — 32 longs per
+    # doc, one doc_id shuffle; band buckets derive map-side from it.
+    sig = sh.groupBy("doc_id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)],
     )
     band_cols = F.array(
@@ -188,19 +218,48 @@ def minhash_near_dup_pairs(
             for b in range(bands)
         ]
     )
-    banded = per_doc.select("doc_id", F.explode(band_cols).alias("bb")).select(
+    banded = sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
         "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
     )
-    a, b_ = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b_, ["band", "bucket"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+    # Pair generation by bucket grouping (not a self-join): one shuffle
+    # on (band, bucket), pairs exploded from each bucket's sorted doc
+    # list. Bucket sizes are small by LSH construction, so the in-row
+    # combination expansion is bounded.
+    bucket_docs = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ds") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ds")),
+                lambda j: F.struct(
+                    F.get("ds", i - 1).alias("doc_a"),
+                    F.get("ds", j - 1).alias("doc_b"),
+                ),
+            ),
         )
+    )
+    cand = (
+        bucket_docs.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
-    sets = per_doc.select("doc_id", "sh_set")
+    # Stage 2 (candidate docs only, wide): collect shingle sets just
+    # for docs that survived LSH — at scale a sliver of the corpus, so
+    # the heavy collect_set never touches the long tail.
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("sh_set"))
+    )
     verified = (
         cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")), "doc_a")
         .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")), "doc_b")
@@ -229,7 +288,7 @@ def simhash64(docs: DataFrame) -> DataFrame:
     sign of sum over tokens of (+count if hash bit j set else -count).
     One explode + one aggregation — no Python.
     """
-    tok = docs.select(
+    tok = _spread(docs).select(
         "doc_id", F.explode(tokens()).alias("tok")
     ).groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
     h = F.xxhash64(F.col("tok"))
