@@ -17,6 +17,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "scalars",
         "streaming_batch",
         "llm",
+        "python_udfs",
         "station",
     ):
         try:
