@@ -1,0 +1,83 @@
+"""Physical-plan regression tests (SURVEY §4.2 — the optimizations we
+get from Catalyst must actually be present in the plans we ship).
+
+These guard the scale story: a refactor that silently drops predicate
+pushdown, flips a broadcast join to sort-merge, or loses top-k fusion
+would still pass the value-correctness suite — these tests fail it.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from video_stream_processor_spark.plans import all_specs
+
+
+def plan_of(spark, sf_dir, name: str) -> str:
+    df = all_specs()[name].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_scan_pushdown_and_pruning(spark, sf_dir):
+    """P7: filters reach the parquet scan; projection prunes columns."""
+    plan = plan_of(spark, sf_dir, "scan_filter_project")
+    assert "PushedFilters: [" in plan
+    # at least one real pushed predicate, not just the empty list
+    assert "PushedFilters: []" not in plan.split("PushedFilters:", 1)[1][:200]
+    # column pruning: lineitem has 16 columns; the ReadSchema must not
+    # contain unrelated wide columns like l_comment
+    assert "l_comment" not in plan
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    """J1/J2: the nation/region/customer dims broadcast; the plan never
+    falls back to a shuffle join for them."""
+    plan = plan_of(spark, sf_dir, "join_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q1_stays_in_codegen(spark, sf_dir):
+    """F16/A3: the pricing-summary agg runs inside whole-stage codegen
+    with partial (map-side) aggregation before the exchange. (codegen
+    explain mode — AQE's formatted plan hides codegen spans until the
+    final plan materializes.)"""
+    df = all_specs()["q1_pricing_summary"].builder(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
+    plan = plan_of(spark, sf_dir, "q1_pricing_summary")
+    assert plan.count("HashAggregate") >= 2  # partial + final
+
+
+def test_topk_fuses_to_take_ordered(spark, sf_dir):
+    """O3+O4: orderBy+limit plans as TakeOrderedAndProject, not a
+    global sort followed by limit."""
+    plan = plan_of(spark, sf_dir, "llm_cosine_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_no_cartesian_outside_theta_queries(spark, sf_dir):
+    """Nothing except the explicit cross/theta and all-pairs queries
+    may contain a cartesian product."""
+    allowed = {"join_cross_theta", "llm_embedding_near_dup"}
+    for name in all_specs():
+        if name in allowed or name == "station_pipeline":
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        assert "CartesianProduct" not in plan, name
+
+
+def test_broadcast_in_minhash_semi_join(spark, sf_dir):
+    """The candidate-doc semi-join in the MinHash path must broadcast
+    (tiny candidate set), never shuffle the shingle table for it."""
+    plan = plan_of(spark, sf_dir, "llm_minhash_pairs")
+    assert "BroadcastHashJoin" in plan
