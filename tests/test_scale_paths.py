@@ -1,0 +1,112 @@
+"""Scale-path capability tests: bucketed co-located joins (the
+pre-shuffle strategy for repeated big joins) and stream-stream joins
+with watermarked time-range conditions (J6's streaming form).
+
+These are the two §2 capabilities whose value only shows in the plan
+shape, not in result values — so the assertions are plan assertions.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from video_stream_processor_spark.io import load_events_stream, load_table
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
+    """Bucketing both join sides by the key lets the join read
+    pre-hashed buckets: no Exchange above either scan. This is the
+    100 TB answer for a fact table joined on the same key every day —
+    pay the shuffle once at write time."""
+    suffix = uuid.uuid4().hex[:8]  # tables land in the default warehouse; dropped in finally
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").mode("overwrite").saveAsTable(
+        f"li_b_{suffix}"
+    )
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
+        f"o_b_{suffix}"
+    )
+    # disable broadcast so the join would otherwise need a shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(f"li_b_{suffix}").join(
+            spark.table(f"o_b_{suffix}"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = _plan(joined)
+        assert "Exchange" not in plan, plan
+        # and it still computes the right thing
+        expected = li.join(o, li.l_orderkey == o.o_orderkey).count()
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql(f"DROP TABLE IF EXISTS li_b_{suffix}")
+        spark.sql(f"DROP TABLE IF EXISTS o_b_{suffix}")
+
+
+def test_stream_stream_time_range_join(spark, sf_dir, tmp_path):
+    """J6 streaming form: purchases joined to the same user's clicks
+    within the preceding hour — two watermarked streams, equi-key +
+    event-time range condition, append mode. Result must equal the
+    batch twin of the identical join."""
+    ev_s = load_events_stream(spark, sf_dir)
+    clicks_s = ev_s.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("c_id"),
+    ).withWatermark("c_ts", "2 hours")
+    buys_s = ev_s.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_ts"),
+        F.col("event_id").alias("b_id"),
+    ).withWatermark("b_ts", "2 hours")
+    cond = (
+        (F.col("c_user") == F.col("b_user"))
+        & (F.col("c_ts") >= F.col("b_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("b_ts"))
+    )
+    joined_s = buys_s.join(clicks_s, cond).select("b_user", "b_id", "c_id")
+
+    name = f"ssj_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined_s.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ssj"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    got = {
+        (r["b_user"], r["b_id"], r["c_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+
+    ev_b = load_table(spark, sf_dir, "events")
+    clicks_b = ev_b.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    buys_b = ev_b.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("b_user"), F.col("ts").alias("b_ts"), F.col("event_id").alias("b_id")
+    )
+    want = {
+        (r["b_user"], r["b_id"], r["c_id"])
+        for r in buys_b.join(clicks_b, cond).select("b_user", "b_id", "c_id").collect()
+    }
+    assert want, "batch twin should produce matches"
+    assert got == want
