@@ -221,6 +221,37 @@ def test_stateful_running_totals(spark, events_stream, events_batch, tmp_path):
         assert row["sum_value"] == pytest.approx(want[uid]["sum_value"], abs=0.05)
 
 
+def test_foreach_batch_overwrite_sink(spark, sf_dir, events_batch, tmp_path):
+    """S7/T3: the complete-recompute sink — one availableNow trigger
+    carries the full input (the reference re-reads all links per run),
+    foreachBatch overwrites the output idempotently; the sink contents
+    equal the batch twin."""
+    from video_stream_processor_spark.io import _normalize_events
+    from video_stream_processor_spark.pipeline.sink import foreach_batch_overwrite
+    from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
+    from video_stream_processor_spark.io import table_path
+
+    raw = spark.readStream.schema(EVENTS_RAW_SCHEMA).parquet(
+        table_path(sf_dir, "events") + "*"
+    )
+    agg = tumbling_stats(_normalize_events(raw), size="1 hour", watermark="1 hour")
+    out = str(tmp_path / "sink_out")
+    q = (
+        agg.writeStream.foreachBatch(foreach_batch_overwrite(out, fmt="parquet"))
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "ckpt_fb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.read.parquet(out).collect()
+    want = tumbling_stats(events_batch, size="1 hour").collect()
+    keys = ["win_start", "win_end", "event_type", "n_events", "sum_value"]
+    assert sorted([tuple(r[k] for k in keys) for r in got]) == sorted(
+        [tuple(r[k] for k in keys) for r in want]
+    )
+
+
 def test_streaming_metrics_progress(spark, events_stream, tmp_path):
     """T11: StreamingQueryProgress exposes per-batch row counts — the
     engine's analog of the reference's processed/failed counters."""
