@@ -18,6 +18,7 @@ def all_specs() -> dict[str, QuerySpec]:
         "streaming_batch",
         "llm",
         "python_udfs",
+        "sql_api",
         "station",
     ):
         try:
