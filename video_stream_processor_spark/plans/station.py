@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..pipeline.station import build_station_records
+from ..session import ensure_runtime_confs
 from ..sources.extractor import StubExtractor
 from .base import register
 
@@ -34,6 +35,10 @@ def station_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     fully reproducible (seeded stub extractor + frozen run_ts +
     md5-derived uuids), ~1/16 enrichment failures and ~1/16 unresolved
     URLs exercise the P2/P3 drop paths."""
+    # No load_table in this builder — ship the package + set confs
+    # explicitly (the enrichment mapInPandas unpickles module functions
+    # on executors).
+    ensure_runtime_confs(spark)
     links = spark.range(N_LINKS).select(
         F.concat(F.lit("https://www.youtube.com/watch?v=vid"), F.col("id")).alias("url")
     )
