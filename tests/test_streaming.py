@@ -252,6 +252,73 @@ def test_foreach_batch_overwrite_sink(spark, sf_dir, events_batch, tmp_path):
     )
 
 
+def test_stream_static_join_equals_batch(spark, sf_dir, events_batch, events_stream, tmp_path):
+    """J8: the registered stream-static join builder runs unchanged on
+    the unbounded source (static dim broadcast per micro-batch) and
+    matches its own batch run."""
+    from video_stream_processor_spark.plans.streaming_batch import EVENT_CATEGORIES
+
+    def build(ev):
+        dim = spark.createDataFrame(
+            EVENT_CATEGORIES, "event_type string, category string"
+        )
+        return (
+            ev.join(F.broadcast(dim), "event_type")
+            .groupBy("category")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum("value"), 2).alias("sum_value"),
+            )
+        )
+
+    want = build(events_batch).collect()
+    got, _ = run_stream(build(events_stream), tmp_path)
+    assert_same_rows(got, want)
+
+
+def test_stateful_running_totals_tws(spark, events_stream, events_batch, tmp_path):
+    """T9 via Spark 4 transformWithStateInPandas (RocksDB state store):
+    converges to the same batch totals as the applyInPandasWithState
+    form. Requires the protobuf package (the TWS state-server protocol
+    speaks protobuf) — skipped where it isn't installed."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from video_stream_processor_spark.streaming.stateful import running_user_totals_tws
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = running_user_totals_tws(events_stream)
+        name = f"q_{uuid.uuid4().hex[:8]}"
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        snaps = spark.sql(f"SELECT * FROM {name}").collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    final = {}
+    for r in snaps:
+        cur = final.get(r["user_id"])
+        if cur is None or r["n_events"] > cur["n_events"]:
+            final[r["user_id"]] = r
+    want = {r["user_id"]: r for r in user_totals_batch(events_batch).collect()}
+    assert final.keys() == want.keys()
+    for uid, row in final.items():
+        assert row["n_events"] == want[uid]["n_events"]
+        assert row["sum_value"] == pytest.approx(want[uid]["sum_value"], abs=0.05)
+
+
 def test_streaming_metrics_progress(spark, events_stream, tmp_path):
     """T11: StreamingQueryProgress exposes per-batch row counts — the
     engine's analog of the reference's processed/failed counters."""

@@ -76,3 +76,54 @@ def user_totals_batch(events: DataFrame) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+def running_user_totals_tws(events: DataFrame) -> DataFrame:
+    """T9 on the Spark 4 ``transformWithStateInPandas`` API — the
+    successor to applyInPandasWithState: named state variables on a
+    processor handle, timer support, RocksDB-backed state store
+    (set ``spark.sql.streaming.stateStore.providerClass`` to the
+    RocksDB provider — required by this operator). Same semantics as
+    ``running_user_totals``; tests assert both converge to the batch
+    twin.
+
+    Runtime requirement: the TWS state-server protocol needs the
+    ``protobuf`` Python package; environments without it should use
+    ``running_user_totals`` (applyInPandasWithState) — the test suite
+    skips this variant when protobuf is missing."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            n, total = self._totals.get() if self._totals.exists() else (0, 0.0)
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "sum_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select("user_id", "value")
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
