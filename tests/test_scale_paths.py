@@ -59,6 +59,31 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS o_b_{suffix}")
 
 
+def test_salted_join_equals_plain(spark, sf_dir):
+    """Skew salting: the salted join returns exactly the plain join's
+    rows (inner and left), with the hot key spread over `buckets`
+    (key, salt) partitions instead of one."""
+    from video_stream_processor_spark.operators.salt import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    # simulate skew: collapse 90% of user_ids onto one hot key
+    big = ev.withColumn(
+        "user_id",
+        F.when(F.col("user_id") % 10 != 0, F.lit(7)).otherwise(F.col("user_id")),
+    )
+    dim = (
+        big.select("user_id").distinct().withColumn("user_tag", F.concat(F.lit("u"), "user_id"))
+    )
+    for how in ("inner", "left"):
+        plain = big.join(dim, "user_id", how).select("event_id", "user_id", "user_tag")
+        salted = salted_join(big, dim, "user_id", how=how).select(
+            "event_id", "user_id", "user_tag"
+        )
+        a = sorted(map(tuple, plain.collect()))
+        b = sorted(map(tuple, salted.collect()))
+        assert a == b, how
+
+
 def test_stream_stream_time_range_join(spark, sf_dir, tmp_path):
     """J6 streaming form: purchases joined to the same user's clicks
     within the preceding hour — two watermarked streams, equi-key +
