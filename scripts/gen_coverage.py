@@ -60,7 +60,10 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "A2": ["pipeline/station.build_station_records observe()", "tests/test_station.py"],
     "F1": ["functions/scalar.deterministic_uuid (seeded twin of uuid())"],
     "F2": ["functions/scalar.dual_timestamp (frozen run_ts)"],
-    "J2": ["tests/test_scale_paths.py::test_bucketed_join_avoids_shuffle (co-located bucketed join)"],
+    "J2": [
+        "tests/test_scale_paths.py::test_bucketed_join_avoids_shuffle (co-located bucketed join)",
+        "operators/salt.salted_join + tests/test_scale_paths.py (skew salting)",
+    ],
     "J6": ["tests/test_scale_paths.py::test_stream_stream_time_range_join (watermarked stream-stream)"],
     "L2": ["tests/test_llm.py::test_minhash_recall_vs_exact (LSH vs exact)"],
     "L3": ["tests/test_llm.py::test_ivf_recall_vs_bruteforce"],
