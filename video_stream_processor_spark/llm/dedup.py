@@ -247,6 +247,12 @@ def minhash_near_dup_pairs(
         .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .distinct()
     )
+    # Materialize the candidate pairs (tiny by LSH construction) so the
+    # two downstream consumers — the cand_docs broadcast and the
+    # verification join — don't each re-run the signature scan. At
+    # cluster scale this is "write the candidate table, read it twice";
+    # locally localCheckpoint is the same move without a filesystem.
+    cand = cand.localCheckpoint(eager=True)
     # Stage 2 (candidate docs only, wide): collect shingle sets just
     # for docs that survived LSH — at scale a sliver of the corpus, so
     # the heavy collect_set never touches the long tail.
