@@ -59,6 +59,55 @@ def test_bucketed_join_avoids_shuffle(spark, sf_dir, tmp_path):
         spark.sql(f"DROP TABLE IF EXISTS o_b_{suffix}")
 
 
+def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
+    """§4.2 partition pruning: a hive-partitioned layout (the 100 TB
+    at-rest shape) turns an event_type predicate into PartitionFilters
+    — the scan never opens other partitions' files."""
+    from video_stream_processor_spark.pipeline.sink import write_partitioned
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = str(tmp_path / "ev_part")
+    write_partitioned(ev, out, fmt="parquet", partition_by=["event_type"])
+    back = spark.read.parquet(out).filter(F.col("event_type") == "purchase")
+    plan = _plan(back)
+    assert "PartitionFilters: [" in plan
+    assert "purchase" in plan.split("PartitionFilters:", 1)[1][:200]
+    assert back.count() == ev.filter(F.col("event_type") == "purchase").count()
+
+
+def test_llm_text_ops_null_safe(spark):
+    """Dedup/text ops must not throw on null/empty/whitespace text —
+    the reality of any 100 TB crawl corpus."""
+    from video_stream_processor_spark.llm import (
+        exact_dedup_groups,
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+        text_quality_by_lang,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha beta", "en", "s", 27),
+            (2, None, "en", "s", 0),
+            (3, "", "en", "s", 0),
+            (4, "   ", "en", "s", 3),
+            (5, "single", "en", "s", 6),
+            (6, "alpha beta gamma alpha beta", "en", "s", 27),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    # no exceptions, and sane results
+    groups = exact_dedup_groups(docs).collect()
+    assert sum(r["n_copies"] for r in groups) == 6
+    dup = [r for r in groups if r["n_copies"] == 2]
+    assert len(dup) == 1 and dup[0]["survivor_id"] == 1
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in pairs} == {(1, 6)}
+    mh = minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    assert {(r["doc_a"], r["doc_b"]) for r in mh} == {(1, 6)}
+    text_quality_by_lang(docs.filter(F.col("text").isNotNull())).collect()
+
+
 def test_salted_join_equals_plain(spark, sf_dir):
     """Skew salting: the salted join returns exactly the plain join's
     rows (inner and left), with the hot key spread over `buckets`

@@ -51,8 +51,11 @@ def quality_columns() -> dict[str, Column]:
         "n_chars": F.length("text"),
         "n_tokens": n_tok,
         "n_distinct_tokens": F.size(F.array_distinct(tok)),
-        "stopword_ratio": n_stop / n_tok,
-        "avg_token_len": (F.length("text") - (n_tok - 1)) / n_tok,
+        # try_divide: empty docs (n_tokens=0) exist in any real crawl —
+        # under ANSI mode (Spark 4 default) a plain / would throw;
+        # NULL ratios drop out of the avg() aggregates naturally.
+        "stopword_ratio": F.try_divide(n_stop, n_tok),
+        "avg_token_len": F.try_divide(F.length("text") - (n_tok - 1), n_tok),
     }
 
 
