@@ -89,6 +89,19 @@ def embedding_near_dup_pairs(
     )
 
 
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """L3/L5: per-label centroid in long form (label, pos, avg_val) —
+    vector aggregation via posexplode + one (label, pos) hash agg.
+    Long form keeps it engine-portable (no array equality across
+    engines) and shuffle-light: 64 rows per label out."""
+    e = embeddings.select(
+        "label", F.posexplode(_dvec("embedding")).alias("pos0", "v")
+    )
+    return e.groupBy("label", (F.col("pos0") + 1).alias("pos")).agg(
+        F.round(F.avg("v"), 6).alias("avg_val")
+    )
+
+
 def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
     """Assign every vector to its nearest coarse centroid (by cosine).
     Centroids = vectors with vec_id < n_centroids — deterministic stand-

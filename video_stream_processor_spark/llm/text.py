@@ -139,3 +139,39 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     return docs.select(
         "doc_id", fingerprint_col().alias("fingerprint"), F.length("text").alias("n_chars")
     )
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
+    """L4: top-k terms per source by tf-idf — pure relational form
+    (explode -> two aggregations -> window top-k), no ML pipeline
+    object. tf = term count within the source; idf = ln(n_sources /
+    n_sources_containing_term); stopword-free.
+
+    Scale: one explode + shuffles keyed by (source, token) then token —
+    the standard inverted-index build; the window top-k is per source
+    (small state)."""
+    from pyspark.sql import Window
+
+    stop = F.array([F.lit(s) for s in STOPWORDS])
+    tok = docs.select(
+        "source",
+        F.explode(F.filter(tokens(), lambda x: ~F.array_contains(stop, x))).alias(
+            "token"
+        ),
+    )
+    tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
+    n_sources = docs.select("source").distinct().count()
+    df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "token").select(
+        "source",
+        "token",
+        F.round(F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("tfidf"), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("source", "token", "tfidf", "rnk")
+    )

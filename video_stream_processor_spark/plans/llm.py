@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..io import load_table
+from ..llm.similarity import label_centroids
+from ..llm.text import tfidf_top_terms
 from ..llm import (
     attach_payload,
     canonical_dedup_groups,
@@ -292,6 +294,56 @@ def llm_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: order-sensitive polynomial rolling-hash fingerprint per doc
     — pure integer Column arithmetic (codegen'd, no UDF)."""
     return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_tfidf_top_terms",
+    survey_ids="L4,W2,A3,U3",
+    oracle=f"""
+WITH tok AS (
+  SELECT source,
+         unnest(list_filter({_TOKS},
+           x -> x NOT IN ('the','a','of','and','to','in'))) AS token
+  FROM documents
+), tf AS (
+  SELECT source, token, count(*) AS tf FROM tok GROUP BY 1, 2
+), df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY 1
+), scored AS (
+  SELECT tf.source, tf.token,
+         round(tf.tf * ln((SELECT count(DISTINCT source) FROM documents)
+                          * 1.0 / df.df), 6) AS tfidf
+  FROM tf JOIN df USING (token)
+), ranked AS (
+  SELECT source, token, tfidf,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY tfidf DESC, token) AS rnk
+  FROM scored
+)
+SELECT source, token, tfidf, CAST(rnk AS INT) AS rnk
+FROM ranked WHERE rnk <= 5
+""",
+)
+def llm_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: top-5 terms per source by tf-idf, relational form (inverted
+    index build + per-source window top-k)."""
+    return tfidf_top_terms(load_table(spark, sf_dir, "documents"), k=5)
+
+
+@register(
+    "llm_label_centroids",
+    survey_ids="L3,L5,A3,U3",
+    oracle="""
+SELECT label, i AS pos,
+       round(avg(embedding[i]), 6) AS avg_val
+FROM embeddings, unnest(generate_series(1, len(embedding))) AS u(i)
+GROUP BY label, i
+""",
+)
+def llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L5: per-label embedding centroid, long (label, pos) form —
+    the class-prototype computation behind nearest-centroid search."""
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
 @register(
