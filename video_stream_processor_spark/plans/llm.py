@@ -12,6 +12,7 @@ exact forms in tests/test_llm.py.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..io import load_table
 from ..llm.similarity import label_centroids
@@ -344,6 +345,80 @@ def llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L3/L5: per-label embedding centroid, long (label, pos) form —
     the class-prototype computation behind nearest-centroid search."""
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "llm_quality_filter",
+    survey_ids="L4,P7",
+    oracle=f"""
+SELECT doc_id, lang, source
+FROM documents
+WHERE length(text) BETWEEN 120 AND 450
+  AND len(list_distinct({_TOKS})) * 1.0 / len({_TOKS}) >= 0.35
+  AND len(list_filter({_TOKS},
+        x -> x IN ('the','a','of','and','to','in'))) * 1.0
+      / len({_TOKS}) <= 0.12
+""",
+)
+def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: the training-pipeline primitive the quality profile feeds —
+    keep docs passing length / lexical-diversity / stopword-ratio
+    thresholds. Pure predicates: pushes to the scan."""
+    from ..llm.text import quality_columns
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_columns()
+    diversity = q["n_distinct_tokens"] / q["n_tokens"]
+    return docs.filter(
+        q["n_chars"].between(120, 450)
+        & (diversity >= 0.35)
+        & (q["stopword_ratio"] <= 0.12)
+    ).select("doc_id", "lang", "source")
+
+
+@register(
+    "llm_near_dedup_survivors",
+    survey_ids="L1,L2,J4",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1]))) AS sh
+  FROM toks WHERE len(t) >= 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), dup_pairs AS (
+  SELECT doc_a, doc_b
+  FROM pairs
+  JOIN sizes x ON doc_a = x.doc_id
+  JOIN sizes y ON doc_b = y.doc_id
+  WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+)
+SELECT d.doc_id, d.lang, d.source
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT doc_b FROM dup_pairs)
+""",
+)
+def llm_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L2 applied: the deduplicated corpus — drop every doc that is
+    the higher-id member of a near-dup pair (greedy min-id survivor;
+    anti-join against the pair table). At scale the pair table comes
+    from the MinHash path; here the oracle-checked exact pairs prove
+    the anti-join semantics."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    return docs.join(losers, "doc_id", "left_anti").select(
+        "doc_id", "lang", "source"
+    )
 
 
 @register(
