@@ -92,3 +92,40 @@ def extract_binary_features(
             yield out[[f.name for f in FEATURE_SCHEMA.fields]]
 
     return media.mapInPandas(extract, FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_len", IntegerType()),
+        StructField("frame_md5", StringType()),
+    ]
+)
+
+
+def sample_frames(media: DataFrame, frame_bytes: int = 256) -> DataFrame:
+    """L5: frame sampling — ONE payload row expands to N frame rows
+    (fixed-size byte windows; a video decoder would emit keyframes the
+    same way). The expansion happens inside ``mapInPandas`` so frame
+    extraction amortizes per batch and raw frame bytes can be dropped
+    (only typed metadata + content hash flow on) — at 100 TB the whole
+    point is that the big bytes die in the same task that read them.
+    """
+    import hashlib
+
+    def explode_frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                p = bytes(payload)
+                for idx in range((len(p) + frame_bytes - 1) // frame_bytes):
+                    frame = p[idx * frame_bytes : (idx + 1) * frame_bytes]
+                    rows.append(
+                        (doc_id, idx + 1, len(frame), hashlib.md5(frame).hexdigest())
+                    )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "frame_idx", "frame_len", "frame_md5"]
+            )
+
+    return media.mapInPandas(explode_frames, FRAME_SCHEMA)

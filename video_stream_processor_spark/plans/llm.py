@@ -422,6 +422,31 @@ def llm_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_frame_sample",
+    survey_ids="L5,U3,U1",
+    oracle="""
+SELECT doc_id,
+       CAST(i AS INT) AS frame_idx,
+       CAST(least(256, octet_length(encode(text)) - (i - 1) * 256) AS INT)
+         AS frame_len,
+       md5(substr(text, (i - 1) * 256 + 1, 256)) AS frame_md5
+FROM documents,
+     unnest(generate_series(1,
+       CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS u(i)
+""",
+)
+def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5: frame sampling — each payload expands to fixed-size byte
+    windows inside one mapInPandas pass (metadata + md5 out, raw bytes
+    dropped in-task). Oracle replays the same windows with substr+md5
+    (payload is the utf-8 text: ASCII corpus, so byte and char windows
+    coincide)."""
+    from ..llm.multimodal import sample_frames
+
+    return sample_frames(attach_payload(load_table(spark, sf_dir, "documents")))
+
+
+@register(
     "llm_multimodal_features",
     survey_ids="L5,U1,U4",
     oracle="""
