@@ -123,6 +123,47 @@ def test_binary_payload_parquet_roundtrip(spark, docs, tmp_path):
     assert orig == rt
 
 
+def test_streaming_content_dedup_at_ingestion(spark, sf_dir, docs, tmp_path):
+    """L1 + T8: exact content dedup on an unbounded document stream —
+    sha256 hash map-side, dropDuplicatesWithinWatermark keyed on the
+    hash. The shape a 100 TB ingestion pipeline runs: state bounded by
+    the watermark, duplicates collapse within it."""
+    import shutil
+
+    from video_stream_processor_spark.io import table_path
+
+    src_dir = tmp_path / "docs_stream"
+    src_dir.mkdir()
+    src = table_path(sf_dir, "documents")
+    shutil.copy(src, src_dir / "a.parquet")
+    shutil.copy(src, src_dir / "b.parquet")  # every doc arrives twice
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+        .withColumn("content_hash", F.sha2(F.col("text"), 256))
+        .withColumn("arrival", F.current_timestamp())
+        .withWatermark("arrival", "10 minutes")
+        .dropDuplicatesWithinWatermark(["content_hash"])
+        .select("doc_id", "content_hash")
+    )
+    name = "docs_dedup_q"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_docs"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(f"SELECT * FROM {name}").collect()
+    n_unique = docs.select(F.sha2(F.col("text"), 256)).distinct().count()
+    assert len(got) == n_unique
+    assert len({r["content_hash"] for r in got}) == n_unique
+
+
 def test_fingerprint_matches_python_reference(docs):
     """L4 property: the Column rolling hash == a plain-Python reference
     on real rows (same base/mod/token values)."""
