@@ -447,6 +447,35 @@ def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_hash_sample",
+    survey_ids="L4,L1,A3,P7",
+    oracle="""
+SELECT source,
+       count(*) AS n_sampled,
+       CAST(min(doc_id) AS BIGINT) AS min_doc_id
+FROM documents
+WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
+GROUP BY source
+""",
+)
+def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: deterministic content-hash sampling (~4/16 = 25%) — the
+    reproducible corpus-subsetting technique: membership is a pure
+    function of content, so reruns, engines, and partitionings all
+    agree (rand()-based sampling can't be oracle-checked or replayed).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.filter(F.substring(F.md5("text"), 1, 1).isin("0", "1", "2", "3"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+@register(
     "llm_multimodal_features",
     survey_ids="L5,U1,U4",
     oracle="""
