@@ -201,7 +201,10 @@ def minhash_near_dup_pairs(
     impossible.
     """
     rows = k // bands
-    sh = _doc_shingles_hashed(docs)
+    # The shingle table feeds both the signature aggregation and the
+    # candidate-set collection; materialize it once (at cluster scale:
+    # write the derived shingle table, read it twice).
+    sh = _doc_shingles_hashed(docs).localCheckpoint(eager=True)
     # Stage 1 (every doc, narrow): k min-hashes only — 32 longs per
     # doc, one doc_id shuffle; band buckets derive map-side from it.
     sig = sh.groupBy("doc_id").agg(
