@@ -164,6 +164,68 @@ def test_streaming_content_dedup_at_ingestion(spark, sf_dir, docs, tmp_path):
     assert len({r["content_hash"] for r in got}) == n_unique
 
 
+def test_jaccard_matches_python_reference(spark):
+    """Randomized differential test (seeded): bigram-shingle Jaccard
+    pairs from the Spark operator == a pure-Python reference over a
+    generated corpus with planted near-dups."""
+    import random
+
+    rng = random.Random(1234)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = {}
+    for i in range(60):
+        texts[i] = " ".join(rng.choice(vocab) for _ in range(rng.randint(5, 40)))
+    for i in range(60, 80):  # planted near-dups: perturb an earlier doc
+        base = texts[i - 60].split(" ")
+        j = rng.randrange(len(base))
+        base[j] = rng.choice(vocab)
+        texts[i] = " ".join(base)
+
+    def shingles(t):
+        toks = [x for x in t.split(" ") if x]
+        return {f"{a} {b}" for a, b in zip(toks, toks[1:])}
+
+    want = set()
+    for a in texts:
+        for b in texts:
+            if a < b:
+                sa, sb = shingles(texts[a]), shingles(texts[b])
+                if not sa or not sb:
+                    continue
+                j = len(sa & sb) / len(sa | sb)
+                if j >= 0.5:
+                    want.add((a, b))
+
+    docs = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = pairs_set(ngram_jaccard_pairs(docs, threshold=0.5))
+    assert got == want
+    # and the LSH path finds the vast majority of them
+    lsh = pairs_set(minhash_near_dup_pairs(docs, threshold=0.5))
+    assert lsh <= want
+    assert len(lsh) >= 0.8 * len(want)
+
+
+def test_approx_quantiles_error_bound(spark, sf_dir):
+    """A5/W5 sketch family: percentile_approx with a relative-error
+    budget stays within it against the exact quantiles (the 100 TB
+    path — exact percentiles need a full sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import functions as F2
+
+    row = ev.agg(
+        F2.percentile_approx("value", [0.25, 0.5, 0.9], 100).alias("approx"),
+        F2.expr("percentile(value, array(0.25, 0.5, 0.9))").alias("exact"),
+        F2.min("value").alias("lo"),
+        F2.max("value").alias("hi"),
+    ).collect()[0]
+    span = row["hi"] - row["lo"]
+    for a, e in zip(row["approx"], row["exact"]):
+        assert abs(a - e) <= 0.05 * span, (a, e)
+
+
 def test_fingerprint_matches_python_reference(docs):
     """L4 property: the Column rolling hash == a plain-Python reference
     on real rows (same base/mod/token values)."""
