@@ -289,6 +289,100 @@ def minhash_near_dup_pairs(
     return verified.filter(F.col("jaccard") >= threshold)
 
 
+def minhash_near_dup_pairs_portable(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """The cross-engine-verifiable twin of ``minhash_near_dup_pairs``:
+    identical LSH structure, but the hash family is md5 over string
+    shingles with the min taken lexicographically on the hex digest —
+    every step has an exact DuckDB equivalent, so the FULL approximate
+    pipeline (signatures -> banding -> buckets -> verified pairs) is
+    oracle-checked, not just its exact ground truth. The xxhash64
+    variant stays the production/bench path (md5 costs ~3x)."""
+    rows = k // bands
+    sh = _doc_shingles(docs).localCheckpoint(eager=True)
+    sig = sh.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")
+            for i in range(k)
+        ]
+    )
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(",", *[F.col(f"h{b * rows + j}") for j in range(rows)])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    bucket_docs = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ds") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ds")),
+                lambda j: F.struct(
+                    F.get("ds", i - 1).alias("doc_a"),
+                    F.get("ds", j - 1).alias("doc_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        bucket_docs.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    cand_docs = (
+        cand.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+    )
+    sets = (
+        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.collect_set("sh").alias("sh_set"))
+    )
+    return (
+        cand.join(
+            sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")),
+            "doc_a",
+        )
+        .join(
+            sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.size(F.array_intersect("set_a", "set_b"))
+                / (
+                    F.size("set_a")
+                    + F.size("set_b")
+                    - F.size(F.array_intersect("set_a", "set_b"))
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash64(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, c0..c3): 64-bit SimHash of the token multiset
     plus its 16-bit chunks for Hamming-LSH blocking.

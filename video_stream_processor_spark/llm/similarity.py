@@ -114,12 +114,18 @@ def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
         "label",
         "embedding",
         "centroid_id",
-        cosine(_dvec("embedding"), F.col("cv")).alias("ccos"),
+        # round before argmax, and break exact ties on centroid_id, so
+        # the assignment is engine-stable (float summation order would
+        # otherwise pick different winners on near-ties)
+        F.round(cosine(_dvec("embedding"), F.col("cv")), 9).alias("ccos"),
     )
     return (
         scored.groupBy("vec_id")
         .agg(
-            F.max_by("centroid_id", "ccos").alias("centroid_id"),
+            F.max_by(
+                "centroid_id",
+                F.struct(F.col("ccos"), -F.col("centroid_id")),
+            ).alias("centroid_id"),
             F.first("label").alias("label"),
             F.first("embedding").alias("embedding"),
         )
@@ -146,8 +152,11 @@ def ivf_topk(
     )
     probe = (
         cent.join(F.broadcast(q))
-        .select("centroid_id", cosine(F.col("cv"), F.col("qe")).alias("qcos"))
-        .orderBy(F.desc("qcos"))
+        .select(
+            "centroid_id",
+            F.round(cosine(F.col("cv"), F.col("qe")), 9).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), "centroid_id")
         .limit(nprobe)
         .select("centroid_id")
     )

@@ -116,6 +116,65 @@ def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
 
 
+@register(
+    "llm_minhash_pairs_portable",
+    survey_ids="L2,U3,J2",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1]))) AS sh
+  FROM toks WHERE len(t) >= 2
+), seeds AS (
+  SELECT unnest(generate_series(0, 31)) AS seed
+), mh AS (
+  SELECT doc_id, seed,
+         min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
+  FROM sh, seeds GROUP BY doc_id, seed
+), sig AS (
+  SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
+), bandids AS (
+  SELECT unnest(generate_series(0, 7)) AS b
+), bands AS (
+  SELECT doc_id, b,
+         md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',')) AS bucket
+  FROM sig, bandids
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM bands a JOIN bands c
+    ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), pairs AS (
+  SELECT cand.doc_a, cand.doc_b, count(*) AS common
+  FROM cand
+  JOIN sh sa ON sa.doc_id = cand.doc_a
+  JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       round(common * 1.0 / (x.n_sh + y.n_sh - common), 6) AS jaccard
+FROM pairs
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+""",
+)
+def llm_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: md5-hash-family MinHash+LSH — the full approximate pipeline
+    (signatures, banding, bucket pairs, exact verification) replayed
+    step-for-step by the DuckDB oracle. Proves the LSH machinery, not
+    just its ground truth."""
+    from ..llm.dedup import minhash_near_dup_pairs_portable
+
+    return minhash_near_dup_pairs_portable(
+        load_table(spark, sf_dir, "documents"), threshold=0.5
+    )
+
+
 @register("llm_simhash_pairs", survey_ids="L2")
 def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: 64-bit SimHash pairs at Hamming <= 3 with pigeonhole chunk
@@ -171,10 +230,54 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
 
 
-@register("llm_ivf_topk", survey_ids="L3")
+@register(
+    "llm_ivf_topk",
+    survey_ids="L3",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), cent AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
+), q AS (
+  SELECT v AS qe FROM e WHERE vec_id = 0
+), assign AS (
+  SELECT vec_id, label, v, centroid_id FROM (
+    SELECT e.vec_id, e.label, e.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY round(list_dot_product(e.v, c.cv)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
+               c.centroid_id
+           ) AS rn
+    FROM e, cent c
+  ) WHERE rn = 1
+), probe AS (
+  SELECT centroid_id FROM (
+    SELECT c.centroid_id,
+           round(list_dot_product(c.cv, q.qe)
+             / (sqrt(list_dot_product(c.cv, c.cv))
+                * sqrt(list_dot_product(q.qe, q.qe))), 9) AS qcos
+    FROM cent c, q
+  ) ORDER BY qcos DESC, centroid_id LIMIT 4
+)
+SELECT vec_id, label, round(cos, 6) AS cosine FROM (
+  SELECT a.vec_id, a.label,
+         list_dot_product(a.v, q.qe)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(q.qe, q.qe))) AS cos
+  FROM assign a JOIN probe USING (centroid_id), q
+  WHERE a.vec_id != 0
+)
+ORDER BY round(cos, 6) DESC, vec_id
+LIMIT 10
+""",
+)
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path: IVF-pruned top-10 (8 coarse cells, probe 4).
-    Rows-only driver check; recall vs llm_cosine_topk pinned in tests."""
+    """L3 scale path: IVF-pruned top-10 (8 coarse cells, probe 4) —
+    deterministic tie-breaks make the whole pruned search replayable in
+    SQL, so even the approximate path is oracle-checked; recall vs
+    llm_cosine_topk additionally pinned in tests."""
     return ivf_topk(
         load_table(spark, sf_dir, "embeddings"),
         query_vec_id=0,
