@@ -52,9 +52,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
 
-    # Warm pass: whole-stage-codegen compilation (janino) of a complex
-    # aggregate costs seconds ONCE per JVM; a resident cluster session
-    # pays it once across thousands of queries. Measure steady state.
+    # Warm passes: whole-stage-codegen compilation (janino) of a complex
+    # aggregate costs seconds ONCE per JVM, and C2 JIT needs a repeat to
+    # settle; a resident cluster session pays both once across thousands
+    # of queries. Measure steady state.
     def run(name: str) -> float:
         t0 = time.perf_counter()
         specs[name].builder(spark, sf_dir).write.format("noop").mode(
@@ -62,8 +63,9 @@ def main() -> None:
         ).save()
         return round(time.perf_counter() - t0, 3)
 
-    for name in HEADLINE:
-        run(name)
+    for _ in range(2):
+        for name in HEADLINE:
+            run(name)
 
     times = {name: run(name) for name in HEADLINE}
 

@@ -66,23 +66,6 @@ def _doc_shingles(docs: DataFrame) -> DataFrame:
     )
 
 
-def _doc_shingles_hashed(docs: DataFrame) -> DataFrame:
-    """(doc_id, sh) with sh = xxhash64(word_i, word_i+1) — the shingle
-    as a LONG, no string materialization. 64-bit collisions are
-    negligible (p ~ n^2/2^65), so Jaccard over hashed sets equals
-    Jaccard over string sets; the MinHash/SimHash paths use this, the
-    oracle-checked exact path keeps strings (DuckDB parity)."""
-    tok = tokens()
-    hashed = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - 1),
-        lambda i: F.xxhash64(F.get(tok, i - 1), F.get(tok, i)),
-    )
-    return (
-        _spread(docs).filter(F.size(tok) >= 2)
-        .select("doc_id", F.explode(F.array_distinct(hashed)).alias("sh"))
-    )
-
-
 def exact_dedup_groups(docs: DataFrame) -> DataFrame:
     """L1: group identical texts by sha256; deterministic survivor =
     min doc_id (dropDuplicates picks an arbitrary row — this is the
@@ -163,14 +146,68 @@ def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
-def minhash_signatures(sh: DataFrame, k: int = MINHASH_K) -> DataFrame:
-    """(doc_id, h0..h{k-1}): k independent min-hashes of the shingle
-    set. Seeds enter as an extra xxhash64 column — deterministic, JVM
-    side, one aggregation pass for all k."""
-    mins = [
-        F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)
+#: Mersenne prime 2^31-1 — modulus of the universal hash family below.
+_MERSENNE_P = (1 << 31) - 1
+
+
+def _minhash_family(k: int, seed: int = 1234) -> list[tuple[int, int]]:
+    """k fixed (a, b) pairs for the family h_i(x) = (a_i*x + b_i) mod P.
+    A plain multiply-shift WITHOUT the mod would be monotone on the
+    31-bit domain (no wraparound under ANSI overflow checking), making
+    every h_i pick the same min element — the mod is load-bearing."""
+    import random
+
+    rnd = random.Random(seed)
+    return [
+        (rnd.randrange(1, _MERSENNE_P), rnd.randrange(0, _MERSENNE_P))
+        for _ in range(k)
     ]
-    return sh.groupBy("doc_id").agg(*mins)
+
+
+def _fold31(c: Column) -> Column:
+    """64-bit shingle hash -> [0, P): xor-fold the halves to 31 bits.
+    Keeps a_i * x + b_i < 2^62, so ANSI long arithmetic never overflows."""
+    return F.pmod(
+        F.shiftrightunsigned(c, 33).bitwiseXOR(c.bitwiseAND(F.lit(0x7FFFFFFF))),
+        F.lit(_MERSENNE_P),
+    )
+
+
+def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh_arr): the distinct shingle set as ONE array row per
+    doc, each bigram stored as xxhash64(word_i, word_i+1) — a LONG, no
+    string materialization (64-bit collisions: p ~ n^2/2^65, so Jaccard
+    over hashed sets equals Jaccard over strings). Keeping the set
+    un-exploded is what lets signatures, banding, and verification all
+    run without a per-shingle shuffle."""
+    tok = tokens()
+    hashed = F.transform(
+        F.sequence(F.lit(1), F.size(tok) - 1),
+        lambda i: F.xxhash64(F.get(tok, i - 1), F.get(tok, i)),
+    )
+    return (
+        _spread(docs)
+        .filter(F.size(tok) >= 2)
+        .select("doc_id", F.array_distinct(hashed).alias("sh_arr"))
+    )
+
+
+def minhash_signatures(arr: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, sh_arr, h0..h{k-1}): k independent min-hashes computed
+    MAP-SIDE from the per-doc shingle array — array_min over the
+    universal family, no aggregation, no shuffle. At 100 TB this is the
+    difference between a narrow projection pass and a full corpus-wide
+    groupBy."""
+    folded = arr.select("doc_id", "sh_arr", F.transform("sh_arr", _fold31).alias("hp"))
+    mins = [
+        F.array_min(
+            F.transform(
+                "hp", lambda x: F.pmod(F.lit(a) * x + F.lit(b), F.lit(_MERSENNE_P))
+            )
+        ).alias(f"h{i}")
+        for i, (a, b) in enumerate(_minhash_family(k))
+    ]
+    return folded.select("doc_id", "sh_arr", *mins)
 
 
 def minhash_near_dup_pairs(
@@ -183,16 +220,18 @@ def minhash_near_dup_pairs(
     verification of candidates only.
 
     Plan shape (what makes this hold at 100 TB):
-    1. Narrow signature pass over every doc: k min-hashes (32 longs per
-       doc), one shuffle keyed by doc_id.
-    2. Band buckets derive map-side and self-join on (band, bucket) —
-       small uniform keys, no posting-list skew.
-    3. Shingle sets (collect_set — bounded by doc length, the A7
-       hazard never applies across docs) are collected ONLY for docs
-       that survived LSH, via a broadcast semi-join pushdown; Jaccard
-       comes from ``array_intersect`` map-side.
-    The quadratic co-shingle join of ``ngram_jaccard_pairs`` never runs,
-    and the wide collect never touches the non-candidate long tail.
+    1. ONE materialization of the per-doc shingle-set ARRAY table; all
+       later stages read it. Signatures are array_min projections over
+       a universal hash family — map-side, zero shuffle.
+    2. Band buckets derive map-side from the signatures and meet in a
+       single (band, bucket) shuffle — small uniform keys, no
+       posting-list skew.
+    3. Verification broadcasts the candidate-pair table (tiny by LSH
+       construction) against the array table twice — Jaccard from
+       ``array_intersect``, again no shuffle of the corpus.
+    Total: one repartition of the raw text + one small-key shuffle.
+    The quadratic co-shingle join of ``ngram_jaccard_pairs`` never
+    runs, and nothing wide ever aggregates the non-candidate tail.
 
     Output equals ``ngram_jaccard_pairs`` up to LSH recall (pairs at
     j >= 0.5 surface with p ~ 0.61 per band structure 8x4; tests pin
@@ -201,15 +240,11 @@ def minhash_near_dup_pairs(
     impossible.
     """
     rows = k // bands
-    # The shingle table feeds both the signature aggregation and the
-    # candidate-set collection; materialize it once (at cluster scale:
-    # write the derived shingle table, read it twice).
-    sh = _doc_shingles_hashed(docs).localCheckpoint(eager=True)
-    # Stage 1 (every doc, narrow): k min-hashes only — 32 longs per
-    # doc, one doc_id shuffle; band buckets derive map-side from it.
-    sig = sh.groupBy("doc_id").agg(
-        *[F.min(F.xxhash64(F.lit(i), F.col("sh"))).alias(f"h{i}") for i in range(k)],
-    )
+    # The array table feeds signature derivation AND verification;
+    # materialize it once (at cluster scale: write the derived table,
+    # read it twice).
+    arr = _doc_shingle_arrays(docs).localCheckpoint(eager=True)
+    sig = minhash_signatures(arr, k).drop("sh_arr")
     band_cols = F.array(
         *[
             F.struct(
@@ -251,27 +286,16 @@ def minhash_near_dup_pairs(
         .distinct()
     )
     # Materialize the candidate pairs (tiny by LSH construction) so the
-    # two downstream consumers — the cand_docs broadcast and the
-    # verification join — don't each re-run the signature scan. At
-    # cluster scale this is "write the candidate table, read it twice";
-    # locally localCheckpoint is the same move without a filesystem.
+    # verification joins don't re-run the signature scan, then BROADCAST
+    # them against the array table — the corpus never shuffles again. At
+    # cluster scale this is "write the candidate table, broadcast it".
     cand = cand.localCheckpoint(eager=True)
-    # Stage 2 (candidate docs only, wide): collect shingle sets just
-    # for docs that survived LSH — at scale a sliver of the corpus, so
-    # the heavy collect_set never touches the long tail.
-    cand_docs = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .unionByName(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
-    sets = (
-        sh.join(F.broadcast(cand_docs), "doc_id", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.collect_set("sh").alias("sh_set"))
-    )
+    step1 = arr.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("set_a")
+    ).join(F.broadcast(cand), "doc_a")
     verified = (
-        cand.join(sets.select(F.col("doc_id").alias("doc_a"), F.col("sh_set").alias("set_a")), "doc_a")
-        .join(sets.select(F.col("doc_id").alias("doc_b"), F.col("sh_set").alias("set_b")), "doc_b")
+        arr.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("set_b"))
+        .join(F.broadcast(step1), "doc_b")
         .select(
             "doc_a",
             "doc_b",
