@@ -451,6 +451,79 @@ def simhash64(docs: DataFrame) -> DataFrame:
     return out.withColumn("simhash", fp)
 
 
+def simhash_portable_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, sh): SimHash as a 64-char '0'/'1' string, token bits
+    drawn from the first 16 hex chars of md5(token) — every step has an
+    exact DuckDB equivalent (strpos-on-hex nibble decode), so the full
+    fingerprint is cross-engine reproducible. The xxhash64 ``simhash64``
+    stays the production path (one cheap long hash vs md5 + 16 string
+    ops per token)."""
+    tok = (
+        _spread(docs)
+        .select("doc_id", F.explode(tokens()).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    hx = F.md5(F.col("tok"))
+    nibs = [
+        F.conv(F.substring(hx, q + 1, 1), 16, 10).cast("int").alias(f"n{q}")
+        for q in range(16)
+    ]
+    t2 = tok.select("doc_id", "cnt", *nibs)
+    bit_sums = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col(f"n{j // 4}"), 3 - j % 4).bitwiseAND(F.lit(1)) == 1,
+                F.col("cnt"),
+            ).otherwise(-F.col("cnt"))
+        ).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    sums = t2.groupBy("doc_id").agg(*bit_sums)
+    bits = F.concat(
+        *[
+            F.when(F.col(f"s{j}") > 0, F.lit("1")).otherwise(F.lit("0"))
+            for j in range(SIMHASH_BITS)
+        ]
+    )
+    return sums.select("doc_id", bits.alias("sh"))
+
+
+def simhash_near_dup_pairs_portable(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """The cross-engine-verifiable twin of ``simhash_near_dup_pairs``:
+    same pigeonhole chunk blocking, md5-derived bits. Because Hamming
+    <= 3 over 4 chunks GUARANTEES a shared chunk, the blocked output
+    equals the quadratic scan exactly — so the DuckDB oracle (which
+    does the quadratic scan) checks the whole approximate path."""
+    chunk = SIMHASH_BITS // SIMHASH_CHUNKS
+    sig = simhash_portable_signatures(docs)
+    cands = None
+    for c in range(SIMHASH_CHUNKS):
+        ck = F.substring("sh", c * chunk + 1, chunk)
+        a = sig.select(
+            F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"), ck.alias("ck")
+        )
+        b = sig.select(
+            F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"), ck.alias("ck")
+        )
+        p = a.join(b, "ck").filter(F.col("doc_a") < F.col("doc_b")).drop("ck")
+        cands = p if cands is None else cands.unionByName(p)
+    ham = F.aggregate(
+        F.zip_with(
+            F.split(F.col("sh_a"), ""),
+            F.split(F.col("sh_b"), ""),
+            lambda x, y: F.when(x != y, F.lit(1)).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).alias("hamming")
+    return (
+        cands.distinct()
+        .select("doc_a", "doc_b", ham)
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     """L2: pairs with SimHash Hamming distance <= max_hamming. Blocking
     by the pigeonhole principle: distance <= 3 over 4 chunks implies at

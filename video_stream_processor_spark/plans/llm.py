@@ -178,8 +178,51 @@ def llm_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("llm_simhash_pairs", survey_ids="L2")
 def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: 64-bit SimHash pairs at Hamming <= 3 with pigeonhole chunk
-    blocking (4 x 16-bit). Rows-only driver check."""
+    blocking (4 x 16-bit). Rows-only driver check (xxhash64 bits);
+    ``llm_simhash_pairs_portable`` oracle-checks the same machinery."""
     return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "llm_simhash_pairs_portable",
+    survey_ids="L2",
+    oracle=f"""
+WITH tc AS (
+  SELECT doc_id, tok, count(*) AS cnt FROM (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+  ) GROUP BY 1, 2
+), bits AS (
+  SELECT doc_id, j,
+         sum(CASE WHEN
+               ((strpos('0123456789abcdef',
+                        substr(md5(tok), j // 4 + 1, 1)) - 1)
+                >> (3 - j % 4)) & 1 = 1
+             THEN cnt ELSE -cnt END) AS s
+  FROM tc, (SELECT unnest(generate_series(0, 63)) AS j)
+  GROUP BY 1, 2
+), sig AS (
+  SELECT doc_id,
+         string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sh
+  FROM bits GROUP BY 1
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(list_sum(list_transform(generate_series(1, 64),
+         i -> CASE WHEN a.sh[i] != b.sh[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE list_sum(list_transform(generate_series(1, 64),
+        i -> CASE WHEN a.sh[i] != b.sh[i] THEN 1 ELSE 0 END)) <= 3
+""",
+)
+def llm_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2: md5-bit SimHash pairs at Hamming <= 3 — the DuckDB oracle
+    does the quadratic scan, and pigeonhole blocking (Hamming <= 3 over
+    4 chunks forces a shared chunk) makes the blocked Spark output
+    EQUAL to it, so the approximate path itself is oracle-checked."""
+    from ..llm.dedup import simhash_near_dup_pairs_portable
+
+    return simhash_near_dup_pairs_portable(
+        load_table(spark, sf_dir, "documents"), max_hamming=3
+    )
 
 
 @register(
