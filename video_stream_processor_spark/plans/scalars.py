@@ -204,3 +204,60 @@ def case_when_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
     )
+
+
+@register(
+    "array_indexing_suite",
+    survey_ids="O2,F6",
+    oracle="""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x != '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(t)                        AS n_tok,
+       t[1]                          AS first_tok,
+       t[-1]                         AS last_tok,
+       array_to_string(t[1:3], ' ')  AS head3
+FROM toks
+""",
+)
+def array_indexing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: positive and NEGATIVE array indexing plus slicing — the
+    reference's path.split('.')[-1] idiom (video_processor.py:186-192)
+    generalized. try_element_at returns NULL out-of-range, matching
+    DuckDB list semantics under ANSI mode."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    return d.select(
+        "doc_id",
+        F.size(t).alias("n_tok"),
+        F.try_element_at(t, F.lit(1)).alias("first_tok"),
+        F.try_element_at(t, F.lit(-1)).alias("last_tok"),
+        F.concat_ws(" ", F.slice(t, 1, 3)).alias("head3"),
+    )
+
+
+@register(
+    "corpus_counts",
+    survey_ids="A1",
+    oracle="""
+SELECT 'documents' AS tbl, count(*) AS n FROM documents
+UNION ALL SELECT 'events', count(*) FROM events
+UNION ALL SELECT 'orders', count(*) FROM orders
+""",
+)
+def corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: plain record counting per table — the reference's processed/
+    failed run summary (video_processor.py:385-388) as a metadata-only
+    aggregate (parquet count(*) answers from footer statistics)."""
+    parts = [
+        _t(spark, sf_dir, tbl)
+        .groupBy(F.lit(tbl).alias("tbl"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        for tbl in ("documents", "events", "orders")
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
