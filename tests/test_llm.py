@@ -235,3 +235,20 @@ def test_fingerprint_matches_python_reference(docs):
         for tok in [t for t in r["text"].split(" ") if t != ""]:
             fp = (fp * FP_BASE + (len(tok) * 31 + ord(tok[0]))) % FP_MOD
         assert fp == r["fp"], r["doc_id"]
+
+
+def test_near_dup_clusters_transitive(spark):
+    """CC property: a chain a-b, b-c collapses to ONE cluster labeled
+    min(id) even when a and c are not themselves a near-dup pair, and
+    an isolated doc keeps its own id."""
+    from video_stream_processor_spark.llm.dedup import near_dup_clusters
+
+    docs = spark.createDataFrame(
+        [(10, "x"), (20, "x"), (30, "x"), (99, "y")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(10, 20), (20, 30)], ["doc_a", "doc_b"])
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(docs, pairs).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 99: 99}

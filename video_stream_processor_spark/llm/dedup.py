@@ -542,3 +542,47 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         .select("doc_a", "doc_b", ham)
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def near_dup_clusters(
+    docs: DataFrame, pairs: DataFrame, max_iter: int = 20
+) -> DataFrame:
+    """(doc_id, cluster_id): connected components of the near-dup pair
+    graph — cluster_id = min doc_id in the component; singletons keep
+    their own id. The training-pipeline form of dedup: keep ONE doc per
+    cluster, not merely drop pair-members.
+
+    HashMin label propagation: each round every node takes the min
+    label among itself and its neighbors. Rounds = graph diameter —
+    tiny for near-dup clusters. Labels are MONOTONE non-increasing, so
+    sum(label) is a one-scalar convergence certificate per round (equal
+    sum <=> fixpoint); at 100 TB each round is one co-partitioned
+    node-key shuffle, the classic large-graph CC pattern (GraphX/
+    Pregel's HashMin) expressed in DataFrames.
+    """
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .unionByName(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+    ).localCheckpoint(eager=True)
+    prev_sum = labels.agg(F.sum("label")).first()[0]
+    for _ in range(max_iter):
+        prop = edges.join(labels, edges.src == labels.node).select(
+            F.col("dst").alias("node"), "label"
+        )
+        labels = (
+            labels.unionByName(prop)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).first()[0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

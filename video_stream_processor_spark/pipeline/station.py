@@ -88,7 +88,13 @@ def build_station_records(
         )
     valid = enriched.filter(~failed).filter(~unresolved)
 
-    ts = F.lit(run_ts.replace(tzinfo=None))
+    # A naive-datetime literal would be converted OS-locally (PySpark's
+    # TimestampType.toInternal uses time.mktime), shifting the frozen
+    # instant on non-UTC hosts; a string parsed by the session (pinned
+    # UTC in ensure_runtime_confs) is TZ-independent.
+    if run_ts.tzinfo is not None:
+        run_ts = run_ts.astimezone(dt.timezone.utc).replace(tzinfo=None)
+    ts = F.to_timestamp(F.lit(run_ts.strftime("%Y-%m-%d %H:%M:%S.%f")))
     plain, iso = scalar.dual_timestamp(ts)
     lang = scalar.language("title")
     code = scalar.language_code("title")

@@ -568,6 +568,54 @@ def llm_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_dedup_clusters",
+    survey_ids="L1,L2,J2",
+    oracle=f"""
+WITH RECURSIVE toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents
+), sh AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(
+           generate_series(1, len(t) - 1),
+           i -> t[i] || ' ' || t[i + 1]))) AS sh
+  FROM toks WHERE len(t) >= 2
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
+), dup_pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM sh a JOIN sh b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+  HAVING count(*) * 1.0 / (
+    (SELECT n_sh FROM sizes WHERE doc_id = a.doc_id)
+    + (SELECT n_sh FROM sizes WHERE doc_id = b.doc_id) - count(*)) >= 0.5
+), edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM dup_pairs
+  UNION ALL SELECT doc_b, doc_a FROM dup_pairs
+), walk(node, label) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, w.label FROM walk w JOIN edges e ON e.src = w.node
+)
+SELECT node AS doc_id, min(label) AS cluster_id FROM walk GROUP BY 1
+""",
+)
+def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1/L2 applied: connected components over the exact near-dup pair
+    graph — every doc labeled with the min doc_id of its dup cluster
+    (singletons keep their own id). Spark side: HashMin label
+    propagation, one co-partitioned shuffle per round; oracle side: the
+    same fixpoint as a DuckDB recursive CTE. An oracle-checked
+    ITERATIVE algorithm — the piece of a training-data dedup pipeline
+    that plain SQL engines struggle to scale."""
+    from ..llm.dedup import near_dup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5)
+    return near_dup_clusters(docs, pairs)
+
+
+@register(
     "llm_frame_sample",
     survey_ids="L5,U3,U1",
     oracle="""
