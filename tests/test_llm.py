@@ -15,6 +15,7 @@ from video_stream_processor_spark.io import load_table
 from video_stream_processor_spark.llm import (
     attach_payload,
     cosine_topk,
+    embedding_near_dup_pairs,
     extract_binary_features,
     ivf_topk,
     minhash_near_dup_pairs,
@@ -252,3 +253,19 @@ def test_near_dup_clusters_transitive(spark):
         for r in near_dup_clusters(docs, pairs).collect()
     }
     assert got == {10: 10, 20: 10, 30: 10, 99: 99}
+
+
+def test_srp_recall_vs_exact(spark, sf_dir):
+    """SRP-LSH candidates are a SUBSET of the exact cos>=0.4 pairs
+    (verification makes false positives impossible) with recall >= 0.6
+    at the 8x4 banding (theory: ~0.75 at cos 0.4, higher above)."""
+    from video_stream_processor_spark.llm.similarity import srp_near_dup_pairs
+
+    e = load_table(spark, sf_dir, "embeddings")
+    exact = {
+        (r.id_a, r.id_b)
+        for r in embedding_near_dup_pairs(e, threshold=0.4).collect()
+    }
+    srp = {(r.id_a, r.id_b) for r in srp_near_dup_pairs(e, threshold=0.4).collect()}
+    assert srp <= exact
+    assert len(srp & exact) / len(exact) >= 0.6

@@ -172,3 +172,105 @@ def ivf_topk(
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
     )
+
+
+SRP_PLANES = 32
+SRP_BANDS = 8
+SRP_DIM = 64
+
+
+def _srp_weights(n_planes: int = SRP_PLANES, dim: int = SRP_DIM) -> list[list[int]]:
+    """Deterministic hyperplanes: W[p][i] = first-md5-nibble('p|i') - 7,
+    an integer in [-7, 8]. Integer weights keep the projection a sum of
+    exact double products — the same left-to-right sum both engines
+    compute, so the sign (the LSH bit) is cross-engine stable."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}|{i}".encode()).hexdigest()[0], 16) - 7
+            for i in range(1, dim + 1)
+        ]
+        for p in range(n_planes)
+    ]
+
+
+def srp_signatures(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, v, sig): sign-random-projection signature as a 32-char
+    '0'/'1' string — SimHash for dense vectors. Map-side only: one
+    zip_with + aggregate per plane, no shuffle, no Python."""
+    e = embeddings.select("vec_id", _dvec("embedding").alias("v"))
+    bits = []
+    for w in _srp_weights():
+        warr = F.array(*[F.lit(float(x)) for x in w])
+        s = F.aggregate(
+            F.zip_with("v", warr, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
+    return e.select("vec_id", "v", F.concat(*bits).alias("sig"))
+
+
+def srp_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFrame:
+    """L2/L3 scale path for embeddings: SRP-LSH banding (8 bands x 4
+    planes) generates candidates, exact cosine verifies >= threshold.
+    P(band match) = (1 - theta/pi)^4 per band — tuned for this corpus's
+    moderate-similarity regime (max cos ~0.51; cos 0.4 pairs surface
+    with p ~ 0.75, near-dup-grade pairs with p ~ 1). Same shuffle shape
+    as the MinHash path: one (band, bucket) groupBy, candidates
+    broadcast for verification; the O(n^2) scan of
+    ``embedding_near_dup_pairs`` never runs."""
+    planes_per_band = SRP_PLANES // SRP_BANDS
+    sig = srp_signatures(embeddings)
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.substring("sig", b * planes_per_band + 1, planes_per_band).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(SRP_BANDS)
+        ]
+    )
+    banded = sig.select("vec_id", F.explode(band_cols).alias("bb")).select(
+        "vec_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    bucket_docs = (
+        banded.groupBy("band", "bucket")
+        .agg(F.sort_array(F.collect_set("vec_id")).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pair_expr = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.size("ds") - 1),
+            lambda i: F.transform(
+                F.sequence(i + 1, F.size("ds")),
+                lambda j: F.struct(
+                    F.get("ds", i - 1).alias("id_a"),
+                    F.get("ds", j - 1).alias("id_b"),
+                ),
+            ),
+        )
+    )
+    cand = (
+        bucket_docs.select(F.explode(pair_expr).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    vecs = embeddings.select("vec_id", _dvec("embedding").alias("v"))
+    step1 = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")).join(
+        F.broadcast(cand), "id_a"
+    )
+    return (
+        vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
+        .join(F.broadcast(step1), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -262,3 +262,36 @@ def join_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", F.col("asof_signup_src").alias("signup_event_id")
     )
+
+
+@register(
+    "join_salted_skew",
+    survey_ids="J2,A3",
+    oracle="""
+SELECT o.o_orderpriority AS priority,
+       count(*)          AS n_items,
+       round(sum(l.l_extendedprice), 2) AS gross
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY 1
+""",
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2 skew path THROUGH the correctness gate: lineitem⋈orders
+    executed with operators/salt.salted_join (deterministic salt on the
+    big side, small side exploded across salt values) — the oracle is
+    the plain join, proving salting is a pure physical rewrite. For the
+    pathological hot key AQE's runtime split can't fix."""
+    from ..operators.salt import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, o, on="l_orderkey", buckets=8)
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_extendedprice"), 2).alias("gross"),
+        )
+    )

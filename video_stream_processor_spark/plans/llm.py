@@ -616,6 +616,53 @@ def llm_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_srp_pairs",
+    survey_ids="L2,L3,J5",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bits AS (
+  SELECT vec_id, p,
+         CASE WHEN list_sum(list_transform(generate_series(1, 64),
+           i -> v[i] * (strpos('0123456789abcdef',
+                 substr(md5(CAST(p AS VARCHAR) || '|' || CAST(i AS VARCHAR)),
+                        1, 1)) - 8))) > 0
+         THEN '1' ELSE '0' END AS b
+  FROM e, (SELECT unnest(generate_series(0, 31)) AS p)
+), sig AS (
+  SELECT vec_id, string_agg(b, '' ORDER BY p) AS sig FROM bits GROUP BY 1
+), bands AS (
+  SELECT vec_id, bnd, substr(sig, bnd * 4 + 1, 4) AS bucket
+  FROM sig, (SELECT unnest(generate_series(0, 7)) AS bnd)
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM bands a JOIN bands b
+    ON a.bnd = b.bnd AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(cos, 6) AS cosine FROM (
+  SELECT id_a, id_b,
+         list_dot_product(x.v, y.v)
+           / (sqrt(list_dot_product(x.v, x.v))
+              * sqrt(list_dot_product(y.v, y.v))) AS cos
+  FROM cand JOIN e x ON id_a = x.vec_id JOIN e y ON id_b = y.vec_id
+)
+WHERE cos >= 0.4
+""",
+)
+def llm_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2/L3: sign-random-projection LSH over embeddings — md5-derived
+    integer hyperplanes make the signature, banding, candidate set and
+    cosine verification all replayable in DuckDB, so the approximate
+    ANN path itself is oracle-checked (the embedding analog of
+    llm_minhash_pairs_portable)."""
+    from ..llm.similarity import srp_near_dup_pairs
+
+    return srp_near_dup_pairs(
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+    )
+
+
+@register(
     "llm_frame_sample",
     survey_ids="L5,U3,U1",
     oracle="""
