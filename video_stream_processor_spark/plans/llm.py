@@ -663,6 +663,92 @@ def llm_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_stratified_sample",
+    survey_ids="L4,W1,P7",
+    oracle="""
+WITH ranked AS (
+  SELECT lang, doc_id, n_chars,
+         row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+           AS rk
+  FROM documents
+)
+SELECT lang, doc_id, n_chars FROM ranked WHERE rk <= 20
+""",
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: balanced corpus subsampling — EXACTLY 20 docs per language,
+    chosen by rank over a content-derived hash: deterministic,
+    engine-independent, rerun-stable (TABLESAMPLE / rand() can be
+    neither oracle-checked nor replayed). One window per stratum; at
+    100 TB the per-stratum sort is bounded by the quota via
+    rank-pushdown (WindowGroupLimit in the physical plan)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .drop("rk")
+    )
+
+
+@register(
+    "llm_sequence_packing",
+    survey_ids="L4,W4,F16",
+    oracle="""
+WITH toks AS (
+  SELECT source, doc_id,
+         len(list_filter(string_split(text, ' '), x -> x != '')) AS n_tok
+  FROM documents
+), packed AS (
+  SELECT source, doc_id, n_tok,
+         CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS UNBOUNDED PRECEDING) - n_tok) / 512) AS BIGINT) AS pack_id
+  FROM toks
+)
+SELECT source, pack_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+FROM packed
+GROUP BY 1, 2
+""",
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: sequence packing for pretraining — docs stream in doc_id
+    order per source and are assigned to consecutive ~512-token packs
+    by their running token count (pack = floor(prefix_sum/budget)).
+    One window per source partition, no Python; the reduce-side state
+    is a single running sum, so packing 100 TB is one sort-within-
+    partition pass."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit("")))
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = docs.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+    ).select(
+        "source",
+        "doc_id",
+        "n_tok",
+        F.floor((F.sum("n_tok").over(w) - F.col("n_tok")) / 512).alias("pack_id"),
+    )
+    return packed.groupBy("source", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("pack_tokens"),
+    )
+
+
+@register(
     "llm_frame_sample",
     survey_ids="L5,U3,U1",
     oracle="""
