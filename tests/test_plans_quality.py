@@ -81,3 +81,21 @@ def test_broadcast_in_minhash_semi_join(spark, sf_dir):
     (tiny candidate set), never shuffle the shingle table for it."""
     plan = plan_of(spark, sf_dir, "llm_minhash_pairs")
     assert "BroadcastHashJoin" in plan
+
+
+def test_stratified_sample_rank_pushdown(spark, sf_dir):
+    """L4/W1: the per-stratum quota bounds the sort BEFORE the window —
+    WindowGroupLimit (partial + final around the exchange) keeps the
+    100 TB per-language sort at quota size, not corpus size."""
+    plan = plan_of(spark, sf_dir, "llm_stratified_sample")
+    assert "WindowGroupLimit" in plan
+
+
+def test_srp_verification_broadcasts_candidates(spark, sf_dir):
+    """L2/L3: SRP-LSH exact-cosine verification joins the tiny candidate
+    table by broadcast — the embedding corpus must never sort-merge or
+    cartesian-join."""
+    plan = plan_of(spark, sf_dir, "llm_srp_pairs")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
