@@ -92,10 +92,11 @@ def test_stratified_sample_rank_pushdown(spark, sf_dir):
 
 
 def test_srp_verification_broadcasts_candidates(spark, sf_dir):
-    """L2/L3: SRP-LSH exact-cosine verification joins the tiny candidate
-    table by broadcast — the embedding corpus must never sort-merge or
-    cartesian-join."""
+    """L2/L3: the BARE candidate-pair table broadcasts in the SRP
+    verification; the vector-carrying join is deliberately left to AQE
+    (forcing broadcast there risks OOM on a hot LSH bucket at scale),
+    so an initial-plan SortMergeJoin is acceptable — but never a
+    cartesian product."""
     plan = plan_of(spark, sf_dir, "llm_srp_pairs")
     assert "BroadcastHashJoin" in plan
-    assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan

@@ -25,9 +25,9 @@ def _normalize_events(raw: DataFrame) -> DataFrame:
     under nanosAsLong. Expose ``ts`` as TimestampType (micros, floor —
     matches DuckDB epoch_us) and keep exact nanos as ``ts_ns``."""
     if dict(raw.dtypes).get("ts") != "bigint":
-        return raw.withColumn(
-            "ts_ns", (F.col("ts").cast("double") * F.lit(1e9)).cast("long")
-        )
+        # Exact integer path: unix_micros * 1000 — a double round-trip
+        # (cast(double) * 1e9) loses ~100s of ns at current epochs.
+        return raw.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
     return raw.withColumn("ts_ns", F.col("ts")).withColumn(
         "ts", F.timestamp_micros(F.expr("ts div 1000"))
     )

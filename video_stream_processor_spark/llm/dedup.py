@@ -293,9 +293,12 @@ def minhash_near_dup_pairs(
     step1 = arr.select(
         F.col("doc_id").alias("doc_a"), F.col("sh_arr").alias("set_a")
     ).join(F.broadcast(cand), "doc_a")
+    # Only the BARE pair table is force-broadcast; step1 carries full
+    # shingle arrays, and on a skewed corpus a hot bucket could make it
+    # non-broadcastable — let AQE pick the strategy from its actual size.
     verified = (
         arr.select(F.col("doc_id").alias("doc_b"), F.col("sh_arr").alias("set_b"))
-        .join(F.broadcast(step1), "doc_b")
+        .join(step1, "doc_b")
         .select(
             "doc_a",
             "doc_b",
@@ -571,6 +574,7 @@ def near_dup_clusters(
         F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
     ).localCheckpoint(eager=True)
     prev_sum = labels.agg(F.sum("label")).first()[0]
+    converged = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
@@ -583,6 +587,14 @@ def near_dup_clusters(
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # Silent non-convergence would return wrong cluster ids on
+        # long chain-shaped components (diameter > max_iter).
+        raise RuntimeError(
+            f"near_dup_clusters did not converge within max_iter={max_iter} "
+            "rounds (component diameter exceeds the budget); raise max_iter"
+        )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -264,9 +264,11 @@ def srp_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFra
     step1 = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")).join(
         F.broadcast(cand), "id_a"
     )
+    # step1 carries full vectors — don't force-broadcast it (hot-bucket
+    # skew could blow past the broadcast limit at scale); AQE picks.
     return (
         vecs.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb"))
-        .join(F.broadcast(step1), "id_b")
+        .join(step1, "id_b")
         .select(
             "id_a",
             "id_b",

@@ -160,14 +160,23 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         ),
     )
     tf = tok.groupBy("source", "token").agg(F.count(F.lit(1)).alias("tf"))
-    n_sources = docs.select("source").distinct().count()
+    # n_sources joins in as a broadcast 1-row aggregate — building this
+    # plan triggers ZERO jobs (an eager distinct().count() here would
+    # run a Spark job per plan build and break single-DAG laziness).
+    n_sources = docs.agg(
+        F.count_distinct("source").cast("double").alias("__n_sources")
+    )
     df_ = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    scored = tf.join(df_, "token").select(
-        "source",
-        "token",
-        F.round(F.col("tf") * F.log(F.lit(float(n_sources)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    scored = (
+        tf.join(df_, "token")
+        .crossJoin(F.broadcast(n_sources))
+        .select(
+            "source",
+            "token",
+            F.round(
+                F.col("tf") * F.log(F.col("__n_sources") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
     )
     w = Window.partitionBy("source").orderBy(F.desc("tfidf"), "token")
     return (

@@ -7,9 +7,14 @@ implementation uses the union–sort–fill trick instead:
 
 1. tag left and right rows, union them (no join, no blowup);
 2. one window sort per key on (ts, side, tiebreak);
-3. ``last(right_value, ignorenulls=True)`` over the unbounded-preceding
-   frame fills each left row with the most recent right row at-or-before
-   its timestamp (backward-inclusive, pandas ``merge_asof`` semantics);
+3. ``last(struct(right_ts, *right_cols), ignorenulls=True)`` over the
+   unbounded-preceding frame fills each left row with the most recent
+   right ROW at-or-before its timestamp (backward-inclusive, pandas
+   ``merge_asof`` semantics). Filling one struct — not one column at a
+   time — makes the match all-or-nothing per row: a matched right row's
+   legitimately-NULL value column stays NULL instead of inheriting an
+   older right row's value, and the output never mixes columns from
+   different right rows;
 4. keep only left rows.
 
 Cost: exactly one shuffle (hash by key) + per-partition sort — the same
@@ -25,6 +30,8 @@ from pyspark.sql import functions as F
 _SIDE = "__asof_is_left"
 _TS = "__asof_ts"
 _TIE = "__asof_tie"
+_PAY = "__asof_payload"
+_RTS = "__asof_rts"
 
 
 def asof_join(
@@ -36,17 +43,23 @@ def asof_join(
     right_cols: list[str] | None = None,
     right_tiebreak: str | None = None,
     prefix: str = "asof_",
+    ts_out: str | None = None,
 ) -> DataFrame:
     """Backward-inclusive as-of join: for every left row, attach the
     right row with the greatest ``right_ts <= left_ts`` per key.
 
     ``right_tiebreak``: column ordering simultaneous right rows (the
     greatest wins) — pass one for fully deterministic output.
-    Right columns are attached as ``{prefix}{col}`` (nulls if no match).
+    Right columns are attached as ``{prefix}{col}`` (nulls if no match);
+    the match is all-or-nothing per row (one struct fill, see module
+    doc). ``ts_out``: when set, also attach the matched right row's
+    timestamp under that name.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    if _RTS in right_cols:
+        raise ValueError(f"right_cols may not contain reserved name {_RTS!r}")
 
     lhs = left.select(
         "*",
@@ -64,7 +77,12 @@ def asof_join(
         F.lit(0).alias(_SIDE),
         F.col(right_ts).alias(_TS),
         tie.alias(_TIE),
-        *[F.col(c).alias(f"{prefix}{c}") for c in right_cols],
+        # One struct per right row: struct() is non-null even when every
+        # field is null, so last(ignorenulls) picks whole rows only.
+        F.struct(
+            F.col(right_ts).alias(_RTS),
+            *[F.col(c) for c in right_cols],
+        ).alias(_PAY),
     )
     merged = lhs.unionByName(rhs, allowMissingColumns=True)
 
@@ -76,16 +94,14 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = merged.select(
-        "*",
-        *[
-            F.last(F.col(f"{prefix}{c}"), ignorenulls=True).over(w).alias(f"__f_{c}")
-            for c in right_cols
-        ],
+        "*", F.last(F.col(_PAY), ignorenulls=True).over(w).alias("__f")
     )
     out = filled.filter(F.col(_SIDE) == 1)
     for c in right_cols:
-        out = out.drop(f"{prefix}{c}").withColumnRenamed(f"__f_{c}", f"{prefix}{c}")
-    return out.drop(_SIDE, _TS, _TIE)
+        out = out.withColumn(f"{prefix}{c}", F.col(f"__f.{c}"))
+    if ts_out is not None:
+        out = out.withColumn(ts_out, F.col(f"__f.{_RTS}"))
+    return out.drop(_SIDE, _TS, _TIE, _PAY, "__f")
 
 
 def asof_join_tolerance(
@@ -98,20 +114,22 @@ def asof_join_tolerance(
     **kwargs,
 ) -> DataFrame:
     """As-of join that also nulls matches older than ``left_ts - tolerance``
-    (pandas merge_asof ``tolerance=``). The match timestamp must be
-    reconstructable, so the right ts is always attached."""
+    (pandas merge_asof ``tolerance=``). Only the exact set of columns
+    this call attached is nulled for stale matches — pre-existing left
+    columns that happen to share the prefix are untouched."""
+    keys = [on] if isinstance(on, str) else list(on)
     right_cols = kwargs.pop("right_cols", None)
-    if right_cols is not None and right_ts not in right_cols:
-        right_cols = [*right_cols, right_ts]
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
     prefix = kwargs.get("prefix", "asof_")
+    matched_ts_col = "__asof_matched_ts"
     joined = asof_join(
         left, right, on, left_ts, right_ts,
-        right_cols=right_cols, **kwargs,
+        right_cols=right_cols, ts_out=matched_ts_col, **kwargs,
     )
-    matched_ts = F.col(f"{prefix}{right_ts}")
+    matched_ts = F.col(matched_ts_col)
     stale = matched_ts.isNotNull() & (matched_ts < F.col(left_ts) - tolerance)
     out = joined
-    for c in joined.columns:
-        if c.startswith(prefix):
-            out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
-    return out
+    for c in [f"{prefix}{rc}" for rc in right_cols]:
+        out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    return out.drop(matched_ts_col)

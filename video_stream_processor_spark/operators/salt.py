@@ -23,10 +23,17 @@ from pyspark.sql import functions as F
 
 
 def with_salt(df: DataFrame, key: str, buckets: int, salt_col: str = "_salt") -> DataFrame:
-    """Deterministic per-row salt derived from the whole row's hash —
-    uniform across a hot key's rows, stable across retries."""
+    """Per-row salt: hash of the join key mixed with a row-unique id, so
+    EXACT duplicate rows of a hot key still spread across buckets (a
+    row-content hash would collapse them into one). The id is not stable
+    across retries, but salt placement never affects results — the small
+    side is replicated to every bucket, so any assignment joins the
+    same rows."""
     return df.withColumn(
-        salt_col, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+        salt_col,
+        F.pmod(
+            F.xxhash64(F.col(key), F.monotonically_increasing_id()), F.lit(buckets)
+        ),
     )
 
 
@@ -46,7 +53,14 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join ``big ⋈ small`` on column ``on`` with the big side
     salted and the small side replicated; semantically identical to
-    ``big.join(small, on, how)`` for inner/left joins."""
+    ``big.join(small, on, how)`` for inner/left joins. Other join types
+    (right/full/anti) would break under small-side replication — every
+    small row appears ``buckets`` times — so they are rejected."""
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'); got {how!r} — "
+            "replicating the small side breaks right/full/anti semantics"
+        )
     salted_big = with_salt(big, on, buckets)
     salted_small = replicate_salts(small, buckets)
     joined = salted_big.join(salted_small, [on, "_salt"], how)

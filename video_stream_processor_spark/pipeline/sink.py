@@ -27,10 +27,27 @@ class SinkVerificationError(RuntimeError):
     pass
 
 
-def write_json_array(df: DataFrame, path: str, verify: bool = True) -> int:
+def write_json_array(
+    df: DataFrame, path: str, verify: bool = True, max_rows: int = 10_000
+) -> int:
     """S6: single JSON array file, UTF-8, ensure_ascii=False, overwrite;
-    verify exists & non-empty after write (:346-350). Returns count."""
-    records = [row.asDict(recursive=True) for row in df.collect()]
+    verify exists & non-empty after write (:346-350). Returns count.
+
+    Driver-side by construction (the reference writes ~11 records) —
+    guarded so misuse on a big DataFrame fails loudly instead of
+    collecting it into driver memory. Use ``write_partitioned`` for
+    anything larger."""
+    # limit(max_rows + 1) bounds the collect itself: the guard never
+    # pulls more than max_rows + 1 rows onto the driver.
+    records = [
+        row.asDict(recursive=True) for row in df.limit(max_rows + 1).collect()
+    ]
+    if len(records) > max_rows:
+        raise ValueError(
+            f"write_json_array is a single-file driver-side sink capped at "
+            f"{max_rows} rows; this DataFrame has more — use "
+            "write_partitioned for large outputs"
+        )
     d = os.path.dirname(os.path.abspath(path)) or "."
     os.makedirs(d, exist_ok=True)
     fd, tmp = tempfile.mkstemp(dir=d, suffix=".json.tmp")

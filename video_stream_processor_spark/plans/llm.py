@@ -231,6 +231,7 @@ def llm_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH e AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE vec_id < 1000
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
        round(list_dot_product(a.v, b.v)
@@ -244,9 +245,12 @@ WHERE list_dot_product(a.v, b.v)
 )
 def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L2: embedding-cosine near-dup pairs (cos >= 0.4 — the corpus max
-    is ~0.51). Exact all-pairs ground truth; IVF/LSH prune at scale."""
+    is ~0.51). Exact all-pairs GROUND TRUTH, so the registration caps
+    the quadratic scan at max_id=1000 vectors (covers all of sf0.01;
+    the filter sits before the crossJoin in the plan) — llm_srp_pairs
+    is the uncapped scale path."""
     return embedding_near_dup_pairs(
-        load_table(spark, sf_dir, "embeddings"), threshold=0.4
+        load_table(spark, sf_dir, "embeddings"), threshold=0.4, max_id=1000
     )
 
 
