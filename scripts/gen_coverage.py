@@ -40,7 +40,7 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "S5": ["sources/extractor.py YtDlpExtractor._extract_fallback (chain)"],
     "S6": ["pipeline/sink.write_json_array", "tests/test_station.py::test_station_pipeline_batch"],
     "S7": ["pipeline/sink.foreach_batch_overwrite (checkpointed overwrite-by-batch)"],
-    "S8": ["pipeline/sink (exceptAll change detection)", "set_intersect_except query (O7 form)"],
+    "S8": ["pipeline/sink (exceptAll change detection)", "set_ops_suite query (O7 form)"],
     "S9": ["io.load_table — every registered query scans parquet"],
     "S10": ["pipeline/sink round-trip read", "tests/test_station.py"],
     "S11": ["io.load_events_stream", "tests/test_streaming.py"],

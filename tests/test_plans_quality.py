@@ -14,10 +14,15 @@ import io
 import pytest
 
 from video_stream_processor_spark.plans import all_specs
+from video_stream_processor_spark.plans.relational import scan_filter_project
 
 
 def plan_of(spark, sf_dir, name: str) -> str:
     df = all_specs()[name].builder(spark, sf_dir)
+    return plan_text(df)
+
+
+def plan_text(df) -> str:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -25,8 +30,10 @@ def plan_of(spark, sf_dir, name: str) -> str:
 
 
 def test_scan_pushdown_and_pruning(spark, sf_dir):
-    """P7: filters reach the parquet scan; projection prunes columns."""
-    plan = plan_of(spark, sf_dir, "scan_filter_project")
+    """P7: filters reach the parquet scan; projection prunes columns.
+    (scan_filter_project is unregistered — S9/P7 driver evidence rides
+    q1 — but the pushdown plan shape stays guarded here.)"""
+    plan = plan_text(scan_filter_project(spark, sf_dir))
     assert "PushedFilters: [" in plan
     # at least one real pushed predicate, not just the empty list
     assert "PushedFilters: []" not in plan.split("PushedFilters:", 1)[1][:200]
@@ -78,16 +85,21 @@ def test_no_cartesian_outside_theta_queries(spark, sf_dir):
 
 def test_broadcast_in_minhash_semi_join(spark, sf_dir):
     """The candidate-doc semi-join in the MinHash path must broadcast
-    (tiny candidate set), never shuffle the shingle table for it."""
-    plan = plan_of(spark, sf_dir, "llm_minhash_pairs")
-    assert "BroadcastHashJoin" in plan
+    (tiny candidate set), never shuffle the shingle table for it.
+    (xxhash64 production path — bench-only, unregistered.)"""
+    from video_stream_processor_spark.io import load_table
+    from video_stream_processor_spark.llm.dedup import minhash_near_dup_pairs
+
+    df = minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
+    assert "BroadcastHashJoin" in plan_text(df)
 
 
 def test_stratified_sample_rank_pushdown(spark, sf_dir):
     """L4/W1: the per-stratum quota bounds the sort BEFORE the window —
     WindowGroupLimit (partial + final around the exchange) keeps the
-    100 TB per-language sort at quota size, not corpus size."""
-    plan = plan_of(spark, sf_dir, "llm_stratified_sample")
+    100 TB per-language sort at quota size, not corpus size. (The
+    stratified leg lives inside llm_sampling_suite now.)"""
+    plan = plan_of(spark, sf_dir, "llm_sampling_suite")
     assert "WindowGroupLimit" in plan
 
 

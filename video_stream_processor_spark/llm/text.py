@@ -61,9 +61,15 @@ def quality_columns() -> dict[str, Column]:
 
 def text_quality_by_lang(docs: DataFrame) -> DataFrame:
     """L4: corpus quality profile per lang — the filter basis a
-    training-data pipeline thresholds on."""
+    training-data pipeline thresholds on — plus the BPE-ish
+    pre-tokenizer budget columns (how many tokens each stratum
+    contributes to a training mix). One narrow per-doc pass + one
+    small groupBy."""
     q = quality_columns()
-    per_doc = docs.select("lang", *[v.alias(k) for k, v in q.items()])
+    n_bpe = F.regexp_count(F.col("text"), F.lit(BPE_TOKEN_RE))
+    per_doc = docs.select(
+        "lang", *[v.alias(k) for k, v in q.items()], n_bpe.alias("n_bpe")
+    )
     return per_doc.groupBy("lang").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.round(F.avg("n_chars"), 6).alias("avg_chars"),
@@ -71,6 +77,10 @@ def text_quality_by_lang(docs: DataFrame) -> DataFrame:
         F.round(F.avg("n_distinct_tokens"), 6).alias("avg_distinct_tokens"),
         F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
         F.round(F.avg("avg_token_len"), 6).alias("avg_token_len"),
+        F.sum("n_bpe").alias("total_bpe_tokens"),
+        F.min("n_bpe").alias("min_bpe"),
+        F.max("n_bpe").alias("max_bpe"),
+        F.round(F.avg("n_bpe"), 6).alias("avg_bpe"),
     )
 
 

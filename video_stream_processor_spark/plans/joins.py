@@ -22,106 +22,96 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 @register(
-    "join_left_outer",
+    "join_outer_suite",
     survey_ids="J3,P6,A3",
     oracle="""
-SELECT
-  c.c_custkey                                 AS custkey,
-  c.c_mktsegment                              AS segment,
-  count(o.o_orderkey)                         AS n_orders,
-  round(coalesce(sum(o.o_totalprice), 0), 2)  AS total_spend
+SELECT 'left' AS part,
+       c.c_custkey AS key,
+       c.c_mktsegment AS attr,
+       count(o.o_orderkey) AS n1,
+       NULL::BIGINT AS n2,
+       round(coalesce(sum(o.o_totalprice), 0), 2) AS val
 FROM customer c
 LEFT JOIN orders o ON c.c_custkey = o.o_custkey
-GROUP BY 1, 2
-""",
-)
-def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left outer + null-safe defaulting: order-less customers survive
-    with n_orders=0 (the J1 `.get(default)` idiom generalized — P6)."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left")
-        .groupBy(
-            F.col("c_custkey").alias("custkey"),
-            F.col("c_mktsegment").alias("segment"),
-        )
-        .agg(
-            F.count("o_orderkey").alias("n_orders"),
-            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
-                "total_spend"
-            ),
-        )
-    )
-
-
-@register(
-    "join_full_outer",
-    survey_ids="J3,A3,P6",
-    oracle="""
-SELECT
-  coalesce(cn.nk, sn.nk)   AS nationkey,
-  coalesce(cn.n_cust, 0)   AS n_cust,
-  coalesce(sn.n_supp, 0)   AS n_supp
+GROUP BY 2, 3
+UNION ALL
+SELECT 'full',
+       coalesce(cn.nk, sn.nk),
+       NULL::VARCHAR,
+       coalesce(cn.n_cust, 0),
+       coalesce(sn.n_supp, 0),
+       NULL::DOUBLE
 FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) cn
 FULL JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) sn
   ON cn.nk = sn.nk
 """,
 )
-def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full outer over pre-aggregated sides — aggregate-before-join keeps
-    the outer join input tiny regardless of base-table scale."""
-    c = (
+def join_outer_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer joins (J3), both shapes in one labeled result:
+
+    * left outer + null-safe defaulting (P6): order-less customers
+      survive with n_orders=0 — the J1 `.get(default)` idiom
+      generalized;
+    * full outer over PRE-AGGREGATED sides — aggregate-before-join
+      keeps the outer-join input tiny regardless of base-table scale.
+    """
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    left_leg = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy(
+            F.col("c_custkey").alias("key"),
+            F.col("c_mktsegment").alias("attr"),
+        )
+        .agg(
+            F.count("o_orderkey").alias("n1"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("val"),
+        )
+        .select(
+            F.lit("left").alias("part"),
+            "key",
+            "attr",
+            "n1",
+            F.lit(None).cast("long").alias("n2"),
+            "val",
+        )
+    )
+    cn = (
         _t(spark, sf_dir, "customer")
         .groupBy(F.col("c_nationkey").alias("nk"))
         .agg(F.count(F.lit(1)).alias("n_cust"))
     )
-    s = (
+    sn = (
         _t(spark, sf_dir, "supplier")
         .groupBy(F.col("s_nationkey").alias("snk"))
         .agg(F.count(F.lit(1)).alias("n_supp"))
     )
-    return (
-        c.join(s, c.nk == s.snk, "full")
+    full_leg = (
+        cn.join(sn, cn.nk == sn.snk, "full")
         .select(
-            F.coalesce(F.col("nk"), F.col("snk")).alias("nationkey"),
-            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n_cust"),
-            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n_supp"),
+            F.lit("full").alias("part"),
+            F.coalesce(F.col("nk"), F.col("snk")).cast("long").alias("key"),
+            F.lit(None).cast("string").alias("attr"),
+            F.coalesce(F.col("n_cust"), F.lit(0)).alias("n1"),
+            F.coalesce(F.col("n_supp"), F.lit(0)).alias("n2"),
+            F.lit(None).cast("double").alias("val"),
         )
     )
+    return left_leg.unionByName(full_leg)
 
 
 @register(
-    "join_semi",
+    "join_semi_anti",
     survey_ids="J4",
     oracle="""
-SELECT c.c_custkey AS custkey, c.c_name AS name
+SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment, 'has_urgent' AS bucket
 FROM customer c
 WHERE EXISTS (
   SELECT 1 FROM orders o
   WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
 )
-""",
-)
-def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left semi = EXISTS. No right-side columns ever materialize, so
-    the probe side streams — the membership-test analog of the
-    reference's stopword check (video_processor.py:223)."""
-    c = _t(spark, sf_dir, "customer")
-    urgent = _t(spark, sf_dir, "orders").filter(
-        F.col("o_orderpriority") == "1-URGENT"
-    )
-    return (
-        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi")
-        .select(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
-    )
-
-
-@register(
-    "join_anti",
-    survey_ids="J4",
-    oracle="""
-SELECT c.c_custkey AS custkey, c.c_mktsegment AS segment
+UNION ALL
+SELECT c.c_custkey, c.c_mktsegment, 'no_urgent'
 FROM customer c
 WHERE NOT EXISTS (
   SELECT 1 FROM orders o
@@ -129,20 +119,27 @@ WHERE NOT EXISTS (
 )
 """,
 )
-def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Left anti = NOT EXISTS (customers with no urgent order — every
-    customer has *some* order in this data, so the urgent predicate
-    keeps the anti set non-trivial)."""
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left semi (= EXISTS) and left anti (= NOT EXISTS) over the same
+    membership predicate, labeled — every customer lands in exactly one
+    bucket. No right-side columns ever materialize, so the probe side
+    streams: the membership-test analog of the reference's stopword
+    check (video_processor.py:223). The urgent predicate keeps the anti
+    set non-trivial (every customer has *some* order in this data)."""
     c = _t(spark, sf_dir, "customer")
-    o = (
+    urgent = (
         _t(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_custkey")
     )
-    return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
-        .select(F.col("c_custkey").alias("custkey"), F.col("c_mktsegment").alias("segment"))
+    base = lambda df, tag: df.select(  # noqa: E731
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_mktsegment").alias("segment"),
+        F.lit(tag).alias("bucket"),
     )
+    semi = base(c.join(urgent, c.c_custkey == urgent.o_custkey, "left_semi"), "has_urgent")
+    anti = base(c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti"), "no_urgent")
+    return semi.unionByName(anti)
 
 
 @register(
@@ -262,6 +259,66 @@ def join_asof_signup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id", F.col("asof_signup_src").alias("signup_event_id")
     )
+
+
+@register(
+    "join_asof_tolerance",
+    survey_ids="J7,W3",
+    oracle="""
+WITH u AS (
+  SELECT user_id, epoch_ns(ts) AS tsn, event_id, NULL::BIGINT AS signup_id, 1 AS is_left
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, epoch_ns(ts), NULL, event_id, 0
+  FROM events WHERE event_type = 'signup'
+), f AS (
+  SELECT event_id, is_left, tsn,
+         last_value(signup_id IGNORE NULLS) OVER w AS sig_id,
+         last_value(CASE WHEN is_left = 0 THEN tsn END IGNORE NULLS) OVER w
+           AS sig_tsn
+  FROM u
+  WINDOW w AS (
+    PARTITION BY user_id
+    ORDER BY tsn ASC, is_left ASC, coalesce(signup_id, -1) ASC
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+  )
+)
+SELECT event_id,
+       CASE WHEN sig_tsn >= tsn - 604800000000000 THEN sig_id END
+         AS signup_event_id
+FROM f WHERE is_left = 1
+""",
+)
+def join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a staleness bound (pandas merge_asof
+    ``tolerance=``): each purchase gets its user's latest at-or-before
+    signup ONLY if that signup is within 7 days — older matches are
+    nulled (1740 of 1791 matches survive at sf0.01; 51 null out). Same
+    union–sort–fill plan as join_asof_signup plus one post-fill
+    conditional — no extra shuffle. The oracle fills the matched
+    signup's id and timestamp in the same window (signup rows never
+    carry NULLs, so per-column fill equals the struct fill) and applies
+    the identical staleness predicate."""
+    from ..operators.asof import asof_join_tolerance
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ns"
+    )
+    signups = ev.filter(F.col("event_type") == "signup").select(
+        F.col("user_id"), F.col("ts_ns"), F.col("event_id").alias("signup_src")
+    )
+    joined = asof_join_tolerance(
+        purchases,
+        signups,
+        on="user_id",
+        tolerance=F.lit(7 * 86_400_000_000_000),
+        left_ts="ts_ns",
+        right_ts="ts_ns",
+        right_cols=["signup_src"],
+        right_tiebreak="signup_src",
+    )
+    return joined.select("event_id", F.col("asof_signup_src").alias("signup_event_id"))
 
 
 @register(

@@ -21,17 +21,12 @@ from ..llm import (
     attach_payload,
     canonical_dedup_groups,
     cosine_topk,
-    doc_fingerprints,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     extract_binary_features,
     ivf_topk,
-    langid_confusion,
-    minhash_near_dup_pairs,
     ngram_jaccard_pairs,
-    simhash_near_dup_pairs,
     text_quality_by_lang,
-    token_counts_by_source,
 )
 from .base import register
 
@@ -39,44 +34,58 @@ _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
 
 
 @register(
-    "llm_dedup_exact",
-    survey_ids="L1,A3",
+    "llm_dedup_groups",
+    survey_ids="L1,A3,F6,F7",
     oracle=f"""
-SELECT sha256(text) AS content_hash,
+SELECT 'exact' AS method,
+       sha256(text) AS group_hash,
        min(doc_id) AS survivor_id,
        count(*) AS n_copies
 FROM documents
-GROUP BY 1
-""",
-)
-def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1: exact content dedup via sha256(text); deterministic survivor
-    = min doc_id. One map-side hash + one shuffle at any scale."""
-    return exact_dedup_groups(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "llm_dedup_canonical",
-    survey_ids="L1,F6,F7",
-    oracle=f"""
-SELECT sha256(array_to_string(list_sort(list_distinct({_TOKS})), ' '))
-         AS canon_hash,
-       min(doc_id) AS survivor_id,
-       count(*) AS n_copies
+GROUP BY 2
+UNION ALL
+SELECT 'canonical',
+       sha256(array_to_string(list_sort(list_distinct({_TOKS})), ' ')),
+       min(doc_id),
+       count(*)
 FROM documents
-GROUP BY 1
+GROUP BY 2
 HAVING count(*) > 1
 """,
 )
-def llm_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L1+: dedup on the sorted distinct token set — catches reordered
-    copies (21 planted groups at sf0.01) while staying one hash-agg."""
-    return canonical_dedup_groups(load_table(spark, sf_dir, "documents"))
+def llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L1 exact-dedup, both hash keys in one labeled result:
+
+    * 'exact': sha256 of the raw text; deterministic survivor = min
+      doc_id. One map-side hash + one shuffle at any scale.
+    * 'canonical': sha256 of the sorted distinct token set — catches
+      reordered copies (21 planted groups at sf0.01) while staying one
+      hash-agg (only the duplicate groups are emitted for this leg).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    exact = exact_dedup_groups(docs).select(
+        F.lit("exact").alias("method"),
+        F.col("content_hash").alias("group_hash"),
+        "survivor_id",
+        "n_copies",
+    )
+    canon = canonical_dedup_groups(docs).select(
+        F.lit("canonical").alias("method"),
+        F.col("canon_hash").alias("group_hash"),
+        "survivor_id",
+        "n_copies",
+    )
+    return exact.unionByName(canon)
 
 
+# The xxhash64 production variants (minhash_near_dup_pairs,
+# simhash_near_dup_pairs) are NOT registered — xxhash64 has no DuckDB
+# twin, so a registry entry would be a rows-only check carrying no
+# oracle evidence. They stay the bench/scale path (bench.py) and their
+# equivalence to the portable md5 family is pinned in tests/test_llm.py.
 @register(
-    "llm_ngram_jaccard_pairs",
-    survey_ids="L2,J2,A3",
+    "llm_near_dup_pairs",
+    survey_ids="L2,J2,A3,U3",
     oracle=f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents
@@ -88,106 +97,36 @@ WITH toks AS (
   FROM toks WHERE len(t) >= 2
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-), pairs AS (
+), ngram_pairs AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
   FROM sh a JOIN sh b USING (sh)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       round(common * 1.0 / (x.n_sh + y.n_sh - common), 6) AS jaccard
-FROM pairs
-JOIN sizes x ON doc_a = x.doc_id
-JOIN sizes y ON doc_b = y.doc_id
-WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
-""",
-)
-def llm_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 ground truth: bigram-shingle Jaccard >= 0.5 pairs via shingle
-    explode + self-join (the exact verifier behind the LSH paths)."""
-    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
-
-
-@register("llm_minhash_pairs", survey_ids="L2,U3")
-def llm_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 scale path: MinHash(32) + LSH(8 bands x 4) candidates, exact-
-    Jaccard verified >= 0.5. Rows-only driver check (xxhash64 has no
-    DuckDB twin); recall vs llm_ngram_jaccard_pairs pinned in tests."""
-    return minhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), threshold=0.5)
-
-
-@register(
-    "llm_minhash_pairs_portable",
-    survey_ids="L2,U3,J2",
-    oracle=f"""
-WITH toks AS (
-  SELECT doc_id, {_TOKS} AS t FROM documents
-), sh AS (
-  SELECT doc_id,
-         unnest(list_distinct(list_transform(
-           generate_series(1, len(t) - 1),
-           i -> t[i] || ' ' || t[i + 1]))) AS sh
-  FROM toks WHERE len(t) >= 2
 ), seeds AS (
   SELECT unnest(generate_series(0, 31)) AS seed
 ), mh AS (
   SELECT doc_id, seed,
          min(md5(CAST(seed AS VARCHAR) || '|' || sh)) AS mh
   FROM sh, seeds GROUP BY doc_id, seed
-), sig AS (
+), msig AS (
   SELECT doc_id, list(mh ORDER BY seed) AS sig FROM mh GROUP BY doc_id
 ), bandids AS (
   SELECT unnest(generate_series(0, 7)) AS b
 ), bands AS (
   SELECT doc_id, b,
          md5(array_to_string(sig[b * 4 + 1 : b * 4 + 4], ',')) AS bucket
-  FROM sig, bandids
+  FROM msig, bandids
 ), cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
   FROM bands a JOIN bands c
     ON a.b = c.b AND a.bucket = c.bucket AND a.doc_id < c.doc_id
-), sizes AS (
-  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY 1
-), pairs AS (
+), mh_pairs AS (
   SELECT cand.doc_a, cand.doc_b, count(*) AS common
   FROM cand
   JOIN sh sa ON sa.doc_id = cand.doc_a
   JOIN sh sb ON sb.doc_id = cand.doc_b AND sb.sh = sa.sh
   GROUP BY 1, 2
-)
-SELECT doc_a, doc_b,
-       round(common * 1.0 / (x.n_sh + y.n_sh - common), 6) AS jaccard
-FROM pairs
-JOIN sizes x ON doc_a = x.doc_id
-JOIN sizes y ON doc_b = y.doc_id
-WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
-""",
-)
-def llm_minhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: md5-hash-family MinHash+LSH — the full approximate pipeline
-    (signatures, banding, bucket pairs, exact verification) replayed
-    step-for-step by the DuckDB oracle. Proves the LSH machinery, not
-    just its ground truth."""
-    from ..llm.dedup import minhash_near_dup_pairs_portable
-
-    return minhash_near_dup_pairs_portable(
-        load_table(spark, sf_dir, "documents"), threshold=0.5
-    )
-
-
-@register("llm_simhash_pairs", survey_ids="L2")
-def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: 64-bit SimHash pairs at Hamming <= 3 with pigeonhole chunk
-    blocking (4 x 16-bit). Rows-only driver check (xxhash64 bits);
-    ``llm_simhash_pairs_portable`` oracle-checks the same machinery."""
-    return simhash_near_dup_pairs(load_table(spark, sf_dir, "documents"), max_hamming=3)
-
-
-@register(
-    "llm_simhash_pairs_portable",
-    survey_ids="L2",
-    oracle=f"""
-WITH tc AS (
+), tc AS (
   SELECT doc_id, tok, count(*) AS cnt FROM (
     SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
   ) GROUP BY 1, 2
@@ -200,29 +139,75 @@ WITH tc AS (
              THEN cnt ELSE -cnt END) AS s
   FROM tc, (SELECT unnest(generate_series(0, 63)) AS j)
   GROUP BY 1, 2
-), sig AS (
+), ssig AS (
   SELECT doc_id,
          string_agg(CASE WHEN s > 0 THEN '1' ELSE '0' END, '' ORDER BY j) AS sh
   FROM bits GROUP BY 1
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+SELECT 'ngram_jaccard' AS method, doc_a, doc_b,
+       round(common * 1.0 / (x.n_sh + y.n_sh - common), 6) AS score
+FROM ngram_pairs
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+UNION ALL
+SELECT 'minhash_lsh', doc_a, doc_b,
+       round(common * 1.0 / (x.n_sh + y.n_sh - common), 6)
+FROM mh_pairs
+JOIN sizes x ON doc_a = x.doc_id
+JOIN sizes y ON doc_b = y.doc_id
+WHERE common * 1.0 / (x.n_sh + y.n_sh - common) >= 0.5
+UNION ALL
+SELECT 'simhash', a.doc_id, b.doc_id,
        CAST(list_sum(list_transform(generate_series(1, 64),
-         i -> CASE WHEN a.sh[i] != b.sh[i] THEN 1 ELSE 0 END)) AS INT) AS hamming
-FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+         i -> CASE WHEN a.sh[i] != b.sh[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+FROM ssig a JOIN ssig b ON a.doc_id < b.doc_id
 WHERE list_sum(list_transform(generate_series(1, 64),
         i -> CASE WHEN a.sh[i] != b.sh[i] THEN 1 ELSE 0 END)) <= 3
 """,
 )
-def llm_simhash_pairs_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2: md5-bit SimHash pairs at Hamming <= 3 — the DuckDB oracle
-    does the quadratic scan, and pigeonhole blocking (Hamming <= 3 over
-    4 chunks forces a shared chunk) makes the blocked Spark output
-    EQUAL to it, so the approximate path itself is oracle-checked."""
-    from ..llm.dedup import simhash_near_dup_pairs_portable
+def llm_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 near-duplicate pair detection — the exact ground truth AND
+    both approximate families in one labeled result, every leg
+    replayed step-for-step by the DuckDB oracle:
 
-    return simhash_near_dup_pairs_portable(
-        load_table(spark, sf_dir, "documents"), max_hamming=3
+    * 'ngram_jaccard': bigram-shingle Jaccard >= 0.5 via shingle
+      explode + self-join — the exact verifier the LSH paths are
+      judged against;
+    * 'minhash_lsh': md5-hash-family MinHash(32) + LSH(8 bands x 4)
+      candidates, exact-Jaccard verified — signatures, banding, bucket
+      pair-gen and verification all oracle-replayed (the xxhash64
+      production twin in llm/dedup.py is bench-only);
+    * 'simhash': md5-bit 64-bit SimHash at Hamming <= 3 with pigeonhole
+      chunk blocking (4 x 16-bit: distance <= 3 forces a shared chunk,
+      so the blocked output EQUALS the oracle's quadratic scan; score =
+      Hamming distance as double).
+    """
+    from ..llm.dedup import (
+        minhash_near_dup_pairs_portable,
+        simhash_near_dup_pairs_portable,
     )
+
+    docs = load_table(spark, sf_dir, "documents")
+    ngram = ngram_jaccard_pairs(docs, threshold=0.5).select(
+        F.lit("ngram_jaccard").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    mh = minhash_near_dup_pairs_portable(docs, threshold=0.5).select(
+        F.lit("minhash_lsh").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    simh = simhash_near_dup_pairs_portable(docs, max_hamming=3).select(
+        F.lit("simhash").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return ngram.unionByName(mh).unionByName(simh)
 
 
 @register(
@@ -336,7 +321,7 @@ def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_text_quality",
-    survey_ids="L4,A3",
+    survey_ids="L4,A3,F6",
     oracle=f"""
 WITH per_doc AS (
   SELECT lang,
@@ -347,7 +332,9 @@ WITH per_doc AS (
              x -> x IN ('the','a','of','and','to','in'))) * 1.0
            / len({_TOKS}) AS stopword_ratio,
          (length(text) - (len({_TOKS}) - 1)) * 1.0
-           / len({_TOKS}) AS avg_token_len
+           / len({_TOKS}) AS avg_token_len,
+         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+           AS n_bpe
   FROM documents
 )
 SELECT lang, count(*) AS n_docs,
@@ -355,96 +342,77 @@ SELECT lang, count(*) AS n_docs,
        round(avg(n_tokens), 6) AS avg_tokens,
        round(avg(n_distinct_tokens), 6) AS avg_distinct_tokens,
        round(avg(stopword_ratio), 6) AS avg_stopword_ratio,
-       round(avg(avg_token_len), 6) AS avg_token_len
+       round(avg(avg_token_len), 6) AS avg_token_len,
+       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
+       min(n_bpe) AS min_bpe,
+       max(n_bpe) AS max_bpe,
+       round(avg(n_bpe), 6) AS avg_bpe
 FROM per_doc GROUP BY lang
 """,
 )
 def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: quality-scoring profile per lang (length / diversity /
-    stopword ratios) — the thresholds a data pipeline filters on."""
+    stopword ratios — the thresholds a data pipeline filters on) plus
+    the BPE-ish pre-tokenizer token budget per stratum (F6), one
+    per-doc pass + one small groupBy."""
     return text_quality_by_lang(load_table(spark, sf_dir, "documents"))
 
 
 @register(
-    "llm_token_counts",
-    survey_ids="L4,F6",
-    oracle="""
-WITH per_doc AS (
-  SELECT source,
-         len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
-           AS n_bpe
-  FROM documents
-)
-SELECT source, count(*) AS n_docs,
-       CAST(sum(n_bpe) AS BIGINT) AS total_bpe_tokens,
-       min(n_bpe) AS min_bpe,
-       max(n_bpe) AS max_bpe,
-       round(avg(n_bpe), 6) AS avg_bpe
-FROM per_doc GROUP BY source
-""",
-)
-def llm_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: BPE-ish pre-tokenizer counts per source (token budgeting)."""
-    return token_counts_by_source(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "llm_langid",
-    survey_ids="L4,F9",
+    "llm_doc_annotations",
+    survey_ids="L4,F9,F10",
     oracle=f"""
 WITH scored AS (
-  SELECT lang,
+  SELECT doc_id, lang, text,
          len(list_filter({_TOKS}, x -> x IN ('the','a','and','of'))) AS s_en,
          len(list_filter({_TOKS}, x -> x IN ('der','die','und','nicht'))) AS s_de,
          len(list_filter({_TOKS}, x -> x IN ('el','la','que','los'))) AS s_es,
          len(list_filter({_TOKS}, x -> x IN ('le','la','et','les'))) AS s_fr,
          0 AS s_zh
   FROM documents
-), pred AS (
-  SELECT lang,
-         CASE
-           WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
-           WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
-           WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
-           WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
-           WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh)
-                AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
-           ELSE 'und'
-         END AS predicted
-  FROM scored
 )
-SELECT lang, predicted, count(*) AS n_docs
-FROM pred GROUP BY 1, 2
-""",
-)
-def llm_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4 (F9 generalized): marker-token language ID with fixed
-    priority tie-break; labeled x predicted confusion counts."""
-    return langid_confusion(load_table(spark, sf_dir, "documents"))
-
-
-@register(
-    "llm_fingerprints",
-    survey_ids="L4,F10",
-    oracle=f"""
-SELECT doc_id,
+SELECT doc_id, lang,
+       CASE
+         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
+              AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh)
+              AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
+         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh)
+              AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
+         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh)
+              AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
+         WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh)
+              AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
+         ELSE 'und'
+       END AS predicted,
        list_reduce(
          list_prepend(CAST(0 AS BIGINT),
            list_transform({_TOKS},
              x -> CAST(length(x) * 31 + ascii(x) AS BIGINT))),
          (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint,
        length(text) AS n_chars
-FROM documents
+FROM scored
 """,
 )
-def llm_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: order-sensitive polynomial rolling-hash fingerprint per doc
-    — pure integer Column arithmetic (codegen'd, no UDF)."""
-    return doc_fingerprints(load_table(spark, sf_dir, "documents"))
+def llm_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 per-doc annotation pass, one narrow projection producing:
+
+    * F9: marker-token language prediction with fixed priority
+      tie-break (labeled lang kept beside it — the grouped confusion
+      matrix is one groupBy away);
+    * F10: order-sensitive polynomial rolling-hash fingerprint — pure
+      integer Column arithmetic (codegen'd, no UDF).
+    """
+    from ..llm.text import fingerprint_col, predicted_lang
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        predicted_lang().alias("predicted"),
+        fingerprint_col().alias("fingerprint"),
+        F.length("text").alias("n_chars"),
+    )
 
 
 @register(
@@ -667,8 +635,8 @@ def llm_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "llm_stratified_sample",
-    survey_ids="L4,W1,P7",
+    "llm_sampling_suite",
+    survey_ids="L4,W1,L1,A3,P7",
     oracle="""
 WITH ranked AS (
   SELECT lang, doc_id, n_chars,
@@ -676,27 +644,63 @@ WITH ranked AS (
            AS rk
   FROM documents
 )
-SELECT lang, doc_id, n_chars FROM ranked WHERE rk <= 20
+SELECT 'stratified' AS method, lang AS k,
+       doc_id, n_chars AS n, NULL::BIGINT AS extra
+FROM ranked WHERE rk <= 20
+UNION ALL
+SELECT 'hash', source, NULL::BIGINT, count(*), CAST(min(doc_id) AS BIGINT)
+FROM documents
+WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
+GROUP BY source
 """,
 )
-def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: balanced corpus subsampling — EXACTLY 20 docs per language,
-    chosen by rank over a content-derived hash: deterministic,
-    engine-independent, rerun-stable (TABLESAMPLE / rand() can be
-    neither oracle-checked nor replayed). One window per stratum; at
-    100 TB the per-stratum sort is bounded by the quota via
-    rank-pushdown (WindowGroupLimit in the physical plan)."""
+def llm_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 deterministic corpus subsampling, both techniques in one
+    labeled result (TABLESAMPLE / rand() can be neither oracle-checked
+    nor replayed — these can):
+
+    * 'stratified' (W1): EXACTLY 20 docs per language by rank over a
+      content-derived hash. One window per stratum; at 100 TB the
+      per-stratum sort is bounded by the quota via rank-pushdown
+      (WindowGroupLimit in the physical plan).
+    * 'hash' (L1/A3): content-hash membership sampling (~4/16 = 25%) —
+      membership is a pure function of content, so reruns, engines and
+      partitionings all agree; grouped per source with the sampled
+      count and min doc_id.
+    """
     from pyspark.sql import Window
 
     docs = load_table(spark, sf_dir, "documents")
     w = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), "doc_id"
     )
-    return (
+    strat = (
         docs.select("lang", "doc_id", "n_chars", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= 20)
-        .drop("rk")
+        .select(
+            F.lit("stratified").alias("method"),
+            F.col("lang").alias("k"),
+            "doc_id",
+            F.col("n_chars").alias("n"),
+            F.lit(None).cast("long").alias("extra"),
+        )
     )
+    hashed = (
+        docs.filter(F.substring(F.md5("text"), 1, 1).isin("0", "1", "2", "3"))
+        .groupBy(F.col("source").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("doc_id").alias("extra"),
+        )
+        .select(
+            F.lit("hash").alias("method"),
+            "k",
+            F.lit(None).cast("long").alias("doc_id"),
+            "n",
+            "extra",
+        )
+    )
+    return strat.unionByName(hashed)
 
 
 @register(
@@ -753,74 +757,60 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "llm_frame_sample",
-    survey_ids="L5,U3,U1",
+    "llm_multimodal_suite",
+    survey_ids="L5,U1,U3,U4",
     oracle="""
-SELECT doc_id,
-       CAST(i AS INT) AS frame_idx,
-       CAST(least(256, octet_length(encode(text)) - (i - 1) * 256) AS INT)
-         AS frame_len,
-       md5(substr(text, (i - 1) * 256 + 1, 256)) AS frame_md5
+SELECT 'frame' AS part,
+       doc_id,
+       CAST(i AS INT) AS i1,
+       CAST(least(256, octet_length(encode(text)) - (i - 1) * 256) AS BIGINT)
+         AS n1,
+       md5(substr(text, (i - 1) * 256 + 1, 256)) AS s1,
+       NULL::INT AS i2
 FROM documents,
      unnest(generate_series(1,
        CAST(ceil(octet_length(encode(text)) / 256.0) AS BIGINT))) AS u(i)
+UNION ALL
+SELECT 'feat',
+       doc_id,
+       ascii(substr(text, 1, 1)),
+       CAST(octet_length(encode(text)) AS BIGINT),
+       'stub',
+       ascii(substr(text, length(text), 1))
+FROM documents
 """,
 )
-def llm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5: frame sampling — each payload expands to fixed-size byte
-    windows inside one mapInPandas pass (metadata + md5 out, raw bytes
-    dropped in-task). Oracle replays the same windows with substr+md5
-    (payload is the utf-8 text: ASCII corpus, so byte and char windows
-    coincide)."""
+def llm_multimodal_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L5 multimodal plumbing, both passes in one labeled result — the
+    payload is the utf-8 text bytes (ASCII corpus, so the oracle's char
+    windows coincide with byte windows):
+
+    * 'frame': frame sampling — each payload expands to fixed-size byte
+      windows INSIDE one mapInPandas pass (i1=frame_idx, n1=frame_len,
+      s1=frame md5; raw bytes dropped in-task — at 100 TB the big bytes
+      die in the task that read them);
+    * 'feat': Arrow-batched mapInPandas feature extraction through the
+      injected stub decoder (i1=first_byte, n1=n_bytes, s1=tag,
+      i2=last_byte; the real-codec seam raises NotImplementedError by
+      design).
+    """
     from ..llm.multimodal import sample_frames
 
-    return sample_frames(attach_payload(load_table(spark, sf_dir, "documents")))
-
-
-@register(
-    "llm_hash_sample",
-    survey_ids="L4,L1,A3,P7",
-    oracle="""
-SELECT source,
-       count(*) AS n_sampled,
-       CAST(min(doc_id) AS BIGINT) AS min_doc_id
-FROM documents
-WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
-GROUP BY source
-""",
-)
-def llm_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4: deterministic content-hash sampling (~4/16 = 25%) — the
-    reproducible corpus-subsetting technique: membership is a pure
-    function of content, so reruns, engines, and partitionings all
-    agree (rand()-based sampling can't be oracle-checked or replayed).
-    """
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        docs.filter(F.substring(F.md5("text"), 1, 1).isin("0", "1", "2", "3"))
-        .groupBy("source")
-        .agg(
-            F.count(F.lit(1)).alias("n_sampled"),
-            F.min("doc_id").alias("min_doc_id"),
-        )
+    media = attach_payload(load_table(spark, sf_dir, "documents"))
+    frames = sample_frames(media).select(
+        F.lit("frame").alias("part"),
+        "doc_id",
+        F.col("frame_idx").alias("i1"),
+        F.col("frame_len").cast("long").alias("n1"),
+        F.col("frame_md5").alias("s1"),
+        F.lit(None).cast("int").alias("i2"),
     )
-
-
-@register(
-    "llm_multimodal_features",
-    survey_ids="L5,U1,U4",
-    oracle="""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       ascii(substr(text, 1, 1)) AS first_byte,
-       ascii(substr(text, length(text), 1)) AS last_byte,
-       'stub' AS tag
-FROM documents
-""",
-)
-def llm_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L5: binary-payload plumbing — utf-8 payload column + Arrow-
-    batched mapInPandas feature extraction through the injected stub
-    decoder (real-codec seam raises NotImplementedError by design)."""
-    docs = load_table(spark, sf_dir, "documents")
-    return extract_binary_features(attach_payload(docs))
+    feats = extract_binary_features(media).select(
+        F.lit("feat").alias("part"),
+        "doc_id",
+        F.col("first_byte").alias("i1"),
+        F.col("n_bytes").alias("n1"),
+        F.col("tag").alias("s1"),
+        F.col("last_byte").alias("i2"),
+    )
+    return frames.unionByName(feats)

@@ -53,83 +53,8 @@ def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scalar_math_suite",
-    survey_ids="F16,A3",
-    oracle="""
-SELECT
-  l_returnflag                                    AS flag,
-  round(sum(sqrt(l_quantity)), 2)                 AS sum_sqrt_qty,
-  round(sum(abs(l_discount - 0.05)), 4)           AS sum_abs_disc,
-  round(sum(pow(1 + l_tax, 2)), 2)                AS sum_pow_tax,
-  round(sum(ln(l_extendedprice)), 4)              AS sum_ln_price,
-  round(sum(floor(l_quantity) + ceil(l_discount * 10)), 2) AS sum_floor_ceil
-FROM lineitem
-GROUP BY 1
-""",
-)
-def scalar_math_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """sqrt/abs/pow/ln/floor/ceil under aggregation."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.groupBy(F.col("l_returnflag").alias("flag"))
-        .agg(
-            F.round(F.sum(F.sqrt("l_quantity")), 2).alias("sum_sqrt_qty"),
-            F.round(F.sum(F.abs(F.col("l_discount") - 0.05)), 4).alias("sum_abs_disc"),
-            F.round(F.sum(F.pow(F.lit(1) + F.col("l_tax"), 2)), 2).alias("sum_pow_tax"),
-            F.round(F.sum(F.log(F.col("l_extendedprice"))), 4).alias("sum_ln_price"),
-            # Spark floor/ceil yield LONG vs DuckDB's DOUBLE — cast to
-            # double so the summed output types agree.
-            F.round(
-                F.sum(
-                    (F.floor("l_quantity") + F.ceil(F.col("l_discount") * 10)).cast(
-                        "double"
-                    )
-                ),
-                2,
-            ).alias("sum_floor_ceil"),
-        )
-    )
-
-
-@register(
-    "scalar_string_suite",
-    survey_ids="F11,F12,F13",
-    oracle="""
-SELECT
-  c_custkey                                   AS custkey,
-  upper(c_name)                               AS name_upper,
-  lower(substring(c_mktsegment, 1, 3))        AS seg3,
-  length(c_name)                              AS name_len,
-  printf('%s#%05d', c_mktsegment, c_custkey)  AS seg_tag,
-  replace(c_name, 'Customer', 'C')            AS name_short,
-  lpad(CAST(c_nationkey AS VARCHAR), 4, '0')  AS nation_pad
-FROM customer
-WHERE c_custkey <= 500
-""",
-)
-def scalar_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """upper/lower/substring/length/format/replace/lpad — the reference's
-    truncate-and-format idioms (:285,:291,:295) generalized."""
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.filter(F.col("c_custkey") <= 500)
-        .select(
-            F.col("c_custkey").alias("custkey"),
-            F.upper("c_name").alias("name_upper"),
-            F.lower(F.substring("c_mktsegment", 1, 3)).alias("seg3"),
-            F.length("c_name").alias("name_len"),
-            F.format_string("%s#%05d", F.col("c_mktsegment"), F.col("c_custkey")).alias(
-                "seg_tag"
-            ),
-            F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("name_short"),
-            F.lpad(F.col("c_nationkey").cast("string"), 4, "0").alias("nation_pad"),
-        )
-    )
-
-
-@register(
-    "scalar_datetime_suite",
-    survey_ids="F17,F2",
+    "scalar_suite",
+    survey_ids="F16,F11,F12,F13,F17,F2",
     oracle="""
 SELECT
   o_orderkey,
@@ -140,18 +65,43 @@ SELECT
   isodow(o_orderdate)                                       AS dow_iso,
   datediff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
   strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d')      AS plus3m,
-  CAST(epoch(o_orderdate) AS BIGINT)                        AS epoch_s
+  CAST(epoch(o_orderdate) AS BIGINT)                        AS epoch_s,
+  upper(o_orderpriority)                                    AS prio_upper,
+  lower(substring(o_orderpriority, 1, 3))                   AS prio3,
+  length(o_orderpriority)                                   AS prio_len,
+  printf('%s#%05d', o_orderstatus, o_orderkey)              AS status_tag,
+  replace(o_orderpriority, 'URGENT', 'U')                   AS prio_short,
+  lpad(CAST(o_custkey AS VARCHAR), 7, '0')                  AS cust_pad,
+  round(sqrt(o_totalprice), 6)                              AS sqrt_price,
+  round(abs(o_totalprice - 150000), 2)                      AS abs_diff,
+  round(pow(1 + o_totalprice / 1000000, 2), 6)              AS pow_price,
+  round(ln(o_totalprice), 6)                                AS ln_price,
+  CAST(floor(o_totalprice) + ceil(o_totalprice / 1000) AS BIGINT)
+                                                            AS floor_ceil
 FROM orders
 WHERE o_orderkey <= 2000
 """,
 )
-def scalar_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """year/month/day/quarter/iso-weekday/datediff/add_months/epoch.
-    ISO weekday = Spark weekday()+1 (Mon=0 → Mon=1); epoch of the NTZ
-    orderdate goes through an explicit UTC-pinned cast so the rendered
-    integer is timezone-independent."""
+def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated scalar surface, one per-row pass over orders:
+
+    * datetime (F17/F2): year/month/day/quarter/iso-weekday/datediff/
+      add_months/epoch. ISO weekday = Spark weekday()+1; epoch of the
+      NTZ orderdate goes through an explicit UTC-pinned cast so the
+      rendered integer is timezone-independent.
+    * strings (F11-F13): upper/lower/substring/length/format/replace/
+      lpad — the reference's truncate-and-format idioms (:285,:291,
+      :295) generalized.
+    * math (F16): sqrt/abs/pow/ln/floor/ceil. Spark floor/ceil yield
+      LONG vs DuckDB DOUBLE — the combined expression casts to BIGINT
+      on both engines.
+
+    Every expression is a built-in Column op — one whole-stage-codegen
+    span, no shuffle (the narrow-transform ideal the 100 TB row path
+    wants)."""
     o = _t(spark, sf_dir, "orders")
     d = F.col("o_orderdate")
+    p = F.col("o_totalprice")
     return (
         o.filter(F.col("o_orderkey") <= 2000)
         .select(
@@ -166,6 +116,21 @@ def scalar_datetime_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus3m"),
             d.cast("timestamp").cast("long").alias("epoch_s"),
+            F.upper("o_orderpriority").alias("prio_upper"),
+            F.lower(F.substring("o_orderpriority", 1, 3)).alias("prio3"),
+            F.length("o_orderpriority").alias("prio_len"),
+            F.format_string(
+                "%s#%05d", F.col("o_orderstatus"), F.col("o_orderkey")
+            ).alias("status_tag"),
+            F.replace(
+                F.col("o_orderpriority"), F.lit("URGENT"), F.lit("U")
+            ).alias("prio_short"),
+            F.lpad(F.col("o_custkey").cast("string"), 7, "0").alias("cust_pad"),
+            F.round(F.sqrt(p), 6).alias("sqrt_price"),
+            F.round(F.abs(p - 150000), 2).alias("abs_diff"),
+            F.round(F.pow(F.lit(1) + p / 1_000_000, 2), 6).alias("pow_price"),
+            F.round(F.log(p), 6).alias("ln_price"),
+            (F.floor(p) + F.ceil(p / 1000)).cast("long").alias("floor_ceil"),
         )
     )
 
@@ -238,26 +203,5 @@ def array_indexing_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "corpus_counts",
-    survey_ids="A1",
-    oracle="""
-SELECT 'documents' AS tbl, count(*) AS n FROM documents
-UNION ALL SELECT 'events', count(*) FROM events
-UNION ALL SELECT 'orders', count(*) FROM orders
-""",
-)
-def corpus_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1: plain record counting per table — the reference's processed/
-    failed run summary (video_processor.py:385-388) as a metadata-only
-    aggregate (parquet count(*) answers from footer statistics)."""
-    parts = [
-        _t(spark, sf_dir, tbl)
-        .groupBy(F.lit(tbl).alias("tbl"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        for tbl in ("documents", "events", "orders")
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+# corpus counting (A1) lives in setops.agg_counts_suite (merged with the
+# approx-distinct surface so the ≤50-entry registry keeps both evidenced).

@@ -66,29 +66,8 @@ def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "set_union_distinct",
-    survey_ids="O6,O5",
-    oracle="""
-SELECT o_orderkey, o_orderpriority AS priority FROM orders WHERE o_orderpriority = '1-URGENT'
-UNION
-SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 200000
-""",
-)
-def set_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """UNION (distinct) of two filtered scans via unionByName+distinct."""
-    o = _t(spark, sf_dir, "orders")
-    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
-        "o_orderkey", F.col("o_orderpriority").alias("priority")
-    )
-    big = o.filter(F.col("o_totalprice") > 200000).select(
-        "o_orderkey", F.col("o_orderpriority").alias("priority")
-    )
-    return urgent.unionByName(big).distinct()
-
-
-@register(
-    "set_intersect_except",
-    survey_ids="O7",
+    "set_ops_suite",
+    survey_ids="O6,O7,O5",
     oracle="""
 WITH c97 AS (SELECT DISTINCT o_custkey FROM orders
              WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -96,15 +75,47 @@ WITH c97 AS (SELECT DISTINCT o_custkey FROM orders
      c98 AS (SELECT DISTINCT o_custkey FROM orders
              WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
                AND o_orderdate <  TIMESTAMP '1999-01-01 00:00:00')
-SELECT o_custkey AS custkey, 'both' AS bucket FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98)
+SELECT 'union_distinct' AS op, o_orderkey AS key, o_orderpriority AS attr
+FROM (
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderpriority = '1-URGENT'
+  UNION
+  SELECT o_orderkey, o_orderpriority FROM orders WHERE o_totalprice > 200000
+)
 UNION ALL
-SELECT o_custkey, 'only_1997' FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98)
+SELECT 'both', o_custkey, NULL::VARCHAR
+FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98)
+UNION ALL
+SELECT 'only_1997', o_custkey, NULL::VARCHAR
+FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98)
 """,
 )
-def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """INTERSECT + EXCEPT of yearly active-customer sets, labeled.
-    (exceptAll/intersect also power S8-style snapshot change detection.)"""
+def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full set-operation surface in one labeled result:
+
+    * O6/O5: UNION-distinct of two filtered scans (unionByName +
+      distinct — one hash-dedup shuffle with map-side partial dedup);
+    * O7: INTERSECT and EXCEPT of yearly active-customer sets
+      (exceptAll/intersect also power S8-style snapshot change
+      detection).
+
+    Each leg keeps its own plan; the legs union into (op, key, attr)."""
     o = _t(spark, sf_dir, "orders")
+
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    big = o.filter(F.col("o_totalprice") > 200000).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    union_leg = (
+        urgent.unionByName(big)
+        .distinct()
+        .select(
+            F.lit("union_distinct").alias("op"),
+            F.col("o_orderkey").alias("key"),
+            F.col("o_orderpriority").alias("attr"),
+        )
+    )
 
     def active(year: int) -> DataFrame:
         lo = F.lit(f"{year}-01-01 00:00:00").cast(o.schema["o_orderdate"].dataType)
@@ -116,66 +127,80 @@ def set_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     c97, c98 = active(1997), active(1998)
-    both = c97.intersect(c98).select(F.col("o_custkey").alias("custkey"), F.lit("both").alias("bucket"))
-    only97 = c97.exceptAll(c98).select(F.col("o_custkey").alias("custkey"), F.lit("only_1997").alias("bucket"))
-    return both.unionByName(only97)
+    null_attr = F.lit(None).cast("string").alias("attr")
+    both = c97.intersect(c98).select(
+        F.lit("both").alias("op"), F.col("o_custkey").alias("key"), null_attr
+    )
+    only97 = c97.exceptAll(c98).select(
+        F.lit("only_1997").alias("op"), F.col("o_custkey").alias("key"), null_attr
+    )
+    return union_leg.unionByName(both).unionByName(only97)
 
 
 @register(
-    "agg_rollup",
+    "agg_rollup_cube",
     survey_ids="A6,A3",
     oracle="""
-SELECT
-  l_returnflag,
-  l_linestatus,
-  GROUPING(l_returnflag, l_linestatus) AS gid,
-  count(*) AS n,
-  round(sum(l_quantity), 2) AS sum_qty
+SELECT 'rollup' AS shape,
+       l_returnflag AS k1,
+       l_linestatus AS k2,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+       count(*) AS n,
+       round(sum(l_quantity), 2) AS agg_val
 FROM lineitem
 GROUP BY ROLLUP (l_returnflag, l_linestatus)
-""",
-)
-def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP with grouping_id — subtotals per flag and a grand total in
-    one pass (Spark expands to a single Expand+hash-agg, not N scans)."""
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.rollup("l_returnflag", "l_linestatus")
-        .agg(
-            F.grouping_id().alias("gid"),
-            F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-        )
-        .select("l_returnflag", "l_linestatus", "gid", "n", "sum_qty")
-    )
-
-
-@register(
-    "agg_cube",
-    survey_ids="A6,A3",
-    oracle="""
-SELECT
-  o_orderstatus,
-  o_orderpriority,
-  GROUPING(o_orderstatus, o_orderpriority) AS gid,
-  count(*) AS n,
-  round(sum(o_totalprice), 2) AS sum_price
+UNION ALL
+SELECT 'cube',
+       o_orderstatus,
+       o_orderpriority,
+       CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT),
+       count(*),
+       round(sum(o_totalprice), 2)
 FROM orders
 GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """,
 )
-def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over status×priority: all 4 grouping sets in one pass."""
+def agg_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional aggregates, both shapes in one labeled result:
+    ROLLUP (subtotals per flag + grand total) over lineitem, CUBE (all
+    4 grouping sets) over orders. Each expands to a single Expand +
+    hash-agg pass — never N scans; grouping_id disambiguates
+    NULL-as-total from NULL-as-value."""
+    li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders")
-    return (
+    rollup_leg = (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("long").alias("gid"),
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("agg_val"),
+        )
+        .select(
+            F.lit("rollup").alias("shape"),
+            F.col("l_returnflag").alias("k1"),
+            F.col("l_linestatus").alias("k2"),
+            "gid",
+            "n",
+            "agg_val",
+        )
+    )
+    cube_leg = (
         o.cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.grouping_id().alias("gid"),
+            F.grouping_id().cast("long").alias("gid"),
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("agg_val"),
         )
-        .select("o_orderstatus", "o_orderpriority", "gid", "n", "sum_price")
+        .select(
+            F.lit("cube").alias("shape"),
+            F.col("o_orderstatus").alias("k1"),
+            F.col("o_orderpriority").alias("k2"),
+            "gid",
+            "n",
+            "agg_val",
+        )
     )
+    return rollup_leg.unionByName(cube_leg)
 
 
 @register(
@@ -208,22 +233,29 @@ def agg_collect_set(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_argmax",
-    survey_ids="A8",
+    "agg_percentile_argmax",
+    survey_ids="W5,A8,A3",
     oracle="""
 SELECT
   c_mktsegment AS segment,
   max_by(c_name, round(c_acctbal * 100) * 1000000 + c_custkey) AS top_customer,
-  round(max(c_acctbal), 2) AS top_bal
+  round(max(c_acctbal), 2) AS top_bal,
+  round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
+  round(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal,
+  round(min(c_acctbal), 2) AS min_bal
 FROM customer
 GROUP BY 1
 """,
 )
-def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """max_by (argmax) — the reference's 'take the best element' shape
-    (:88-99) as a single-pass aggregate. Ranking key encodes
-    (acctbal, custkey) into one exact integer so ties break identically
-    in both engines (acctbal has 2 decimals; custkey < 1e6)."""
+def agg_percentile_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by (argmax, A8 — the reference's 'take the best element'
+    shape :88-99) and exact continuous percentiles (W5) in ONE
+    single-pass grouped aggregate per segment. The argmax ranking key
+    encodes (acctbal, custkey) into one exact integer so ties break
+    identically in both engines (acctbal has 2 decimals; custkey <
+    1e6). At 100 TB swap percentile → percentile_approx (t-digest,
+    mergeable, constant partial state) when error tolerance allows —
+    kept exact here because the oracle is exact."""
     c = _t(spark, sf_dir, "customer")
     rank_key = (F.round(F.col("c_acctbal") * 100) * 1_000_000 + F.col("c_custkey")).cast(
         "long"
@@ -233,26 +265,71 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.max_by("c_name", rank_key).alias("top_customer"),
             F.round(F.max("c_acctbal"), 2).alias("top_bal"),
+            F.round(F.percentile("c_acctbal", 0.5), 6).alias("median_bal"),
+            F.round(F.percentile("c_acctbal", 0.9), 6).alias("p90_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         )
     )
 
 
 @register(
-    "agg_approx_distinct",
-    survey_ids="A5",
-    oracle=None,  # HLL++ sketch values are engine-specific → rows-only check;
-    # tests/test_setops.py bounds the estimate against the exact count.
+    "agg_counts_suite",
+    survey_ids="A1,A5,A3",
+    oracle="""
+SELECT 'count:documents' AS part, count(*) AS n,
+       NULL::BIGINT AS exact_users, NULL::BOOLEAN AS approx_ok
+FROM documents
+UNION ALL
+SELECT 'count:events', count(*), NULL::BIGINT, NULL::BOOLEAN FROM events
+UNION ALL
+SELECT 'count:orders', count(*), NULL::BIGINT, NULL::BOOLEAN FROM orders
+UNION ALL
+SELECT 'approx:' || event_type,
+       count(*),
+       count(DISTINCT user_id),
+       approx_count_distinct(user_id)
+         BETWEEN CAST(floor(count(DISTINCT user_id) * 0.9) AS BIGINT)
+             AND CAST(ceil(count(DISTINCT user_id) * 1.1) AS BIGINT)
+FROM events
+GROUP BY event_type
+""",
 )
-def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++, rsd=2%) beside the exact count.
-    The sketch is mergeable — at 100 TB it replaces the two-phase
-    distinct shuffle with constant-size partial state."""
+def agg_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 + A5 in one labeled result:
+
+    * plain record counts per table (the reference's processed/failed
+      run summary, video_processor.py:385-388 — parquet answers these
+      from footer statistics);
+    * approx_count_distinct (HLL++, rsd=2%) per event_type beside the
+      exact count. Sketch values are engine-specific, so the
+      oracle-portable claim is the ERROR BOUND: each engine checks its
+      own estimate lands within ±10% of its exact count — true on both
+      sides, hence hash-identical. The sketch is mergeable — at 100 TB
+      it replaces the two-phase distinct shuffle with constant-size
+      partial state."""
+    nb = F.lit(None).cast("long").alias("exact_users")
+    nk = F.lit(None).cast("boolean").alias("approx_ok")
+    count_legs = [
+        _t(spark, sf_dir, tbl)
+        .groupBy(F.lit(f"count:{tbl}").alias("part"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("part", "n", nb, nk)
+        for tbl in ("documents", "events", "orders")
+    ]
     ev = _t(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.col("event_type").alias("etype"))
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.02)
+    approx_leg = (
+        ev.groupBy(F.concat(F.lit("approx:"), F.col("event_type")).alias("part"))
         .agg(
-            F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
-            F.count(F.lit(1)).alias("n_events"),
+            F.count(F.lit(1)).alias("n"),
+            exact.alias("exact_users"),
+            approx.between(
+                F.floor(exact * 0.9).cast("long"), F.ceil(exact * 1.1).cast("long")
+            ).alias("approx_ok"),
         )
     )
+    out = count_legs[0]
+    for leg in count_legs[1:]:
+        out = out.unionByName(leg)
+    return out.unionByName(approx_leg)

@@ -58,57 +58,38 @@ GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), (l_returnflag, l_linesta
 
 
 @register(
-    "sql_correlated_scalar_subquery",
-    survey_ids="J2,A3,P7",
+    "sql_subquery_suite",
+    survey_ids="J2,J4,A3,P7",
     oracle="""
-SELECT c_custkey, c_name,
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
        (SELECT count(*) FROM orders o WHERE o.o_custkey = c.c_custkey)
          AS n_orders
-FROM customer c
-WHERE c_custkey < 500
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.c_custkey < 500
+  AND EXISTS (
+    SELECT 1 FROM orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+  )
 """,
 )
-def sql_correlated_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Correlated scalar subquery — Catalyst decorrelates to a left
-    outer aggregate join (never per-row execution); DuckDB does the
-    same, and both return count(*)=0 rows as 0, not NULL."""
+def sql_subquery_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subquery decorrelation, both forms in ONE statement: a
+    correlated scalar subquery in the projection (Catalyst rewrites to
+    a left outer aggregate join — never per-row execution; count(*)=0
+    comes back as 0, not NULL) and an EXISTS predicate (planned as a
+    left semi join). DuckDB decorrelates identically, so the same
+    declarative text drives both engines to the same answer."""
     _register_views(spark, sf_dir)
     return spark.sql(
         """
-SELECT c_custkey, c_name,
+SELECT c.c_custkey, c.c_name, n.n_name AS nation,
        (SELECT count(*) FROM vsp_orders o WHERE o.o_custkey = c.c_custkey)
          AS n_orders
-FROM vsp_customer c
-WHERE c_custkey < 500
-"""
-    )
-
-
-@register(
-    "sql_exists_subquery",
-    survey_ids="J4,P7,F17",
-    oracle="""
-SELECT n.n_name AS nation, count(*) AS n_customers
-FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
-WHERE EXISTS (
-  SELECT 1 FROM orders o
-  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
-)
-GROUP BY n.n_name
-""",
-)
-def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXISTS predicate — planned as a left semi join (J4's SQL
-    spelling), grouped per nation."""
-    _register_views(spark, sf_dir)
-    return spark.sql(
-        """
-SELECT n.n_name AS nation, count(*) AS n_customers
 FROM vsp_customer c JOIN vsp_nation n ON c.c_nationkey = n.n_nationkey
-WHERE EXISTS (
-  SELECT 1 FROM vsp_orders o
-  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
-)
-GROUP BY n.n_name
+WHERE c.c_custkey < 500
+  AND EXISTS (
+    SELECT 1 FROM vsp_orders o
+    WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 100000
+  )
 """
     )

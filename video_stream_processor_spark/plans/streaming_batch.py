@@ -30,28 +30,8 @@ EVENT_CATEGORIES = [
 
 
 @register(
-    "stream_tumbling_1h",
+    "stream_window_counts",
     survey_ids="T6,A3,F17",
-    oracle="""
-SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start,
-       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) + 3600 AS win_end,
-       event_type,
-       count(*) AS n_events,
-       round(sum(value), 2) AS sum_value,
-       round(avg(value), 6) AS avg_value,
-       count(DISTINCT user_id) AS n_users
-FROM events
-GROUP BY 1, 2, 3
-""",
-)
-def stream_tumbling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6 tumbling 1h window × event_type stats (batch twin)."""
-    return tumbling_stats(load_table(spark, sf_dir, "events"), size="1 hour")
-
-
-@register(
-    "stream_sliding_1h_15m",
-    survey_ids="T6",
     oracle="""
 WITH bucketed AS (
   SELECT value, CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS b
@@ -61,21 +41,58 @@ WITH bucketed AS (
   FROM bucketed
   CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
 )
-SELECT win_start, win_start + 3600 AS win_end,
+SELECT 'tumbling_1h' AS kind,
+       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start,
+       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) + 3600 AS win_end,
+       event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
+       round(sum(value), 2) AS sum_value,
+       round(avg(value), 6) AS avg_value,
+       count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'sliding_1h_15m', win_start, win_start + 3600,
+       NULL::VARCHAR,
+       count(*),
+       round(sum(value), 2),
+       NULL::DOUBLE,
+       NULL::BIGINT
 FROM expanded
-GROUP BY 1, 2
+GROUP BY 2, 3
 """,
 )
-def stream_sliding_1h_15m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6 sliding window (1h size / 15m slide): each event expands to
-    size/slide = 4 overlapping windows. Spark plans this as a generator
-    over the window expression + one hash aggregate — the oracle
-    replicates via an explicit offset cross join."""
-    return sliding_counts(
-        load_table(spark, sf_dir, "events"), size="1 hour", slide="15 minutes"
+def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T6, both window shapes in one labeled result (batch twins of the
+    streaming plans in streaming/analytics.py):
+
+    * tumbling 1h × event_type stats;
+    * sliding 1h/15m — each event expands to size/slide = 4 overlapping
+      windows (a generator over the window expr + one hash aggregate;
+      the oracle replicates via an explicit offset cross join).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    tum = tumbling_stats(ev, size="1 hour").select(
+        F.lit("tumbling_1h").alias("kind"),
+        "win_start",
+        "win_end",
+        "event_type",
+        "n_events",
+        "sum_value",
+        "avg_value",
+        "n_users",
     )
+    sli = sliding_counts(ev, size="1 hour", slide="15 minutes").select(
+        F.lit("sliding_1h_15m").alias("kind"),
+        "win_start",
+        "win_end",
+        F.lit(None).cast("string").alias("event_type"),
+        "n_events",
+        "sum_value",
+        F.lit(None).cast("double").alias("avg_value"),
+        F.lit(None).cast("long").alias("n_users"),
+    )
+    return tum.unionByName(sli)
 
 
 @register(

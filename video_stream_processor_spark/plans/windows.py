@@ -61,126 +61,69 @@ def win_top1_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "win_ranking",
-    survey_ids="W2",
+    "win_suite",
+    survey_ids="W2,W3,W4,F17",
     oracle="""
 SELECT
   o_orderkey,
   o_custkey,
-  row_number() OVER w AS rn,
-  rank()       OVER w AS rnk,
-  dense_rank() OVER w AS drnk,
-  ntile(4)     OVER w AS quartile
+  row_number() OVER wr AS rn,
+  rank()       OVER wr AS rnk,
+  dense_rank() OVER wr AS drnk,
+  ntile(4)     OVER wr AS quartile,
+  round(sum(o_totalprice) OVER (
+    wt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
+  round(avg(o_totalprice) OVER (
+    wt ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3,
+  round(lag(o_totalprice) OVER wt, 2)                AS prev_price,
+  lead(o_orderkey) OVER wt                           AS next_key,
+  CAST(datediff('day',
+    CAST(lag(o_orderdate) OVER wt AS DATE),
+    CAST(o_orderdate AS DATE)) AS INT)               AS gap_days,
+  first_value(o_orderkey) OVER (
+    wt ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key
 FROM orders
-WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+WINDOW
+  wr AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC),
+  wt AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
 """,
 )
-def win_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """row_number / rank / dense_rank / ntile per customer by spend."""
+def win_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The consolidated window surface over each customer's order
+    timeline, two window specs:
+
+    * ranking (W2): row_number / rank / dense_rank / ntile by spend;
+    * frames (W4): running total (unbounded preceding) + 3-row moving
+      average;
+    * offsets (W3 + F17): lag/lead/first_value along the date ordering,
+      incl. the day-gap between consecutive orders.
+
+    Both specs share the o_custkey partition key, so Spark plans ONE
+    hash shuffle and two in-partition sorts — adding window functions
+    to an existing spec is free of extra exchanges (the property that
+    matters when stacking per-entity features at 100 TB)."""
     o = _t(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy(
+    wr = Window.partitionBy("o_custkey").orderBy(
         F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
     )
-    return o.select(
-        "o_orderkey",
-        "o_custkey",
-        F.row_number().over(w).alias("rn"),
-        F.rank().over(w).alias("rnk"),
-        F.dense_rank().over(w).alias("drnk"),
-        F.ntile(4).over(w).alias("quartile"),
-    )
-
-
-@register(
-    "win_lag_lead",
-    survey_ids="W3,F17",
-    oracle="""
-SELECT
-  event_id,
-  user_id,
-  (epoch_ns(ts) - lag(epoch_ns(ts)) OVER w) // 1000000000 AS gap_s,
-  lead(event_type) OVER w AS next_type
-FROM events
-WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) ASC, event_id ASC)
-""",
-)
-def win_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """lag/lead along each user's event timeline (sessionization
-    primitive, W3); nanos arithmetic keeps both engines integer-exact."""
-    ev = _t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("ts_ns").asc(), F.col("event_id").asc()
-    )
-    gap = F.floor((F.col("ts_ns") - F.lag("ts_ns").over(w)) / F.lit(1_000_000_000))
-    return ev.select(
-        "event_id",
-        "user_id",
-        gap.alias("gap_s"),
-        F.lead("event_type").over(w).alias("next_type"),
-    )
-
-
-@register(
-    "win_frames",
-    survey_ids="W4",
-    oracle="""
-SELECT
-  o_custkey,
-  o_orderkey,
-  round(sum(o_totalprice) OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend,
-  round(avg(o_totalprice) OVER (
-    PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 6) AS moving_avg3
-FROM orders
-""",
-)
-def win_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame specs: running total (unbounded-preceding) + 3-row moving
-    average per customer timeline."""
-    o = _t(spark, sf_dir, "orders")
     ordering = [F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
-    run = (
-        Window.partitionBy("o_custkey")
-        .orderBy(*ordering)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    mov = Window.partitionBy("o_custkey").orderBy(*ordering).rowsBetween(-2, 0)
+    wt = Window.partitionBy("o_custkey").orderBy(*ordering)
+    run = wt.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    mov = wt.rowsBetween(-2, 0)
+    d = F.col("o_orderdate")
     return o.select(
-        "o_custkey",
         "o_orderkey",
+        "o_custkey",
+        F.row_number().over(wr).alias("rn"),
+        F.rank().over(wr).alias("rnk"),
+        F.dense_rank().over(wr).alias("drnk"),
+        F.ntile(4).over(wr).alias("quartile"),
         F.round(F.sum("o_totalprice").over(run), 2).alias("running_spend"),
         F.round(F.avg("o_totalprice").over(mov), 6).alias("moving_avg3"),
-    )
-
-
-@register(
-    "win_percentiles",
-    survey_ids="W5,A3",
-    oracle="""
-SELECT
-  c_mktsegment                                   AS segment,
-  round(quantile_cont(c_acctbal, 0.5), 6)        AS median_bal,
-  round(quantile_cont(c_acctbal, 0.9), 6)        AS p90_bal,
-  round(min(c_acctbal), 2)                       AS min_bal,
-  round(max(c_acctbal), 2)                       AS max_bal
-FROM customer
-GROUP BY 1
-""",
-)
-def win_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact continuous percentiles per segment. At 100 TB the exact
-    form needs a per-group sort; swap to percentile_approx (t-digest,
-    mergeable, single pass) when error tolerance allows — kept exact
-    here because the oracle is exact."""
-    c = _t(spark, sf_dir, "customer")
-    return (
-        c.groupBy(F.col("c_mktsegment").alias("segment"))
-        .agg(
-            F.round(F.percentile("c_acctbal", 0.5), 6).alias("median_bal"),
-            F.round(F.percentile("c_acctbal", 0.9), 6).alias("p90_bal"),
-            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
-            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
-        )
+        F.round(F.lag("o_totalprice").over(wt), 2).alias("prev_price"),
+        F.lead("o_orderkey").over(wt).alias("next_key"),
+        F.datediff(d.cast("date"), F.lag(d).over(wt).cast("date")).alias(
+            "gap_days"
+        ),
+        F.first("o_orderkey").over(run).alias("first_key"),
     )
