@@ -255,6 +255,22 @@ def test_near_dup_clusters_transitive(spark):
     assert got == {10: 10, 20: 10, 30: 10, 99: 99}
 
 
+def test_near_dup_clusters_raises_on_non_convergence(spark):
+    """A chain longer than max_iter rounds must raise, not silently
+    return wrong cluster labels."""
+    import pytest
+
+    from video_stream_processor_spark.llm.dedup import near_dup_clusters
+
+    ids = list(range(1, 9))  # chain 1-2-...-8, diameter 7
+    docs = spark.createDataFrame([(i, "x") for i in ids], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in ids[:-1]], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        near_dup_clusters(docs, pairs, max_iter=2)
+
+
 def test_srp_recall_vs_exact(spark, sf_dir):
     """SRP-LSH candidates are a SUBSET of the exact cos>=0.4 pairs
     (verification makes false positives impossible) with recall >= 0.6

@@ -133,6 +133,40 @@ def test_salted_join_equals_plain(spark, sf_dir):
         assert a == b, how
 
 
+def test_salted_join_rejects_replication_breaking_how(spark, sf_dir):
+    """right/full/anti would see every small-side row `buckets` times —
+    salted_join must refuse rather than silently multiply rows."""
+    import pytest
+
+    from video_stream_processor_spark.operators.salt import salted_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    dim = ev.select("user_id").distinct()
+    for how in ("right", "full", "left_anti"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(ev, dim, "user_id", how=how)
+
+
+def test_salted_join_spreads_duplicate_rows(spark):
+    """Exact duplicate rows of a hot key must land in multiple salt
+    buckets (the row-content-hash salt collapsed them into one)."""
+    from video_stream_processor_spark.operators.salt import with_salt
+
+    dup = spark.range(1).select(
+        F.lit(7).alias("k"), F.lit("same").alias("v")
+    )
+    hot = dup.unionByName(dup)
+    for _ in range(9):  # 2^10 = 1024 identical rows
+        hot = hot.unionByName(hot)
+    n_buckets = (
+        with_salt(hot.repartition(8), "k", buckets=8)
+        .select("_salt")
+        .distinct()
+        .count()
+    )
+    assert n_buckets >= 2, "duplicate rows collapsed into one salt bucket"
+
+
 def test_stream_stream_time_range_join(spark, sf_dir, tmp_path):
     """J6 streaming form: purchases joined to the same user's clicks
     within the preceding hour — two watermarked streams, equi-key +

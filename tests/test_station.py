@@ -122,6 +122,19 @@ def test_station_pipeline_batch(spark, links_file, tmp_path):
     assert set(data[0].keys()) == set(STATION_COLUMNS)
 
 
+def test_write_json_array_row_guard(spark, tmp_path):
+    """The single-file driver-side sink must refuse big DataFrames
+    loudly instead of collecting them into driver memory."""
+    import pytest
+
+    big = spark.range(50)
+    with pytest.raises(ValueError, match="capped at"):
+        write_json_array(big, str(tmp_path / "big.json"), max_rows=10)
+    # under the cap it still writes normally
+    n = write_json_array(spark.range(5), str(tmp_path / "ok.json"), max_rows=10)
+    assert n == 5
+
+
 def test_station_pipeline_streaming_twin(spark, links_file, tmp_path):
     """T1/T2/T3: same builder over a streaming file source +
     availableNow trigger must equal the batch result exactly."""
