@@ -103,6 +103,28 @@ def test_stratified_sample_rank_pushdown(spark, sf_dir):
     assert "WindowGroupLimit" in plan
 
 
+def test_win_suite_single_shuffle(spark, sf_dir):
+    """W2-W4: both window specs share the o_custkey partition key, so
+    the plan must contain exactly ONE Exchange feeding both Window
+    operators — stacking per-entity window features must not add
+    shuffles."""
+    import re
+
+    plan = plan_of(spark, sf_dir, "win_suite")
+    exchanges = set(re.findall(r"\((\d+)\) Exchange", plan))
+    windows = set(re.findall(r"\((\d+)\) Window", plan))
+    assert len(exchanges) == 1, plan
+    assert len(windows) == 2, plan
+
+
+def test_scalar_suite_narrow_and_pushed(spark, sf_dir):
+    """F11-F17: the consolidated scalar pass is a pure narrow transform
+    — zero exchanges — with the orderkey predicate pushed to the scan."""
+    plan = plan_of(spark, sf_dir, "scalar_suite")
+    assert "Exchange" not in plan
+    assert "LessThanOrEqual(o_orderkey,2000)" in plan
+
+
 def test_srp_verification_broadcasts_candidates(spark, sf_dir):
     """L2/L3: the BARE candidate-pair table broadcasts in the SRP
     verification; the vector-carrying join is deliberately left to AQE
