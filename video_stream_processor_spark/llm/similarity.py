@@ -67,6 +67,37 @@ def cosine_topk(
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(k)
 
 
+def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """L3/L5: symmetric int8 quantization per vector (max-abs scale) —
+    the storage/bandwidth compression step in front of an ANN index
+    (4x smaller vectors; dot products move to integer SIMD). Pure
+    narrow Column math (transform/aggregate — no UDF, no shuffle).
+
+    Output is a per-vector summary rather than the raw int array so
+    results hash identically across engines: the scale, the quantized
+    sum / L1 mass, and a polynomial checksum of the int8 stream.
+    Rounding is ``floor(x + 0.5)`` — identical in Spark and DuckDB,
+    unlike round()'s half-even/half-away ambiguity."""
+    v = _dvec("embedding")
+    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    q = F.transform(v, lambda x: F.floor(x * 127.0 / s + 0.5).cast("long"))
+    checksum = F.aggregate(
+        q,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * 31 + (x + 128)) % F.lit((1 << 31) - 1),
+    )
+    return embeddings.select(
+        "vec_id",
+        "label",
+        F.round(s, 6).alias("scale"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias(
+            "q_l1"
+        ),
+        checksum.alias("q_checksum"),
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame, threshold: float = 0.95, max_id: int | None = None
 ) -> DataFrame:

@@ -240,6 +240,40 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_embedding_quantize",
+    survey_ids="L3,L5,F16",
+    oracle="""
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id, label,
+         list_max(list_transform(v, x -> abs(x))) AS s,
+         list_transform(v,
+           x -> CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y)))
+                           + 0.5) AS BIGINT)) AS qv
+  FROM e
+)
+SELECT vec_id, label,
+       round(s, 6) AS scale,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
+         (acc, x) -> (acc * 31 + (x + 128)) % 2147483647) AS q_checksum
+FROM q
+""",
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L3/L5: symmetric int8 quantization per vector (max-abs scale) —
+    the 4x compression step in front of an ANN index. Narrow Column
+    math only; the oracle replays scale, quantized sums and a
+    polynomial checksum of the int8 stream (floor(x+0.5) rounding is
+    engine-identical where round() is not)."""
+    from ..llm.similarity import quantize_embeddings
+
+    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
     "llm_cosine_topk",
     survey_ids="L3,O1,O3",
     oracle="""
