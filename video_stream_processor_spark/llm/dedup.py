@@ -137,12 +137,16 @@ def _pair_jaccard(sh: DataFrame, candidates: DataFrame | None = None) -> DataFra
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.5, shingles: DataFrame | None = None
+) -> DataFrame:
     """L2 ground truth: doc pairs with bigram-shingle Jaccard >=
     threshold, via explode + self-equi-join on the shingle. Exact and
     oracle-checkable; quadratic in posting-list length, so at 100 TB
-    this is the verifier behind MinHash, not the scan."""
-    sh = _doc_shingles(docs)
+    this is the verifier behind MinHash, not the scan. Pass a
+    pre-materialized ``shingles`` table to share the tokenize+explode
+    pass with other consumers."""
+    sh = _doc_shingles(docs) if shingles is None else shingles
     return _pair_jaccard(sh).filter(F.col("jaccard") >= threshold)
 
 
@@ -321,6 +325,7 @@ def minhash_near_dup_pairs_portable(
     threshold: float = 0.5,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """The cross-engine-verifiable twin of ``minhash_near_dup_pairs``:
     identical LSH structure, but the hash family is md5 over string
@@ -330,7 +335,11 @@ def minhash_near_dup_pairs_portable(
     oracle-checked, not just its exact ground truth. The xxhash64
     variant stays the production/bench path (md5 costs ~3x)."""
     rows = k // bands
-    sh = _doc_shingles(docs).localCheckpoint(eager=True)
+    sh = (
+        _doc_shingles(docs).localCheckpoint(eager=True)
+        if shingles is None
+        else shingles
+    )
     sig = sh.groupBy("doc_id").agg(
         *[
             F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("sh")))).alias(f"h{i}")

@@ -184,18 +184,22 @@ def llm_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
       Hamming distance as double).
     """
     from ..llm.dedup import (
+        _doc_shingles,
         minhash_near_dup_pairs_portable,
         simhash_near_dup_pairs_portable,
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    ngram = ngram_jaccard_pairs(docs, threshold=0.5).select(
+    # One tokenize+explode pass feeds both the exact and MinHash legs
+    # (at cluster scale: write the shingle table once, read it twice).
+    sh = _doc_shingles(docs).localCheckpoint(eager=True)
+    ngram = ngram_jaccard_pairs(docs, threshold=0.5, shingles=sh).select(
         F.lit("ngram_jaccard").alias("method"),
         "doc_a",
         "doc_b",
         F.col("jaccard").cast("double").alias("score"),
     )
-    mh = minhash_near_dup_pairs_portable(docs, threshold=0.5).select(
+    mh = minhash_near_dup_pairs_portable(docs, threshold=0.5, shingles=sh).select(
         F.lit("minhash_lsh").alias("method"),
         "doc_a",
         "doc_b",
