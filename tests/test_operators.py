@@ -1,0 +1,88 @@
+"""Composite-operator semantics (operators/asof.py) — pinned against
+pandas ``merge_asof``, including the cases the union–sort–fill trick
+can get wrong if implemented per-column instead of per-row."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from video_stream_processor_spark.operators.asof import (
+    asof_join,
+    asof_join_tolerance,
+)
+
+
+def _left(spark):
+    return spark.createDataFrame(
+        [(1, 100, 10), (1, 250, 11), (2, 50, 12), (3, 400, 13)],
+        ["k", "ts", "lid"],
+    )
+
+
+def _right(spark):
+    # right row at ts=200 carries a NULL value column on purpose
+    return spark.createDataFrame(
+        [(1, 90, "a", 1.0), (1, 200, None, 2.0), (2, 60, "c", 3.0)],
+        "k bigint, ts bigint, v string, w double",
+    )
+
+
+def test_asof_matches_pandas_merge_asof(spark):
+    got = {
+        r["lid"]: (r["asof_v"], r["asof_w"])
+        for r in asof_join(
+            _left(spark), _right(spark), on="k", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    lp = _left(spark).toPandas().sort_values("ts")
+    rp = _right(spark).toPandas().sort_values("ts")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    for _, row in exp.iterrows():
+        v = None if pd.isna(row["v"]) else row["v"]
+        w = None if pd.isna(row["w"]) else row["w"]
+        assert got[row["lid"]] == (v, w), row["lid"]
+
+
+def test_asof_null_value_column_stays_null(spark):
+    """The all-or-nothing property the struct fill guarantees: a MATCHED
+    right row's NULL column must come through as NULL — not inherit an
+    older right row's value — and the other columns of the same right
+    row must still fill (no mixing across right rows)."""
+    out = {
+        r["lid"]: (r["asof_v"], r["asof_w"])
+        for r in asof_join(
+            _left(spark), _right(spark), on="k", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    # lid=11 (k=1, ts=250) matches the right row at ts=200: v is NULL
+    # there, w is 2.0 — per-column fill would wrongly give v='a'.
+    assert out[11] == (None, 2.0)
+    # lid=10 (k=1, ts=100) matches ts=90 cleanly.
+    assert out[10] == ("a", 1.0)
+    # lid=13 (k=3) has no right rows at all.
+    assert out[13] == (None, None)
+
+
+def test_asof_tolerance_nulls_only_attached_columns(spark):
+    """Stale matches null exactly the columns THIS join attached; a
+    pre-existing left column sharing the prefix is untouched."""
+    left = _left(spark).withColumn("asof_note", F.lit("keep-me"))
+    out = {
+        r["lid"]: (r["asof_v"], r["asof_w"], r["asof_note"])
+        for r in asof_join_tolerance(
+            left,
+            _right(spark),
+            on="k",
+            tolerance=F.lit(30),
+            left_ts="ts",
+            right_ts="ts",
+        ).collect()
+    }
+    # lid=10: match at ts=90, left ts=100, gap 10 <= 30 → kept
+    assert out[10] == ("a", 1.0, "keep-me")
+    # lid=11: match at ts=200, gap 50 > 30 → attached cols nulled,
+    # pre-existing asof_note preserved
+    assert out[11] == (None, None, "keep-me")
+    # lid=12: gap 50-60 = -10? left ts=50 precedes right 60 → no match
+    assert out[12] == (None, None, "keep-me")
