@@ -238,6 +238,20 @@ def test_fingerprint_matches_python_reference(docs):
         assert fp == r["fp"], r["doc_id"]
 
 
+def test_prefix_filtered_jaccard_equals_bruteforce(spark, sf_dir):
+    """The PPJoin-style prefix filter admits zero false negatives: the
+    filtered exact join must equal the all-postings join row-for-row."""
+    from video_stream_processor_spark.llm.dedup import ngram_jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    brute = {tuple(r) for r in ngram_jaccard_pairs(docs, 0.5).collect()}
+    fast = {
+        tuple(r)
+        for r in ngram_jaccard_pairs(docs, 0.5, prefix_filter=True).collect()
+    }
+    assert brute == fast and brute
+
+
 def test_near_dup_clusters_transitive(spark):
     """CC property: a chain a-b, b-c collapses to ONE cluster labeled
     min(id) even when a and c are not themselves a near-dup pair, and
