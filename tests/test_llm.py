@@ -112,6 +112,51 @@ def test_multimodal_stub_and_real_decoder_seam(spark, docs):
         real_media_decoder(b"\x89PNG")
 
 
+def test_wav_decoder_through_the_seam(spark):
+    """L5 integration example: a REAL decoder (stdlib RIFF/WAVE header
+    parse, no codec libs) wired through extract_binary_features — the
+    same seam a PIL/ffmpeg decoder would use. Payloads are genuine WAV
+    bytes built with the stdlib wave module."""
+    import io as _io
+    import wave
+
+    from video_stream_processor_spark.llm.multimodal import (
+        WAV_FEATURE_SCHEMA,
+        extract_binary_features,
+        wav_header_decoder,
+    )
+
+    def make_wav(rate: int, channels: int, n_frames: int) -> bytes:
+        buf = _io.BytesIO()
+        with wave.open(buf, "wb") as w:
+            w.setnchannels(channels)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(b"\x01\x02" * channels * n_frames)
+        return buf.getvalue()
+
+    rows = [
+        (1, make_wav(16000, 1, 160)),
+        (2, make_wav(44100, 2, 441)),
+    ]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in extract_binary_features(
+            media, decoder=wav_header_decoder, schema=WAV_FEATURE_SCHEMA
+        ).collect()
+    }
+    assert got[1]["sample_rate"] == 16000
+    assert got[1]["n_channels"] == 1
+    assert got[1]["n_frames"] == 160
+    assert got[2]["sample_rate"] == 44100
+    assert got[2]["n_channels"] == 2
+    assert got[2]["n_frames"] == 441
+    assert all(r["tag"] == "wav" for r in got.values())
+    with pytest.raises(ValueError, match="not a RIFF/WAVE"):
+        wav_header_decoder(b"\x89PNG not a wav")
+
+
 def test_binary_payload_parquet_roundtrip(spark, docs, tmp_path):
     """L5: BinaryType survives a parquet round trip bit-exactly."""
     media = attach_payload(docs.limit(10))

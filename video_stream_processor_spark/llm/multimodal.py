@@ -64,6 +64,50 @@ def stub_decoder(payload: bytes) -> dict:
     }
 
 
+WAV_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_channels", IntegerType()),
+        StructField("n_frames", LongType()),
+        StructField("tag", StringType()),
+    ]
+)
+
+
+def wav_header_decoder(payload: bytes) -> dict:
+    """A REAL (non-stub) decoder through the same seam, dependency-free:
+    parses RIFF/WAVE fmt+data chunks with stdlib ``struct`` — the
+    integration example for wiring an actual media decoder into
+    ``extract_binary_features(decoder=..., schema=...)``. Raises
+    ValueError on non-WAV payloads (a production pipeline routes those
+    to a quarantine sink instead of crashing the batch)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos, rate, channels, bits, data_len = 12, None, None, None, None
+    while pos + 8 <= len(payload):
+        cid, clen = payload[pos : pos + 4], struct.unpack_from("<I", payload, pos + 4)[0]
+        if cid == b"fmt ":
+            channels, rate = struct.unpack_from("<HI", payload, pos + 10)
+            bits = struct.unpack_from("<H", payload, pos + 22)[0]
+        elif cid == b"data":
+            data_len = clen
+        pos += 8 + clen + (clen & 1)  # chunks are word-aligned
+    if rate is None or data_len is None:
+        raise ValueError("missing fmt/data chunk")
+    frame_bytes = channels * (bits // 8)
+    return {
+        "n_bytes": len(payload),
+        "sample_rate": rate,
+        "n_channels": channels,
+        "n_frames": data_len // frame_bytes if frame_bytes else 0,
+        "tag": "wav",
+    }
+
+
 def attach_payload(docs: DataFrame) -> DataFrame:
     """Model documents as multimodal rows: utf-8 bytes of the text as
     the opaque payload (stand-in for image/audio bytes) + metadata."""
@@ -75,13 +119,17 @@ def attach_payload(docs: DataFrame) -> DataFrame:
 
 
 def extract_binary_features(
-    media: DataFrame, decoder: Decoder = stub_decoder
+    media: DataFrame,
+    decoder: Decoder = stub_decoder,
+    schema: StructType = FEATURE_SCHEMA,
 ) -> DataFrame:
     """L5: per-batch feature extraction over the binary column.
 
     ``mapInPandas`` (not a scalar UDF) so the decoder can amortize
     per-batch setup (model load, codec context) across rows — the same
-    shape a real frame-sampler or embedder needs.
+    shape a real frame-sampler or embedder needs. ``schema`` must match
+    the decoder's output dict plus ``doc_id`` (see WAV_FEATURE_SCHEMA /
+    wav_header_decoder for a real, dependency-free decoder example).
     """
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -89,9 +137,9 @@ def extract_binary_features(
             feats = [decoder(p) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out[[f.name for f in FEATURE_SCHEMA.fields]]
+            yield out[[f.name for f in schema.fields]]
 
-    return media.mapInPandas(extract, FEATURE_SCHEMA)
+    return media.mapInPandas(extract, schema)
 
 
 FRAME_SCHEMA = StructType(
