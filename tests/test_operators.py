@@ -64,6 +64,42 @@ def test_asof_null_value_column_stays_null(spark):
     assert out[13] == (None, None)
 
 
+def test_asof_random_bulk_vs_pandas(spark):
+    """Seeded random joint distribution — many keys, duplicate
+    timestamps, NULL right values, keys missing on either side — must
+    match pandas merge_asof row-for-row. (Simultaneous right rows are
+    excluded per (k, ts): pandas keeps input order there while the
+    distributed sort needs an explicit tiebreak — covered separately.)"""
+    import random
+
+    rnd = random.Random(7)
+    lrows = [
+        (rnd.randrange(12), rnd.randrange(1000), i) for i in range(400)
+    ]
+    seen: set[tuple[int, int]] = set()
+    rrows = []
+    for j in range(200):
+        k, ts = rnd.randrange(10), rnd.randrange(1000)
+        if (k, ts) in seen:
+            continue
+        seen.add((k, ts))
+        rrows.append((k, ts, None if rnd.random() < 0.3 else f"v{j}", float(j)))
+    left = spark.createDataFrame(lrows, "k bigint, ts bigint, lid bigint")
+    right = spark.createDataFrame(rrows, "k bigint, ts bigint, v string, w double")
+    got = {
+        r["lid"]: (r["asof_v"], r["asof_w"])
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    lp = left.toPandas().sort_values("ts", kind="stable")
+    rp = right.toPandas().sort_values("ts", kind="stable")
+    exp = pd.merge_asof(lp, rp, on="ts", by="k", direction="backward")
+    assert len(got) == 400
+    for _, row in exp.iterrows():
+        v = None if pd.isna(row["v"]) else row["v"]
+        w = None if pd.isna(row["w"]) else row["w"]
+        assert got[row["lid"]] == (v, w), (row["lid"], got[row["lid"]], (v, w))
+
+
 def test_asof_tolerance_nulls_only_attached_columns(spark):
     """Stale matches null exactly the columns THIS join attached; a
     pre-existing left column sharing the prefix is untouched."""
