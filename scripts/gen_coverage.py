@@ -71,6 +71,30 @@ SUPPLEMENTAL: dict[str, list[str]] = {
 }
 
 
+# Round-1 query name → where it lives after the ≤50-entry consolidation.
+RENAMES: list[tuple[str, str]] = [
+    ("scalar_math_suite / scalar_string_suite / scalar_datetime_suite", "`scalar_suite`"),
+    ("win_ranking / win_lag_lead / win_frames", "`win_suite`"),
+    ("win_percentiles + agg_argmax", "`agg_percentile_argmax`"),
+    ("agg_rollup / agg_cube", "`agg_rollup_cube`"),
+    ("agg_approx_distinct + corpus_counts", "`agg_counts_suite` (approx now oracle-checked via error-bound boolean)"),
+    ("set_union_distinct / set_intersect_except", "`set_ops_suite`"),
+    ("join_left_outer / join_full_outer", "`join_outer_suite`"),
+    ("join_semi / join_anti", "`join_semi_anti`"),
+    ("sql_correlated_scalar_subquery / sql_exists_subquery", "`sql_subquery_suite`"),
+    ("stream_tumbling_1h / stream_sliding_1h_15m", "`stream_window_counts`"),
+    ("llm_dedup_exact / llm_dedup_canonical", "`llm_dedup_groups`"),
+    ("llm_ngram_jaccard_pairs / llm_minhash_pairs_portable / llm_simhash_pairs_portable", "`llm_near_dup_pairs` (3 labeled legs)"),
+    ("llm_langid / llm_fingerprints", "`llm_doc_annotations`"),
+    ("llm_token_counts", "`llm_text_quality` (BPE columns)"),
+    ("llm_hash_sample / llm_stratified_sample", "`llm_sampling_suite`"),
+    ("llm_frame_sample / llm_multimodal_features", "`llm_multimodal_suite`"),
+    ("llm_minhash_pairs / llm_simhash_pairs (xxhash64, rows-only)", "unregistered — bench + tests (`llm/dedup.py`)"),
+    ("scan_filter_project", "unregistered — S9/P7 via `q1_pricing_summary`; plan test + bench keep the builder"),
+    ("join_broadcast_dim", "unregistered — J1 via `join_revenue_by_nation`"),
+]
+
+
 def expand(ids_field: str) -> set[str]:
     """'F1-F14,P2' -> {'F1',...,'F14','P2'}"""
     out: set[str] = set()
@@ -115,6 +139,17 @@ def main() -> None:
             )
         print()
     print(f"**{covered}/{total} inventory IDs covered.**")
+    print()
+    print("## Round-1 → round-2 query renames")
+    print()
+    print("The registry was consolidated to ≤50 entries (all oracle-paired) so")
+    print("the driver's 50-query CORRECTNESS window covers every query. Where a")
+    print("round-1 query name appears in older VERDICT/BENCH records:")
+    print()
+    print("| round-1 query | now |")
+    print("|---|---|")
+    for old, new in RENAMES:
+        print(f"| {old} | {new} |")
 
 
 if __name__ == "__main__":
