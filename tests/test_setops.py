@@ -15,3 +15,14 @@ def test_approx_distinct_bounds(spark, sf_dir):
     for row in rows:
         assert row["exact_users"] > 0
         assert row["approx_ok"] is True, row
+
+
+def test_registry_fits_driver_window_and_is_fully_oracle_paired():
+    """The driver hash-checks the first 50 registered queries: the
+    registry must never exceed 50 entries, and every entry must carry a
+    DuckDB oracle (a rows-only entry would burn a window slot on a
+    weaker check)."""
+    specs = all_specs()
+    assert len(specs) <= 50, f"registry has {len(specs)} entries (> 50)"
+    rows_only = [n for n, s in specs.items() if s.oracle is None]
+    assert not rows_only, f"rows-only entries burn driver slots: {rows_only}"
