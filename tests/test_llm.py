@@ -95,6 +95,52 @@ def test_ivf_recall_vs_bruteforce(emb):
         assert exact_all[r["vec_id"]] == pytest.approx(r["cosine"], abs=1e-6)
 
 
+def test_kmeans_centroids_improve_and_feed_ivf(spark, sf_dir):
+    """Lloyd's k-means as iterated DataFrame rounds: mean within-cluster
+    cosine must not get worse with more rounds (Lloyd's monotonicity,
+    modulo 9dp rounding), and trained centroids must slot into ivf_topk
+    with sane recall vs the exact scan."""
+    from video_stream_processor_spark.llm.similarity import (
+        _dvec,
+        cosine,
+        cosine_topk,
+        ivf_assignments,
+        ivf_topk,
+        kmeans_centroids,
+    )
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    # quality metric: mean over vectors of max-cosine-to-any-centroid
+    def quality(cent) -> float:
+        vecs = emb.select("vec_id", _dvec("embedding").alias("v"))
+        per_vec = (
+            vecs.join(F.broadcast(cent))
+            .groupBy("vec_id")
+            .agg(F.max(cosine(F.col("v"), F.col("cv"))).alias("best"))
+        )
+        return per_vec.agg(F.avg("best")).first()[0]
+
+    q1 = quality(kmeans_centroids(emb, k=8, iters=1))
+    q3 = quality(kmeans_centroids(emb, k=8, iters=3))
+    assert q3 >= q1 - 1e-6, (q1, q3)
+
+    trained = kmeans_centroids(emb, k=8, iters=3)
+    exact = {r["vec_id"] for r in cosine_topk(emb, query_vec_id=0, k=10).collect()}
+    pruned = {
+        r["vec_id"]
+        for r in ivf_topk(
+            emb, query_vec_id=0, k=10, nprobe=4, centroids=trained
+        ).collect()
+    }
+    assert len(pruned) == 10
+    assert len(exact & pruned) / 10 >= 0.5, exact & pruned
+    # every vector lands in exactly one of the 8 cells
+    n = ivf_assignments(emb, centroids=trained).count()
+    assert n == emb.count()
+
+
 def test_multimodal_stub_and_real_decoder_seam(spark, docs):
     """L5: stub decoder features are byte-derived; the real-decoder
     seam raises NotImplementedError (no codecs in this container)."""

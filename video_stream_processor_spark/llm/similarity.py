@@ -133,12 +133,77 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def ivf_assignments(embeddings: DataFrame, n_centroids: int = 8) -> DataFrame:
-    """Assign every vector to its nearest coarse centroid (by cosine).
-    Centroids = vectors with vec_id < n_centroids — deterministic stand-
-    ins for trained k-means; the assignment join broadcasts them."""
-    cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
+def kmeans_centroids(
+    embeddings: DataFrame, k: int = 8, iters: int = 3
+) -> DataFrame:
+    """Lloyd's k-means over the embedding column, expressed as iterated
+    DataFrame rounds — the trained-centroid path for IVF (the naive
+    deterministic init, vectors with vec_id < k, is also the seed).
+
+    Each round is the classic two-step at cluster scale:
+    1. assign: broadcast the k centroids, nearest-by-cosine per vector
+       (narrow — no shuffle of the corpus);
+    2. update: posexplode assigned vectors, one (cluster, pos) hash agg
+       for the component means, collect_list back into k small arrays.
+    State between rounds is k×dim doubles — localCheckpoint locally;
+    write-to-table on a real cluster. Deterministic given the seed
+    (ties break on centroid_id; means are rounded to 9dp so float
+    summation order cannot flip later assignments)."""
+    cent = embeddings.filter(F.col("vec_id") < k).select(
         F.col("vec_id").alias("centroid_id"), _dvec("embedding").alias("cv")
+    ).localCheckpoint(eager=True)
+    vecs = embeddings.select("vec_id", _dvec("embedding").alias("v"))
+    for _ in range(iters):
+        assigned = (
+            vecs.join(F.broadcast(cent))
+            .select(
+                "vec_id",
+                "v",
+                "centroid_id",
+                F.round(cosine(F.col("v"), F.col("cv")), 9).alias("ccos"),
+            )
+            .groupBy("vec_id")
+            .agg(
+                F.max_by(
+                    "centroid_id", F.struct(F.col("ccos"), -F.col("centroid_id"))
+                ).alias("centroid_id"),
+                F.first("v").alias("v"),
+            )
+        )
+        cent = (
+            assigned.select("centroid_id", F.posexplode("v").alias("pos", "x"))
+            .groupBy("centroid_id", "pos")
+            .agg(F.round(F.avg("x"), 9).alias("m"))
+            .groupBy("centroid_id")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm")
+            )
+            .select(
+                "centroid_id",
+                F.transform(F.col("pm"), lambda s: s.getField("m")).alias("cv"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cent
+
+
+def ivf_assignments(
+    embeddings: DataFrame,
+    n_centroids: int = 8,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """Assign every vector to its nearest coarse centroid (by cosine).
+    Default centroids = vectors with vec_id < n_centroids —
+    deterministic stand-ins; pass ``kmeans_centroids(...)`` output for
+    trained cells. The assignment join broadcasts them."""
+    cent = (
+        embeddings.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), _dvec("embedding").alias("cv")
+        )
+        if centroids is None
+        else centroids
     )
     scored = embeddings.join(F.broadcast(cent)).select(
         "vec_id",
@@ -169,17 +234,24 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 8,
     nprobe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """L3 scale path: IVF-style pruned search — probe the ``nprobe``
     centroid cells nearest the query and rank only vectors assigned
     there. Returns the same shape as ``cosine_topk``; recall vs the
-    exact scan is pinned in tests."""
-    assigned = ivf_assignments(embeddings, n_centroids)
+    exact scan is pinned in tests. Pass ``kmeans_centroids(...)``
+    output as ``centroids`` for trained cells (better-balanced lists →
+    better recall at the same nprobe)."""
+    assigned = ivf_assignments(embeddings, n_centroids, centroids=centroids)
     q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
         _dvec("embedding").alias("qe")
     )
-    cent = embeddings.filter(F.col("vec_id") < n_centroids).select(
-        F.col("vec_id").alias("centroid_id"), _dvec("embedding").alias("cv")
+    cent = (
+        embeddings.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), _dvec("embedding").alias("cv")
+        )
+        if centroids is None
+        else centroids
     )
     probe = (
         cent.join(F.broadcast(q))
