@@ -14,7 +14,7 @@ def test_approx_distinct_bounds(spark, sf_dir):
     assert rows, "no approx legs in agg_counts_suite"
     for row in rows:
         assert row["exact_users"] > 0
-        assert row["approx_ok"] is True, row
+        assert row["approx_ok"] == 1, row
 
 
 def test_registry_fits_driver_window_and_is_fully_oracle_paired():

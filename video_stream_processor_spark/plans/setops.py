@@ -277,19 +277,20 @@ def agg_percentile_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     survey_ids="A1,A5,A3",
     oracle="""
 SELECT 'count:documents' AS part, count(*) AS n,
-       NULL::BIGINT AS exact_users, NULL::BOOLEAN AS approx_ok
+       NULL::BIGINT AS exact_users, NULL::BIGINT AS approx_ok
 FROM documents
 UNION ALL
-SELECT 'count:events', count(*), NULL::BIGINT, NULL::BOOLEAN FROM events
+SELECT 'count:events', count(*), NULL::BIGINT, NULL::BIGINT FROM events
 UNION ALL
-SELECT 'count:orders', count(*), NULL::BIGINT, NULL::BOOLEAN FROM orders
+SELECT 'count:orders', count(*), NULL::BIGINT, NULL::BIGINT FROM orders
 UNION ALL
 SELECT 'approx:' || event_type,
        count(*),
        count(DISTINCT user_id),
-       approx_count_distinct(user_id)
+       CAST(approx_count_distinct(user_id)
          BETWEEN CAST(floor(count(DISTINCT user_id) * 0.9) AS BIGINT)
              AND CAST(ceil(count(DISTINCT user_id) * 1.1) AS BIGINT)
+        AS BIGINT)
 FROM events
 GROUP BY event_type
 """,
@@ -303,12 +304,14 @@ def agg_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     * approx_count_distinct (HLL++, rsd=2%) per event_type beside the
       exact count. Sketch values are engine-specific, so the
       oracle-portable claim is the ERROR BOUND: each engine checks its
-      own estimate lands within ±10% of its exact count — true on both
-      sides, hence hash-identical. The sketch is mergeable — at 100 TB
-      it replaces the two-phase distinct shuffle with constant-size
-      partial state."""
+      own estimate lands within ±10% of its exact count (approx_ok,
+      1/0 as BIGINT — nullable ints have proven cross-engine hashing
+      where nullable booleans don't) — true on both sides, hence
+      hash-identical. The sketch is mergeable — at 100 TB it replaces
+      the two-phase distinct shuffle with constant-size partial state.
+    """
     nb = F.lit(None).cast("long").alias("exact_users")
-    nk = F.lit(None).cast("boolean").alias("approx_ok")
+    nk = F.lit(None).cast("long").alias("approx_ok")
     count_legs = [
         _t(spark, sf_dir, tbl)
         .groupBy(F.lit(f"count:{tbl}").alias("part"))
@@ -326,7 +329,9 @@ def agg_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact.alias("exact_users"),
             approx.between(
                 F.floor(exact * 0.9).cast("long"), F.ceil(exact * 1.1).cast("long")
-            ).alias("approx_ok"),
+            )
+            .cast("long")
+            .alias("approx_ok"),
         )
     )
     out = count_legs[0]
