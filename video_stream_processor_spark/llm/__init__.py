@@ -6,25 +6,48 @@ north-star generalization exercised over the ``documents`` and
 ``embeddings`` test tables.
 
 Modules:
-* dedup        — L1 exact/canonical dedup, L2 near-dup (n-gram Jaccard,
-                 MinHash+LSH, SimHash)
-* similarity   — L3 cosine top-k (brute force) + IVF-style pruned search
+* dedup        — L1 exact/canonical dedup, L2 near-dup (n-gram Jaccard
+                 with optional PPJoin-style prefix filtering,
+                 MinHash+LSH, SimHash), connected-component clustering
+* similarity   — L3 cosine top-k (brute force), IVF-style pruned search
+                 (naive or Lloyd's-k-means centroids), SRP-LSH pair
+                 search, int8 quantization
 * text         — L4 token/quality stats, BPE-ish token counts, language
                  ID, rolling-hash fingerprints
 * multimodal   — L5 binary payload columns + Arrow-batched feature
-                 extraction with a stubbed decoder
+                 extraction (stub decoder + a real stdlib WAV decoder)
 """
 
 from .dedup import (
     canonical_dedup_groups,
     exact_dedup_groups,
     minhash_near_dup_pairs,
+    minhash_near_dup_pairs_portable,
+    near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+    simhash_near_dup_pairs_portable,
 )
-from .similarity import cosine_topk, embedding_near_dup_pairs, ivf_topk
-from .text import doc_fingerprints, langid_confusion, text_quality_by_lang, token_counts_by_source
-from .multimodal import attach_payload, extract_binary_features
+from .similarity import (
+    cosine_topk,
+    embedding_near_dup_pairs,
+    ivf_topk,
+    kmeans_centroids,
+    quantize_embeddings,
+    srp_near_dup_pairs,
+)
+from .text import (
+    doc_fingerprints,
+    langid_confusion,
+    text_quality_by_lang,
+    token_counts_by_source,
+)
+from .multimodal import (
+    attach_payload,
+    extract_binary_features,
+    sample_frames,
+    wav_header_decoder,
+)
 
 __all__ = [
     "attach_payload",
@@ -35,10 +58,18 @@ __all__ = [
     "exact_dedup_groups",
     "extract_binary_features",
     "ivf_topk",
+    "kmeans_centroids",
     "langid_confusion",
     "minhash_near_dup_pairs",
+    "minhash_near_dup_pairs_portable",
+    "near_dup_clusters",
     "ngram_jaccard_pairs",
+    "quantize_embeddings",
+    "sample_frames",
     "simhash_near_dup_pairs",
+    "simhash_near_dup_pairs_portable",
+    "srp_near_dup_pairs",
     "text_quality_by_lang",
     "token_counts_by_source",
+    "wav_header_decoder",
 ]
