@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 
 from video_stream_processor_spark.io import load_events_stream, load_table, table_path
 from video_stream_processor_spark.streaming import (
+    closed_sessions_batch,
+    closed_user_sessions,
     running_user_totals,
     session_stats,
     sliding_counts,
@@ -329,3 +331,68 @@ def test_streaming_metrics_progress(spark, events_stream, tmp_path):
     assert progress, "no progress events recorded"
     total_in = sum(p["numInputRows"] for p in progress)
     assert total_in > 0
+
+
+def test_closed_user_sessions(spark, tmp_path):
+    """T9 (session closer): sessions emit exactly once, on close.
+    User 1 exercises the in-key-gap path (a later row for the same
+    user closes the old session); user 2 exercises the EventTimeTimeout
+    path (only OTHER users' events advance the watermark past its
+    close boundary). Closed sessions must equal the batch
+    session_window twin for every session the final watermark passed."""
+    import time
+
+    from video_stream_processor_spark.io import _normalize_events
+    from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
+
+    src_dir = tmp_path / "sess_events"
+    src_dir.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def mk(rows, name):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+        pdf.to_parquet(src_dir / name)
+
+    # batch 0: user 1 session A (2 events), user 2 session X (1 event)
+    mk(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:10:00", 1, "click", 1.0, "{}"),
+            (3, "2024-01-01 10:05:00", 2, "view", 1.0, "{}"),
+        ],
+        "a.parquet",
+    )
+    time.sleep(1.1)  # file-source orders batches by mtime
+    # batch 1: user 1 jumps past the gap -> closes session A in-key and
+    # opens session B; watermark after this batch: 12:00 - 10min = 11:50
+    # (past both A's 10:40 and X's 10:35 close boundaries).
+    mk([(4, "2024-01-01 12:00:00", 1, "click", 1.0, "{}")], "b.parquet")
+    time.sleep(1.1)
+    # batch 2: a third user far ahead -> watermark 13:50 passes B's
+    # 12:30 boundary; the no-data/timeout pass closes B and X.
+    mk([(5, "2024-01-01 14:00:00", 3, "click", 1.0, "{}")], "c.parquet")
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    sdf = closed_user_sessions(
+        _normalize_events(raw).withWatermark("ts", "10 minutes"), gap="30 minutes"
+    )
+    got, _ = run_stream_append(sdf, tmp_path)
+
+    batch = _normalize_events(
+        spark.read.schema(EVENTS_RAW_SCHEMA).parquet(str(src_dir))
+    )
+    # Final watermark (14:00 - 10min = 13:50) passed the close boundary
+    # of sessions A (10:40), X (10:35), and B (12:30) — but not user
+    # 3's (14:30), which must stay open/unemitted.
+    want = [
+        tuple(r)
+        for r in closed_sessions_batch(batch, gap="30 minutes").collect()
+        if r["user_id"] != 3
+    ]
+    assert sorted(tuple(r) for r in got) == sorted(want)
+    assert len(want) == 3  # A, B, X all present in the twin

@@ -16,4 +16,8 @@ from .analytics import (  # noqa: F401
     tumbling_stats,
     windowed_to_flat,
 )
-from .stateful import running_user_totals  # noqa: F401
+from .stateful import (  # noqa: F401
+    closed_sessions_batch,
+    closed_user_sessions,
+    running_user_totals,
+)
