@@ -390,3 +390,20 @@ def test_srp_recall_vs_exact(spark, sf_dir):
     srp = {(r.id_a, r.id_b) for r in srp_near_dup_pairs(e, threshold=0.4).collect()}
     assert srp <= exact
     assert len(srp & exact) / len(exact) >= 0.6
+
+
+def test_quantize_zero_vector_guard(spark):
+    """An all-zero embedding has max-abs scale 0; quantization must
+    yield all-zero int8s (not NaN -> ANSI cast error)."""
+    from video_stream_processor_spark.llm.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, "a", [0.5, -1.0, 0.25]), (2, "b", [0.0, 0.0, 0.0])],
+        "vec_id long, label string, embedding array<double>",
+    )
+    rows = {r["vec_id"]: r for r in quantize_embeddings(df).collect()}
+    assert rows[2]["scale"] == 0.0
+    assert rows[2]["q_sum"] == 0 and rows[2]["q_l1"] == 0
+    assert rows[2]["q_checksum"] is not None
+    # the non-zero vector is unaffected by the guard
+    assert rows[1]["q_l1"] > 0

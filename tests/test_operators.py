@@ -122,3 +122,24 @@ def test_asof_tolerance_nulls_only_attached_columns(spark):
     assert out[11] == (None, None, "keep-me")
     # lid=12: gap 50-60 = -10? left ts=50 precedes right 60 → no match
     assert out[12] == (None, None, "keep-me")
+
+
+def test_asof_tolerance_ts_out_passthrough(spark):
+    """ts_out forwarded through asof_join_tolerance attaches the
+    matched right ts and obeys the staleness rule (nulled when the
+    match is older than the tolerance)."""
+    out = {
+        r["lid"]: r["matched_at"]
+        for r in asof_join_tolerance(
+            _left(spark),
+            _right(spark),
+            on="k",
+            tolerance=F.lit(30),
+            left_ts="ts",
+            right_ts="ts",
+            ts_out="matched_at",
+        ).collect()
+    }
+    assert out[10] == 90  # fresh match keeps its right ts
+    assert out[11] is None  # stale match: ts nulled with the values
+    assert out[12] is None  # no match at all

@@ -80,7 +80,14 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     unlike round()'s half-even/half-away ambiguity."""
     v = _dvec("embedding")
     s = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    q = F.transform(v, lambda x: F.floor(x * 127.0 / s + 0.5).cast("long"))
+    # all-zero vector: scale is 0 and x/s would be NaN (ANSI cast of
+    # NaN to long throws) — quantize to all zeros instead
+    q = F.transform(
+        v,
+        lambda x: F.when(s == 0, F.lit(0))
+        .otherwise(F.floor(x * 127.0 / s + 0.5))
+        .cast("long"),
+    )
     checksum = F.aggregate(
         q,
         F.lit(0).cast("long"),

@@ -122,6 +122,7 @@ def asof_join_tolerance(
     if right_cols is None:
         right_cols = [c for c in right.columns if c not in keys and c != right_ts]
     prefix = kwargs.get("prefix", "asof_")
+    ts_out = kwargs.pop("ts_out", None)
     matched_ts_col = "__asof_matched_ts"
     joined = asof_join(
         left, right, on, left_ts, right_ts,
@@ -132,4 +133,10 @@ def asof_join_tolerance(
     out = joined
     for c in [f"{prefix}{rc}" for rc in right_cols]:
         out = out.withColumn(c, F.when(stale, F.lit(None)).otherwise(F.col(c)))
+    if ts_out is not None:
+        # the caller-requested matched-ts column obeys the same
+        # staleness rule as the attached value columns
+        out = out.withColumn(
+            ts_out, F.when(stale, F.lit(None)).otherwise(matched_ts)
+        )
     return out.drop(matched_ts_col)
