@@ -153,10 +153,13 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     per order instead of every full-width lineitem row (~4x fewer rows
     here; the win grows with lineitems-per-order at scale). The
     orderkey join then REUSES the groupBy's hash partitioning — on a
-    cluster only the orders side shuffles for it. customer/nation/
-    region are broadcast so the region filter prunes before the final
-    per-nation rollup; AQE re-plans for skew/coalescing. Results are
-    identical to the plain join→agg form (the oracle states that form).
+    cluster only the orders side shuffles for it. nation/region are
+    hint-broadcast (fixed-size dims, scale-invariant); the customer-
+    derived dim is NOT hinted — it is O(customers), so the planner/AQE
+    picks broadcast only while it actually fits under the threshold
+    (it does at every test SF) and degrades to a shuffle join at 100 TB
+    instead of OOMing the executors. Results are identical to the plain
+    join→agg form (the oracle states that form).
     """
     li = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
@@ -175,7 +178,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         li_agg.join(o, li_agg.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(dim), o.o_custkey == dim.c_custkey)
+        .join(dim, o.o_custkey == dim.c_custkey)
         .groupBy(F.col("n_name").alias("nation"))
         .agg(
             F.round(F.sum("rev"), 2).alias("revenue"),
