@@ -75,6 +75,45 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
     assert back.count() == ev.filter(F.col("event_type") == "purchase").count()
 
 
+def test_write_partitioned_file_sizing_and_clustering(spark, sf_dir, tmp_path):
+    """§4.2 output shaping: maxRecordsPerFile splits oversized output
+    files (splittable downstream scans), and cluster_by sorts within
+    partitions so parquet min/max stats are tight per file chunk."""
+    from video_stream_processor_spark.pipeline.sink import write_partitioned
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "event_type", "value")
+        .coalesce(1)
+    )
+    n = ev.count()
+    out = str(tmp_path / "ev_sized")
+    write_partitioned(
+        ev, out, fmt="parquet", max_records_per_file=n // 4 + 1,
+        cluster_by=["event_id"],
+    )
+    import glob
+
+    files = glob.glob(out + "/*.parquet")
+    assert len(files) >= 4  # one input partition still split by the cap
+    back = spark.read.parquet(out)
+    assert back.count() == n
+    # clustering: each file's event_id range is tight (disjoint-ish),
+    # so any single file spans well under the full id range
+    import pyarrow.parquet as pq
+
+    spans = []
+    for f in files:
+        m = pq.read_metadata(f)
+        lo = min(m.row_group(i).column(0).statistics.min for i in range(m.num_row_groups))
+        hi = max(m.row_group(i).column(0).statistics.max for i in range(m.num_row_groups))
+        spans.append((lo, hi))
+    spans.sort()
+    # sorted-within-partition output: consecutive files do not overlap
+    for (lo1, hi1), (lo2, hi2) in zip(spans, spans[1:]):
+        assert hi1 <= lo2
+
+
 def test_llm_text_ops_null_safe(spark):
     """Dedup/text ops must not throw on null/empty/whitespace text —
     the reality of any 100 TB crawl corpus."""

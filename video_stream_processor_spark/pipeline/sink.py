@@ -64,11 +64,30 @@ def write_json_array(
     return len(records)
 
 
-def write_partitioned(df: DataFrame, path: str, fmt: str = "parquet", partition_by: list[str] | None = None) -> None:
-    """The 100 TB sink: distributed writer, optional hive partitioning."""
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    cluster_by: list[str] | None = None,
+) -> None:
+    """The 100 TB sink: distributed writer, optional hive partitioning.
+
+    ``max_records_per_file`` caps file size (a 1000-executor job
+    writing unbounded files produces un-splittable multi-GB parquet;
+    capping keeps downstream scans parallel). ``cluster_by`` sorts
+    within partitions before writing — rows with equal/near keys land
+    in the same row groups, so parquet min/max statistics actually
+    prune and run-length/dictionary encodings compress (the cheap
+    two-thirds of a Z-order without the shuffle)."""
+    if cluster_by:
+        df = df.sortWithinPartitions(*cluster_by)
     writer = df.write.mode("overwrite")
     if partition_by:
         writer = writer.partitionBy(*partition_by)
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
     writer.format(fmt).save(path)
 
 
