@@ -75,6 +75,44 @@ def test_partition_pruning_on_partitioned_layout(spark, sf_dir, tmp_path):
     assert back.count() == ev.filter(F.col("event_type") == "purchase").count()
 
 
+def test_runtime_bloom_filter_reduces_fact_scan(spark, sf_dir):
+    """§4.2 runtime filters: when the dim side of a shuffle join has a
+    selective predicate, Spark injects a bloom filter built from the
+    dim keys into the FACT SCAN — at 100 TB this drops non-joining fact
+    rows at the scan instead of carrying them through the shuffle.
+    (Local test data is below the application-side threshold, so the
+    thresholds are lowered to expose the plan shape; broadcast joins
+    don't need it, hence autoBroadcastJoinThreshold=-1 — the exact
+    cluster regime where both sides are too big to broadcast.)"""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, sf_dir, "lineitem")
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        j = li.join(o, li.l_orderkey == o.o_orderkey).groupBy().agg(
+            F.sum("l_quantity").alias("s")
+        )
+        plan = _plan(j)
+        assert "might_contain" in plan, "runtime bloom filter not injected"
+        # the filter must sit on the lineitem (application) side scan
+        assert "bloom_filter_agg" in plan
+        # and the result is unchanged by the filter
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+        want = j.first()["s"]
+        spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        assert j.first()["s"] == want
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
 def test_write_partitioned_file_sizing_and_clustering(spark, sf_dir, tmp_path):
     """§4.2 output shaping: maxRecordsPerFile splits oversized output
     files (splittable downstream scans), and cluster_by sorts within
