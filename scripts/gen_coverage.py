@@ -39,7 +39,10 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "S4": ["sources/extractor.py YtDlpExtractor._extract_one (retry/backoff)"],
     "S5": ["sources/extractor.py YtDlpExtractor._extract_fallback (chain)"],
     "S6": ["pipeline/sink.write_json_array", "tests/test_station.py::test_station_pipeline_batch"],
-    "S7": ["pipeline/sink.foreach_batch_overwrite (checkpointed overwrite-by-batch)"],
+    "S7": [
+        "pipeline/sink.foreach_batch_overwrite (checkpointed overwrite-by-batch)",
+        "pipeline/sink.write_partitioned (maxRecordsPerFile sizing + cluster_by, tests/test_scale_paths.py)",
+    ],
     "S8": ["pipeline/sink (exceptAll change detection)", "set_ops_suite query (O7 form)"],
     "S9": ["io.load_table — every registered query scans parquet"],
     "S10": ["pipeline/sink round-trip read", "tests/test_station.py"],
@@ -50,7 +53,12 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "T4": ["sources/extractor.py YtDlpExtractor (rate cap + politeness delay params)"],
     "T5": ["streaming/analytics._maybe_watermark", "tests/test_streaming.py::test_watermark_drops_late_data"],
     "T8": ["streaming/analytics.stream_dedup", "tests/test_streaming.py::test_stream_dedup_within_watermark"],
-    "T9": ["streaming/stateful.running_user_totals", "tests/test_streaming.py::test_stateful_running_totals"],
+    "T9": [
+        "streaming/stateful.running_user_totals (+ Spark-4 transformWithStateInPandas twin)",
+        "streaming/stateful.closed_user_sessions (EventTimeTimeout session closer)",
+        "tests/test_streaming.py::test_stateful_running_totals",
+        "tests/test_streaming.py::test_closed_user_sessions",
+    ],
     "T10": ["tests/test_streaming.py::test_watermark_drops_late_data"],
     "T11": ["tests/test_streaming.py::test_streaming_metrics_progress", "pipeline observe metrics"],
     "U1": ["sources/extractor.py + pipeline/station.enrich_links", "tests/test_station.py"],
