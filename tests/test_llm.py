@@ -407,3 +407,59 @@ def test_quantize_zero_vector_guard(spark):
     assert rows[2]["q_checksum"] is not None
     # the non-zero vector is unaffected by the guard
     assert rows[1]["q_l1"] > 0
+
+
+def test_contamination_overlap_matches_bruteforce(spark, sf_dir):
+    """Decontamination: the broadcast-join overlap counts must equal a
+    brute-force Python n-gram set computation on the same docs; docs
+    shorter than n words are excluded (no shingles to leak)."""
+    from video_stream_processor_spark.llm import contamination_overlap
+    from video_stream_processor_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(300)
+    # use a slice of the corpus itself as the "benchmark": guarantees
+    # real overlap (the docs in the slice are 100% contaminated)
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    got = {
+        r["doc_id"]: r
+        for r in contamination_overlap(docs, bench, n=3, threshold=0.5).collect()
+    }
+
+    def grams(text, n=3):
+        t = [w for w in text.split(" ") if w]
+        return {" ".join(t[i : i + n]) for i in range(len(t) - n + 1)}
+
+    rows = docs.select("doc_id", "text").collect()
+    bench_set = set()
+    for r in rows:
+        if r["doc_id"] % 7 == 0:
+            bench_set |= grams(r["text"])
+    checked = 0
+    for r in rows:
+        g = grams(r["text"])
+        if not g:
+            assert r["doc_id"] not in got
+            continue
+        want_overlap = len(g & bench_set)
+        row = got[r["doc_id"]]
+        assert row["n_shingles"] == len(g), r["doc_id"]
+        assert row["n_overlap"] == want_overlap, r["doc_id"]
+        assert row["contaminated"] == (want_overlap / len(g) >= 0.5)
+        checked += 1
+    assert checked >= 250
+    # every benchmark member is fully contaminated
+    for r in rows:
+        if r["doc_id"] % 7 == 0 and grams(r["text"]):
+            assert got[r["doc_id"]]["frac_overlap"] == 1.0
+
+
+def test_contamination_overlap_plan_broadcasts_benchmark(spark, sf_dir):
+    """The benchmark side must reach the corpus via a broadcast join —
+    the training corpus never shuffles for the contamination check."""
+    from video_stream_processor_spark.llm import contamination_overlap
+    from video_stream_processor_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    plan = contamination_overlap(docs, bench)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan

@@ -20,6 +20,7 @@ Modules:
 
 from .dedup import (
     canonical_dedup_groups,
+    contamination_overlap,
     exact_dedup_groups,
     minhash_near_dup_pairs,
     minhash_near_dup_pairs_portable,
@@ -55,6 +56,7 @@ __all__ = [
     "cosine_topk",
     "doc_fingerprints",
     "embedding_near_dup_pairs",
+    "contamination_overlap",
     "exact_dedup_groups",
     "extract_binary_features",
     "ivf_topk",

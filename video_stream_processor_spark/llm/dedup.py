@@ -661,3 +661,69 @@ def near_dup_clusters(
             "rounds (component diameter exceeds the budget); raise max_iter"
         )
     return labels.select(F.col("node").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 3,
+    threshold: float = 0.05,
+) -> DataFrame:
+    """Training-set decontamination: for every training doc, the count
+    and fraction of its distinct word n-grams that also occur anywhere
+    in the benchmark/eval corpus, plus a ``contaminated`` flag at
+    ``frac_overlap >= threshold`` (the GPT-3-style n-gram overlap
+    check; n=13 in the paper, n=3 here to suit the tiny test corpus).
+
+    Scale shape — the benchmark side is eval sets, i.e. tiny next to a
+    100 TB training corpus, so it drives a BROADCAST semi-ish join:
+    1. distinct benchmark n-gram hashes (one small shuffle of the
+       benchmark only);
+    2. training docs explode to (doc_id, shingle-hash) and inner-join
+       the broadcast benchmark set — map-side, corpus never shuffles;
+    3. matched shingles only (a tiny fraction) aggregate per doc_id,
+       then join back onto the per-doc totals.
+    The training corpus is scanned once, shuffled never (the per-doc
+    totals derive map-side from the same scan via the shingle array).
+    No analog in the reference (419-line ETL, video_processor.py);
+    built for the LLM-curation surface alongside MinHash dedup.
+    """
+    tok = tokens()
+    # per-doc distinct n-gram hash array, map-side (shares the xxhash64
+    # long-hash convention of _doc_shingle_arrays: collisions p~n^2/2^65)
+    hashed = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0))),
+        lambda i: F.xxhash64(*[F.get(tok, i + j - 1) for j in range(n)]),
+    )
+    doc_arr = (
+        _spread(docs)
+        .filter(F.size(tok) >= n)
+        .select("doc_id", F.array_distinct(hashed).alias("sh_arr"))
+    )
+    bench_sh = (
+        benchmark.filter(F.size(tok) >= n)
+        .select(F.explode(F.array_distinct(hashed)).alias("sh"))
+        .distinct()
+    )
+    doc_sh = doc_arr.select("doc_id", F.explode("sh_arr").alias("sh"))
+    hits = (
+        doc_sh.join(F.broadcast(bench_sh), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        doc_arr.select("doc_id", F.size("sh_arr").alias("n_shingles"))
+        .join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.col("n_shingles"), 6
+            ).alias("frac_overlap"),
+            (
+                F.coalesce("n_overlap", F.lit(0)) / F.col("n_shingles")
+                >= F.lit(threshold)
+            ).alias("contaminated"),
+        )
+    )
