@@ -463,3 +463,23 @@ def test_contamination_overlap_plan_broadcasts_benchmark(spark, sf_dir):
     bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
     plan = contamination_overlap(docs, bench)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_contamination_hash_equals_portable(spark, sf_dir):
+    """The xxhash64 production form and the string-shingle portable
+    form compute identical overlap counts (64-bit collisions are
+    p ~ n^2/2^65 — none on this corpus)."""
+    from video_stream_processor_spark.llm import contamination_overlap
+    from video_stream_processor_spark.io import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(500)
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    h = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"])
+        for r in contamination_overlap(docs, bench, n=3).collect()
+    }
+    p = {
+        r["doc_id"]: (r["n_shingles"], r["n_overlap"])
+        for r in contamination_overlap(docs, bench, n=3, portable=True).collect()
+    }
+    assert h == p and len(h) > 100

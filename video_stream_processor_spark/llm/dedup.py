@@ -668,6 +668,7 @@ def contamination_overlap(
     benchmark: DataFrame,
     n: int = 3,
     threshold: float = 0.05,
+    portable: bool = False,
 ) -> DataFrame:
     """Training-set decontamination: for every training doc, the count
     and fraction of its distinct word n-grams that also occur anywhere
@@ -687,22 +688,32 @@ def contamination_overlap(
     totals derive map-side from the same scan via the shingle array).
     No analog in the reference (419-line ETL, video_processor.py);
     built for the LLM-curation surface alongside MinHash dedup.
+
+    ``portable=True`` keeps shingles as raw n-gram strings instead of
+    xxhash64 longs — byte-identical replayable in the DuckDB oracle
+    (the production hash form trades that for ~8-byte keys).
     """
     tok = tokens()
-    # per-doc distinct n-gram hash array, map-side (shares the xxhash64
-    # long-hash convention of _doc_shingle_arrays: collisions p~n^2/2^65)
-    hashed = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0))),
-        lambda i: F.xxhash64(*[F.get(tok, i + j - 1) for j in range(n)]),
-    )
+    if portable:
+        sh_col = word_shingles(tok, n)
+    else:
+        # per-doc distinct n-gram hash array, map-side (shares the
+        # xxhash64 long-hash convention of _doc_shingle_arrays:
+        # collisions p~n^2/2^65)
+        sh_col = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0))),
+                lambda i: F.xxhash64(*[F.get(tok, i + j - 1) for j in range(n)]),
+            )
+        )
     doc_arr = (
         _spread(docs)
         .filter(F.size(tok) >= n)
-        .select("doc_id", F.array_distinct(hashed).alias("sh_arr"))
+        .select("doc_id", sh_col.alias("sh_arr"))
     )
     bench_sh = (
         benchmark.filter(F.size(tok) >= n)
-        .select(F.explode(F.array_distinct(hashed)).alias("sh"))
+        .select(F.explode(sh_col).alias("sh"))
         .distinct()
     )
     doc_sh = doc_arr.select("doc_id", F.explode("sh_arr").alias("sh"))

@@ -408,8 +408,29 @@ WITH scored AS (
          len(list_filter({_TOKS}, x -> x IN ('le','la','et','les'))) AS s_fr,
          0 AS s_zh
   FROM documents
+), tri AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(t) - 2),
+           i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
+  FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+  WHERE len(t) >= 3
+), bset AS (
+  SELECT DISTINCT unnest(g) AS sh FROM tri WHERE doc_id % 7 = 0
+), hits AS (
+  SELECT doc_id, count(*) AS n_overlap
+  FROM (SELECT doc_id, unnest(g) AS sh FROM tri) dsh
+  JOIN bset USING (sh) GROUP BY 1
+), cont AS (
+  SELECT tri.doc_id,
+         CAST(len(g) AS BIGINT) AS n_shingles,
+         CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
+         round(coalesce(hits.n_overlap, 0) * 1.0 / len(g), 6) AS frac_overlap,
+         CAST(CASE WHEN coalesce(hits.n_overlap, 0) * 1.0 / len(g) >= 0.05
+                   THEN 1 ELSE 0 END AS BIGINT) AS contam
+  FROM tri LEFT JOIN hits USING (doc_id)
 )
-SELECT doc_id, lang,
+SELECT scored.doc_id, lang,
        CASE
          WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
               AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
@@ -428,29 +449,48 @@ SELECT doc_id, lang,
            list_transform({_TOKS},
              x -> CAST(length(x) * 31 + ascii(x) AS BIGINT))),
          (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint,
-       length(text) AS n_chars
-FROM scored
+       length(text) AS n_chars,
+       cont.n_shingles, cont.n_overlap, cont.frac_overlap, cont.contam
+FROM scored LEFT JOIN cont ON scored.doc_id = cont.doc_id
 """,
 )
 def llm_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L4 per-doc annotation pass, one narrow projection producing:
+    """L4 per-doc annotation pass producing:
 
     * F9: marker-token language prediction with fixed priority
       tie-break (labeled lang kept beside it — the grouped confusion
       matrix is one groupBy away);
     * F10: order-sensitive polynomial rolling-hash fingerprint — pure
-      integer Column arithmetic (codegen'd, no UDF).
+      integer Column arithmetic (codegen'd, no UDF);
+    * L2/L4 decontamination: trigram-overlap columns against a
+      benchmark corpus (here the doc_id % 7 == 0 slice stands in for an
+      eval set) via ``contamination_overlap`` — benchmark shingles
+      broadcast, the corpus never shuffles; docs under 3 tokens carry
+      NULLs (no shingles to leak). The portable string-shingle form is
+      registered; the xxhash64 production form is equality-pinned in
+      tests/test_llm.py.
     """
+    from ..llm.dedup import contamination_overlap
     from ..llm.text import fingerprint_col, predicted_lang
 
     docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 7 == 0).select("text")
+    cont = contamination_overlap(
+        docs, bench, n=3, threshold=0.05, portable=True
+    ).select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        "n_overlap",
+        "frac_overlap",
+        F.col("contaminated").cast("long").alias("contam"),
+    )
     return docs.select(
         "doc_id",
         "lang",
         predicted_lang().alias("predicted"),
         fingerprint_col().alias("fingerprint"),
         F.length("text").alias("n_chars"),
-    )
+    ).join(cont, "doc_id", "left")
 
 
 @register(
