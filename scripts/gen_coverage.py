@@ -73,7 +73,10 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "operators/salt.salted_join + tests/test_scale_paths.py (skew salting)",
     ],
     "J6": ["tests/test_scale_paths.py::test_stream_stream_time_range_join (watermarked stream-stream)"],
-    "L2": ["tests/test_llm.py::test_minhash_recall_vs_exact (LSH vs exact)"],
+    "L2": [
+        "tests/test_llm.py::test_minhash_recall_vs_exact (LSH vs exact)",
+        "llm/dedup.contamination_overlap (benchmark decontamination; hash==portable pinned)",
+    ],
     "L3": ["tests/test_llm.py::test_ivf_recall_vs_bruteforce"],
     "L5": ["tests/test_llm.py (decoder seam, parquet round trip)"],
 }

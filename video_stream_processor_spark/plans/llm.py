@@ -398,7 +398,7 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_doc_annotations",
-    survey_ids="L4,F9,F10",
+    survey_ids="L4,L2,F9,F10",
     oracle=f"""
 WITH scored AS (
   SELECT doc_id, lang, text,
