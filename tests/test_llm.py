@@ -483,3 +483,98 @@ def test_contamination_hash_equals_portable(spark, sf_dir):
         for r in contamination_overlap(docs, bench, n=3, portable=True).collect()
     }
     assert h == p and len(h) > 100
+
+
+def test_repetition_signals_known_values(spark):
+    """Hand-computed doc: 'a b a b c' -> 2-grams [a b, b a, a b, b c]
+    (4 grams, 3 distinct -> dup2 = 0.25); 3-grams [aba, bab, abc] all
+    distinct -> dup3 = 0; top token 'a'/'b' = 2 occ x 1 char = 2 of 5
+    chars -> 0.4. Single-token doc -> NULL gram fracs, top_char = 1."""
+    from video_stream_processor_spark.llm.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "solo")], ["doc_id", "text"]
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(df).collect()}
+    assert out[1]["n_tokens"] == 5
+    assert out[1]["dup2_frac"] == 0.25
+    assert out[1]["dup3_frac"] == 0.0
+    assert out[1]["top_char_frac"] == 0.4
+    assert out[2]["dup2_frac"] is None and out[2]["dup3_frac"] is None
+    assert out[2]["top_char_frac"] == 1.0
+
+
+def test_segment_dedup_identity_when_no_duplicates(spark, docs):
+    """With an occurrence cap no segment exceeds, every doc survives
+    intact: kept == total segments and the cleaned fingerprint equals
+    the original token stream's fingerprint."""
+    from video_stream_processor_spark.llm.dedup import segment_dedup, tokens
+    from video_stream_processor_spark.llm.text import FP_BASE, FP_MOD
+
+    out = segment_dedup(docs, seg_len=3, max_occurrences=10**9)
+    tok_val = lambda x: (F.length(x) * 31 + F.ascii(x)).cast("long")  # noqa: E731
+    orig = docs.select(
+        "doc_id",
+        F.aggregate(
+            tokens(),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * FP_BASE + tok_val(x)) % FP_MOD,
+        ).alias("fp"),
+        F.size(tokens()).cast("long").alias("n"),
+    )
+    j = out.join(orig, "doc_id").collect()
+    assert len(j) > 0
+    for r in j:
+        assert r["n_kept"] == r["n_segs"]
+        assert r["cleaned_n_tokens"] == r["n"]
+        assert r["cleaned_fp"] == r["fp"]
+
+
+def test_segment_dedup_removes_corpus_duplicates(spark):
+    """A segment pasted into 4 docs (cap 2) is cut from all of them;
+    unique segments survive; a doc that is nothing but the hot segment
+    comes back empty (0 kept, fp 0) rather than dropping out."""
+    from video_stream_processor_spark.llm.dedup import segment_dedup
+
+    hot = "x y z"
+    rows = [(i, f"{hot} u{i} v{i} w{i}") for i in range(4)]
+    rows.append((9, hot))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r for r in segment_dedup(df, 3, 2).collect()}
+    assert len(out) == 5
+    for i in range(4):
+        assert out[i]["n_segs"] == 2 and out[i]["n_kept"] == 1
+        assert out[i]["cleaned_n_tokens"] == 3
+    assert out[9]["n_kept"] == 0
+    assert out[9]["cleaned_n_tokens"] == 0 and out[9]["cleaned_fp"] == 0
+
+
+def test_segment_dedup_preserves_order(spark):
+    """Survivor segments reassemble in original position order even
+    when the removed segment sits in the middle."""
+    from video_stream_processor_spark.llm.dedup import segment_dedup, tokens
+    from video_stream_processor_spark.llm.text import FP_BASE, FP_MOD
+
+    hot = "h h h"
+    df = spark.createDataFrame(
+        [
+            (1, f"a1 a2 a3 {hot} b1 b2 b3"),
+            (2, f"c1 c2 c3 {hot} d1 d2 d3"),
+            (3, f"e1 e2 e3 {hot} f1 f2 f3"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r["doc_id"]: r for r in segment_dedup(df, 3, 2).collect()}
+    expected = spark.createDataFrame(
+        [(1, "a1 a2 a3 b1 b2 b3")], ["doc_id", "text"]
+    )
+    tok_val = lambda x: (F.length(x) * 31 + F.ascii(x)).cast("long")  # noqa: E731
+    exp_fp = expected.select(
+        F.aggregate(
+            tokens(),
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * FP_BASE + tok_val(x)) % FP_MOD,
+        ).alias("fp")
+    ).collect()[0]["fp"]
+    assert out[1]["cleaned_fp"] == exp_fp
+    assert out[1]["n_kept"] == 2 and out[1]["cleaned_n_tokens"] == 6

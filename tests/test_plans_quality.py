@@ -134,3 +134,27 @@ def test_srp_verification_broadcasts_candidates(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "llm_srp_pairs")
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_signals_zero_shuffle(spark, sf_dir):
+    """L4 repetition signals are pure map-side HOF expressions: no
+    Exchange, no Python evaluation, single scan."""
+    from video_stream_processor_spark.io import load_table
+    from video_stream_processor_spark.llm.text import repetition_signals
+
+    plan = plan_text(
+        repetition_signals(load_table(spark, sf_dir, "documents"))
+    )
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_repetition_clean_plan_shape(spark, sf_dir):
+    """The combined repetition/segment-dedup pass stays relational: no
+    cartesian product, no Python eval; the blacklist anti-join and the
+    reassembly are the only shuffles beyond the doc_id joins."""
+    plan = plan_of(spark, sf_dir, "llm_repetition_clean")
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+    # heavy-hitter blacklist must come back as an anti join
+    assert "LeftAnti" in plan

@@ -738,3 +738,101 @@ def contamination_overlap(
             ).alias("contaminated"),
         )
     )
+
+
+def segment_dedup(
+    docs: DataFrame, seg_len: int = 3, max_occurrences: int = 2
+) -> DataFrame:
+    """Corpus-level duplicate-segment removal (the C4 "dedupe repeated
+    lines/paragraphs across documents" pass, Raffel et al. 2020 §2.2):
+    split every doc into consecutive segments, count each distinct
+    segment's occurrences across the WHOLE corpus, drop segments seen
+    more than ``max_occurrences`` times, and reassemble each doc from
+    its surviving segments in original order.
+
+    Segmentation is a parameter of the op: real crawl text splits on
+    newlines (``F.split("text", "\\n")``); this corpus has none, so the
+    unit is fixed ``seg_len``-token chunks — the pipeline shape is
+    identical either way.
+
+    Scale shape (the part that matters at 100 TB):
+    1. per-doc (pos, segment) arrays derive map-side; explode — narrow;
+    2. segment counts via groupBy(segment) with map-side partial
+       aggregation — the only corpus-wide shuffle carries (segment,
+       count) partials, not documents;
+    3. the blacklist (count > max_occurrences) is the heavy-hitter
+       set — tiny relative to the corpus (dup segments are the
+       exception, not the rule), so the anti-join back onto the
+       exploded corpus is AQE-broadcastable; no second corpus shuffle
+       for counting. No forced broadcast: AQE picks from actual size.
+    4. reassembly is one groupBy(doc_id) of surviving segments
+       (array_sort on (pos, seg) structs restores order).
+
+    Output per doc: segment totals, survivor count, and the cleaned
+    token stream's length + order-sensitive polynomial fingerprint
+    (proves reassembly order without shipping full text).
+    """
+    from .text import FP_BASE, FP_MOD
+
+    tok = tokens()
+    n = F.size(tok)
+    n_segs = F.ceil(n / F.lit(float(seg_len))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), n_segs - 1),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(
+                " ", F.slice(tok, i * seg_len + 1, seg_len)
+            ).alias("seg"),
+        ),
+    )
+    ex = (
+        docs.filter(n >= 1)
+        .select("doc_id", n.cast("long").alias("n_tokens"), F.explode(segs).alias("s"))
+        .select("doc_id", "n_tokens", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
+    )
+    blacklist = (
+        ex.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .filter(F.col("n_occ") > max_occurrences)
+        .select("seg")
+    )
+    kept = ex.join(blacklist, "seg", "left_anti")
+    tok_val = lambda x: (F.length(x) * 31 + F.ascii(x)).cast("long")  # noqa: E731
+    cleaned = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda s: s["seg"],
+            ),
+        ).alias("cleaned_text"),
+    )
+    # all-segments-removed docs miss the left join -> NULL cleaned_text;
+    # coalesce so their counts/fingerprint come out 0, not NULL
+    cleaned_tok = F.filter(
+        F.split(F.coalesce("cleaned_text", F.lit("")), " "),
+        lambda x: x != "",
+    )
+    return (
+        docs.filter(n >= 1)
+        .select(
+            "doc_id",
+            n.cast("long").alias("n_tokens"),
+            n_segs.cast("long").alias("n_segs"),
+        )
+        .join(cleaned, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_segs",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.size(cleaned_tok).cast("long").alias("cleaned_n_tokens"),
+            F.aggregate(
+                cleaned_tok,
+                F.lit(0).cast("long"),
+                lambda acc, x: (acc * FP_BASE + tok_val(x)) % FP_MOD,
+            ).alias("cleaned_fp"),
+        )
+    )

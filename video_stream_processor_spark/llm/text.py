@@ -194,3 +194,62 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("source", "token", "tfidf", "rnk")
     )
+
+
+def repetition_signals(docs: DataFrame) -> DataFrame:
+    """L4 (Gopher-style repetition filters): per-doc duplicate-n-gram
+    fractions and the character share of the single most repeated
+    token — the "repetitious document" signals a training-data
+    pipeline thresholds on (Rae et al. 2021, §A1.1).
+
+    * ``dup2_frac`` / ``dup3_frac`` — fraction of word n-grams that are
+      repeats of an earlier n-gram in the same doc (NULL when the doc
+      is too short to have any).
+    * ``top_char_frac`` — max over distinct tokens of
+      (occurrences x token length) / total token chars: the char mass
+      the most dominant token accounts for.
+
+    Scale: every column is a higher-order-function expression over the
+    token array — map-side, codegen'd, zero shuffle, no Python. The
+    per-doc distinct-token scan is O(distinct x n) on arrays already in
+    memory, never a join.
+    """
+    tok = tokens()
+    n = F.size(tok)
+
+    def _gram_dup_frac(k: int) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), n - (k - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(tok, i + j) for j in range(k)]
+            ),
+        )
+        # CASE guards the descending-sequence trap: sequence(1, 0)
+        # counts DOWN in Spark, and element_at(, 0) throws under ANSI.
+        return F.when(
+            n >= k,
+            F.round(
+                (F.size(grams) - F.size(F.array_distinct(grams)))
+                / F.size(grams),
+                6,
+            ),
+        )
+
+    top_chars = F.array_max(
+        F.transform(
+            F.array_distinct(tok),
+            lambda x: F.size(F.filter(tok, lambda y: y == x)) * F.length(x),
+        )
+    )
+    total_chars = F.aggregate(
+        tok, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+    )
+    return docs.select(
+        "doc_id",
+        n.cast("long").alias("n_tokens"),
+        _gram_dup_frac(2).alias("dup2_frac"),
+        _gram_dup_frac(3).alias("dup3_frac"),
+        F.when(n >= 1, F.round(top_chars / total_chars, 6)).alias(
+            "top_char_frac"
+        ),
+    )

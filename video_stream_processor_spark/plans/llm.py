@@ -543,10 +543,7 @@ def llm_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
 
 
-@register(
-    "llm_quality_filter",
-    survey_ids="L4,P7",
-    oracle=f"""
+_QUALITY_FILTER_ORACLE = f"""
 SELECT doc_id, lang, source
 FROM documents
 WHERE length(text) BETWEEN 120 AND 450
@@ -554,8 +551,9 @@ WHERE length(text) BETWEEN 120 AND 450
   AND len(list_filter({_TOKS},
         x -> x IN ('the','a','of','and','to','in'))) * 1.0
       / len({_TOKS}) <= 0.12
-""",
-)
+"""
+
+
 def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: the training-pipeline primitive the quality profile feeds —
     keep docs passing length / lexical-diversity / stopword-ratio
@@ -572,10 +570,7 @@ def llm_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "lang", "source")
 
 
-@register(
-    "llm_near_dedup_survivors",
-    survey_ids="L1,L2,J4",
-    oracle=f"""
+_SURVIVORS_ORACLE = f"""
 WITH toks AS (
   SELECT doc_id, {_TOKS} AS t FROM documents
 ), sh AS (
@@ -601,8 +596,9 @@ WITH toks AS (
 SELECT d.doc_id, d.lang, d.source
 FROM documents d
 WHERE d.doc_id NOT IN (SELECT doc_b FROM dup_pairs)
-""",
-)
+"""
+
+
 def llm_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L1/L2 applied: the deduplicated corpus — drop every doc that is
     the higher-id member of a near-dup pair (greedy min-id survivor;
@@ -615,6 +611,115 @@ def llm_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(losers, "doc_id", "left_anti").select(
         "doc_id", "lang", "source"
     )
+
+
+@register(
+    "llm_corpus_filter_suite",
+    survey_ids="L1,L2,L4,J4,P7",
+    oracle=f"""
+SELECT 'quality' AS leg, * FROM ({_QUALITY_FILTER_ORACLE})
+UNION ALL
+SELECT 'near_dedup_survivor' AS leg, * FROM ({_SURVIVORS_ORACLE})
+""",
+)
+def llm_corpus_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union suite of the two corpus-selection primitives (identical
+    (doc_id, lang, source) schemas, tagged by leg):
+
+    * ``quality`` — L4/P7 threshold filter on length / lexical
+      diversity / stopword ratio (pure predicates, push to the scan);
+    * ``near_dedup_survivor`` — L1/L2/J4 deduplicated corpus: drop the
+      higher-id member of every exact-Jaccard near-dup pair via
+      anti-join (at scale the pair table comes from the MinHash path;
+      the oracle-checked exact pairs prove the anti-join semantics).
+    """
+    tag = lambda df, leg: df.select(  # noqa: E731
+        F.lit(leg).alias("leg"), "doc_id", "lang", "source"
+    )
+    return tag(llm_quality_filter(spark, sf_dir), "quality").unionByName(
+        tag(llm_near_dedup_survivors(spark, sf_dir), "near_dedup_survivor")
+    )
+
+
+_FPX = "CAST(length(x) * 31 + ascii(x) AS BIGINT)"
+
+
+@register(
+    "llm_repetition_clean",
+    survey_ids="L1,L4,A3,J4,F6",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, {_TOKS} AS t FROM documents WHERE len({_TOKS}) >= 1
+), rep AS (
+  SELECT doc_id,
+         CAST(len(t) AS BIGINT) AS n_tokens,
+         CASE WHEN len(t) >= 2 THEN round(
+           (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2), 6) END
+           AS dup2_frac,
+         CASE WHEN len(t) >= 3 THEN round(
+           (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3), 6) END
+           AS dup3_frac,
+         CASE WHEN len(t) >= 1 THEN round(
+           list_max(list_transform(list_distinct(t),
+             x -> len(list_filter(t, y -> y = x)) * length(x))) * 1.0
+           / list_sum(list_transform(t, x -> length(x))), 6) END
+           AS top_char_frac
+  FROM (SELECT doc_id, t,
+          list_transform(generate_series(1, len(t) - 1),
+            i -> t[i] || ' ' || t[i + 1]) AS g2,
+          list_transform(generate_series(1, len(t) - 2),
+            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g3
+        FROM toks)
+), segs AS (
+  SELECT doc_id, i AS pos,
+         array_to_string(t[(i * 3 + 1):(i * 3 + 3)], ' ') AS seg
+  FROM toks,
+       unnest(generate_series(0,
+         CAST(ceil(len(t) / 3.0) AS BIGINT) - 1)) AS u(i)
+), blk AS (
+  SELECT seg FROM segs GROUP BY 1 HAVING count(*) > 2
+), clean AS (
+  SELECT doc_id, count(*) AS n_kept,
+         array_to_string(array_agg(seg ORDER BY pos), ' ') AS cleaned_text
+  FROM segs WHERE seg NOT IN (SELECT seg FROM blk)
+  GROUP BY 1
+), out AS (
+  SELECT toks.doc_id,
+         CAST(ceil(len(t) / 3.0) AS BIGINT) AS n_segs,
+         CAST(coalesce(clean.n_kept, 0) AS BIGINT) AS n_kept,
+         list_filter(string_split(coalesce(clean.cleaned_text, ''), ' '),
+                     x -> x != '') AS ct
+  FROM toks LEFT JOIN clean USING (doc_id)
+)
+SELECT rep.doc_id, rep.n_tokens, rep.dup2_frac, rep.dup3_frac,
+       rep.top_char_frac, out.n_segs, out.n_kept,
+       CAST(len(ct) AS BIGINT) AS cleaned_n_tokens,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(ct, x -> {_FPX})),
+         (acc, x) -> (acc * 1000003 + x) % 2147483647) AS cleaned_fp
+FROM rep JOIN out ON rep.doc_id = out.doc_id
+""",
+)
+def llm_repetition_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4 repetition signals + L1 corpus segment dedup in one per-doc
+    annotation pass:
+
+    * Gopher-style ``dup2_frac``/``dup3_frac``/``top_char_frac`` —
+      map-side higher-order-function expressions, zero shuffle
+      (``repetition_signals``);
+    * C4-style duplicate-segment removal — corpus-wide segment counts
+      (one partial-agg shuffle), heavy-hitter blacklist anti-join
+      (AQE-broadcastable), ordered reassembly with a polynomial
+      fingerprint proving token order (``segment_dedup``).
+    """
+    from ..llm.dedup import segment_dedup
+    from ..llm.text import repetition_signals
+
+    docs = load_table(spark, sf_dir, "documents")
+    rep = repetition_signals(docs)
+    seg = segment_dedup(docs, seg_len=3, max_occurrences=2)
+    return rep.join(seg.drop("n_tokens"), "doc_id")
 
 
 @register(
