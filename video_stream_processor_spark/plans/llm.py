@@ -835,6 +835,14 @@ SELECT 'hash', source, NULL::BIGINT, count(*), CAST(min(doc_id) AS BIGINT)
 FROM documents
 WHERE substr(md5(text), 1, 1) IN ('0', '1', '2', '3')
 GROUP BY source
+UNION ALL
+SELECT 'split',
+       CASE WHEN b < 12 THEN 'train' WHEN b < 14 THEN 'val' ELSE 'test' END,
+       NULL::BIGINT, count(*), CAST(min(doc_id) AS BIGINT)
+FROM (SELECT doc_id,
+             strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS b
+      FROM documents)
+GROUP BY 2
 """,
 )
 def llm_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -850,6 +858,11 @@ def llm_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       membership is a pure function of content, so reruns, engines and
       partitionings all agree; grouped per source with the sampled
       count and min doc_id.
+    * 'split' (L1/L4): deterministic train/val/test assignment
+      (12/2/2 sixteenths) by the first hex digit of md5(text).
+      Hashing CONTENT, not doc_id, means byte-identical duplicates
+      always land in the same split — no train/test leakage through
+      dup pairs by construction. Map-side; one tiny 3-group agg.
     """
     from pyspark.sql import Window
 
@@ -883,7 +896,23 @@ def llm_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "extra",
         )
     )
-    return strat.unionByName(hashed)
+    b = F.conv(F.substring(F.md5("text"), 1, 1), 16, 10).cast("int")
+    split = (
+        docs.select(
+            "doc_id",
+            F.when(b < 12, "train").when(b < 14, "val").otherwise("test").alias("k"),
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n"), F.min("doc_id").alias("extra"))
+        .select(
+            F.lit("split").alias("method"),
+            "k",
+            F.lit(None).cast("long").alias("doc_id"),
+            "n",
+            "extra",
+        )
+    )
+    return strat.unionByName(hashed).unionByName(split)
 
 
 @register(
