@@ -578,3 +578,54 @@ def test_segment_dedup_preserves_order(spark):
     ).collect()[0]["fp"]
     assert out[1]["cleaned_fp"] == exp_fp
     assert out[1]["n_kept"] == 2 and out[1]["cleaned_n_tokens"] == 6
+
+
+def test_png_header_decoder_through_seam(spark):
+    """Second real decoder (image modality): a minimal in-test PNG
+    writer (correct CRCs, stdlib only) round-trips width/height/depth
+    through extract_binary_features; corrupt bytes raise."""
+    import struct
+    import zlib
+
+    from video_stream_processor_spark.llm.multimodal import (
+        PNG_FEATURE_SCHEMA,
+        extract_binary_features,
+        png_header_decoder,
+    )
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    def make_png(w: int, h: int, depth: int = 8, color: int = 2) -> bytes:
+        ihdr = struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, 0)
+        raw = b"".join(b"\x00" + b"\x80" * (w * 3) for _ in range(h))
+        return (
+            b"\x89PNG\r\n\x1a\n"
+            + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw))
+            + chunk(b"IEND", b"")
+        )
+
+    rows = [(1, make_png(32, 8)), (2, make_png(4, 4, color=6))]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in extract_binary_features(
+            media, decoder=png_header_decoder, schema=PNG_FEATURE_SCHEMA
+        ).collect()
+    }
+    assert (got[1]["width"], got[1]["height"]) == (32, 8)
+    assert got[1]["bit_depth"] == 8 and got[1]["color_type"] == 2
+    assert got[2]["color_type"] == 6
+    assert all(r["n_chunks"] == 3 and r["tag"] == "png" for r in got.values())
+    with pytest.raises(ValueError, match="not a PNG"):
+        png_header_decoder(b"RIFF not a png")
+    corrupt = bytearray(make_png(4, 4))
+    corrupt[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError, match="bad CRC"):
+        png_header_decoder(bytes(corrupt))

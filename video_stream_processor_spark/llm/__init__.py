@@ -44,6 +44,7 @@ from .text import (
     token_counts_by_source,
 )
 from .multimodal import (
+    png_header_decoder,
     attach_payload,
     extract_binary_features,
     sample_frames,
@@ -73,5 +74,6 @@ __all__ = [
     "srp_near_dup_pairs",
     "text_quality_by_lang",
     "token_counts_by_source",
+    "png_header_decoder",
     "wav_header_decoder",
 ]

@@ -108,6 +108,62 @@ def wav_header_decoder(payload: bytes) -> dict:
     }
 
 
+PNG_FEATURE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("bit_depth", IntegerType()),
+        StructField("color_type", IntegerType()),
+        StructField("n_chunks", IntegerType()),
+        StructField("tag", StringType()),
+    ]
+)
+
+
+def png_header_decoder(payload: bytes) -> dict:
+    """The image-modality counterpart of ``wav_header_decoder`` — a
+    REAL stdlib-only decoder through the same seam: validates the PNG
+    signature, walks the chunk list (verifying each chunk's CRC32 the
+    way a hardened ingest pipeline must before trusting crawled bytes),
+    and reads width/height/bit-depth/color-type out of IHDR. Raises
+    ValueError on non-PNG or corrupt payloads (route to quarantine at
+    scale, don't crash the batch)."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, meta, n_chunks = 8, None, 0
+    while pos + 8 <= len(payload):
+        clen, ctype = struct.unpack_from(">I4s", payload, pos)
+        body = payload[pos + 8 : pos + 8 + clen]
+        if len(body) < clen:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + clen)
+        if zlib.crc32(ctype + body) & 0xFFFFFFFF != crc:
+            raise ValueError(f"bad CRC in {ctype!r} chunk")
+        n_chunks += 1
+        if ctype == b"IHDR":
+            w, h, depth, color = struct.unpack_from(">IIBB", body)
+            meta = (w, h, depth, color)
+        pos += 12 + clen
+        if ctype == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("missing IHDR chunk")
+    return {
+        "n_bytes": len(payload),
+        "width": meta[0],
+        "height": meta[1],
+        "bit_depth": meta[2],
+        "color_type": meta[3],
+        "n_chunks": n_chunks,
+        "tag": "png",
+    }
+
+
 def attach_payload(docs: DataFrame) -> DataFrame:
     """Model documents as multimodal rows: utf-8 bytes of the text as
     the opaque payload (stand-in for image/audio bytes) + metadata."""
