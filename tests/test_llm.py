@@ -629,3 +629,36 @@ def test_png_header_decoder_through_seam(spark):
     corrupt[20] ^= 0xFF  # flip a byte inside IHDR -> CRC mismatch
     with pytest.raises(ValueError, match="bad CRC"):
         png_header_decoder(bytes(corrupt))
+
+
+def test_decoder_quarantine_mode(spark):
+    """on_error='quarantine': corrupt payloads become tag='error' rows
+    with NULL features instead of failing the task; good rows decode
+    normally; default mode still raises."""
+    from pyspark.errors import PySparkException
+
+    from video_stream_processor_spark.llm.multimodal import (
+        PNG_FEATURE_SCHEMA,
+        extract_binary_features,
+        png_header_decoder,
+    )
+
+    rows = [(1, b"garbage bytes"), (2, b"\x89PNG\r\n\x1a\nshort")]
+    media = spark.createDataFrame(rows, "doc_id bigint, payload binary")
+    got = {
+        r["doc_id"]: r
+        for r in extract_binary_features(
+            media,
+            decoder=png_header_decoder,
+            schema=PNG_FEATURE_SCHEMA,
+            on_error="quarantine",
+        ).collect()
+    }
+    assert got[1]["tag"] == "error" and got[1]["width"] is None
+    assert got[2]["tag"] == "error"
+    with pytest.raises(PySparkException, match="ValueError"):
+        extract_binary_features(
+            media, decoder=png_header_decoder, schema=PNG_FEATURE_SCHEMA
+        ).collect()
+    with pytest.raises(ValueError, match="on_error"):
+        extract_binary_features(media, on_error="bogus")

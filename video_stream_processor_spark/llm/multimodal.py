@@ -178,6 +178,7 @@ def extract_binary_features(
     media: DataFrame,
     decoder: Decoder = stub_decoder,
     schema: StructType = FEATURE_SCHEMA,
+    on_error: str = "raise",
 ) -> DataFrame:
     """L5: per-batch feature extraction over the binary column.
 
@@ -186,14 +187,32 @@ def extract_binary_features(
     shape a real frame-sampler or embedder needs. ``schema`` must match
     the decoder's output dict plus ``doc_id`` (see WAV_FEATURE_SCHEMA /
     wav_header_decoder for a real, dependency-free decoder example).
+
+    ``on_error='quarantine'`` is the at-scale mode: a payload the
+    decoder rejects (ValueError) yields a row with NULL features and
+    ``tag='error'`` instead of failing the whole task — one corrupt
+    crawled file must not kill a 10-GB partition. Filter
+    ``tag = 'error'`` into a quarantine sink downstream. The default
+    stays fail-fast for pipelines that prefer loud breakage.
     """
+    if on_error not in ("raise", "quarantine"):
+        raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
+    names = [f.name for f in schema.fields]
+
+    def decode_one(payload: bytes) -> dict:
+        if on_error == "raise":
+            return decoder(payload)
+        try:
+            return decoder(payload)
+        except ValueError:
+            return {n: None for n in names if n != "doc_id"} | {"tag": "error"}
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [decoder(p) for p in pdf["payload"]]
+            feats = [decode_one(p) for p in pdf["payload"]]
             out = pd.DataFrame(feats)
             out.insert(0, "doc_id", pdf["doc_id"].values)
-            yield out[[f.name for f in schema.fields]]
+            yield out[names]
 
     return media.mapInPandas(extract, schema)
 
