@@ -295,3 +295,110 @@ def test_stream_stream_time_range_join(spark, sf_dir, tmp_path):
     }
     assert want, "batch twin should produce matches"
     assert got == want
+
+
+def _with_confs(spark, confs: dict):
+    """Set runtime SQL confs, returning the previous values."""
+    old = {}
+    for k, v in confs.items():
+        old[k] = spark.conf.get(k, None)
+        spark.conf.set(k, v)
+    return old
+
+
+def _restore_confs(spark, old: dict):
+    for k, v in old.items():
+        if v is None:
+            spark.conf.unset(k)
+        else:
+            spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark):
+    """The skew story beyond explicit salting: for skew AQE can see,
+    the engine leans on OptimizeSkewedJoin — a hot key 50x the median
+    partition gets split at runtime (SortMergeJoin(skew=true) +
+    'AQEShuffleRead … skewed' in the final plan) with no manual
+    salting. Thresholds are scaled down so local data exhibits the
+    same shape a 100 TB hot key would."""
+    old = _with_confs(
+        spark,
+        {
+            "spark.sql.adaptive.enabled": "true",
+            "spark.sql.adaptive.skewJoin.enabled": "true",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "256k",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64k",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+        },
+    )
+    try:
+        hot = spark.range(100_000).select(
+            F.lit(7).alias("k"),
+            F.concat(F.lit("v" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        cold = spark.range(8_000).select(
+            (F.col("id") % 1000 + 10).alias("k"),
+            F.concat(F.lit("v" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(2_000).select(
+            (F.col("id") % 1010).alias("k"), F.col("id").alias("rv")
+        )
+        j = hot.unionAll(cold).join(right, "k")
+        n = len(j.collect())  # execute THIS plan: AQE finalizes on execution
+        assert n == 215_840
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        _restore_confs(spark, old)
+
+
+def _scan_output_rows(df) -> int:
+    """numOutputRows of the (executed) parquet scan node — rows that
+    survived row-group/page pruning, BEFORE Spark's row-level Filter."""
+    from collections import deque
+
+    q = deque([df._jdf.queryExecution().executedPlan()])
+    while q:
+        node = q.popleft()
+        if "FileSourceScan" in node.getClass().getSimpleName():
+            it = node.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numOutputRows":
+                    return kv._2().value()
+        for i in range(node.children().size()):
+            q.append(node.children().apply(i))
+    raise AssertionError("no FileSourceScan node found")
+
+
+def test_sorted_layout_enables_rowgroup_skipping(spark, tmp_path):
+    """Data layout IS a query optimization at 100 TB: the same range
+    predicate over the same rows reads orders of magnitude less when
+    files are range-clustered on the filter key (parquet min/max stats
+    skip whole row groups) than when rows are scattered. Guards the
+    write-side contract: repartitionByRange + sortWithinPartitions on
+    the hot filter key before fact-table writes."""
+    base = spark.range(300_000).select(
+        F.col("id").alias("k"), F.md5(F.col("id").cast("string")).alias("pad")
+    )
+    paths = {}
+    for layout, df in [
+        ("clustered", base.repartitionByRange(4, "k").sortWithinPartitions("k")),
+        ("scattered", base.repartition(4).sortWithinPartitions("pad")),
+    ]:
+        paths[layout] = str(tmp_path / layout)
+        # small row groups so a local file has many (stand-in for the
+        # many-row-groups-per-file shape of real fact files)
+        df.write.option("parquet.block.size", 64 * 1024).parquet(paths[layout])
+    rows = {}
+    for layout, path in paths.items():
+        rd = spark.read.parquet(path).filter(
+            (F.col("k") >= 150_000) & (F.col("k") < 151_000)
+        )
+        assert len(rd.collect()) == 1_000
+        rows[layout] = _scan_output_rows(rd)
+    assert rows["clustered"] < 10_000
+    assert rows["scattered"] > 20 * rows["clustered"], rows
