@@ -662,3 +662,47 @@ def test_decoder_quarantine_mode(spark):
         ).collect()
     with pytest.raises(ValueError, match="on_error"):
         extract_binary_features(media, on_error="bogus")
+
+
+def test_minhash_oph_recall_vs_exact(docs):
+    """One-permutation-hashing variant: precision still 1.0 (same exact
+    verification), recall vs exact Jaccard>=0.5 pairs stays high."""
+    from video_stream_processor_spark.llm.dedup import (
+        minhash_near_dup_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    exact = pairs_set(ngram_jaccard_pairs(docs, threshold=0.5))
+    oph = pairs_set(minhash_near_dup_pairs(docs, threshold=0.5, one_perm=True))
+    assert oph <= exact
+    assert exact, "fixture should contain planted near-dups"
+    recall = len(oph & exact) / len(exact)
+    assert recall >= 0.8, f"OPH recall {recall} too low"
+
+
+def test_minhash_oph_signature_properties(spark):
+    """Densified OPH signatures: no NULL slots even for tiny shingle
+    sets (rotation fills empty buckets), deterministic, and equal
+    shingle sets => equal signatures (the LSH collision invariant)."""
+    from video_stream_processor_spark.llm.dedup import (
+        _doc_shingle_arrays,
+        minhash_signatures_oph,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "alpha beta gamma delta"),  # same set as 1
+            (3, "tiny doc"),  # 1 shingle -> 31 empty buckets
+            (4, "alpha beta zeta eta theta iota"),
+        ],
+        ["doc_id", "text"],
+    )
+    sig = {
+        r["doc_id"]: tuple(r[f"h{i}"] for i in range(32))
+        for r in minhash_signatures_oph(_doc_shingle_arrays(df)).collect()
+    }
+    assert all(v is not None for s in sig.values() for v in s)
+    assert sig[1] == sig[2]
+    assert sig[1] != sig[4]
+    assert len(set(sig[3])) == 1  # one real min rotated into all slots

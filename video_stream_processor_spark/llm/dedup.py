@@ -268,11 +268,66 @@ def minhash_signatures(arr: DataFrame, k: int = MINHASH_K) -> DataFrame:
     return folded.select("doc_id", "sh_arr", *mins)
 
 
+def minhash_signatures_oph(
+    arr: DataFrame, k: int = MINHASH_K, seed: int = 77
+) -> DataFrame:
+    """One-permutation hashing (Li/Owen/Zhang 2012) with rotation
+    densification (Shrivastava/Li 2014): ONE universal-hash pass over
+    the shingle set, the k signature slots taken as per-bucket minima
+    of k disjoint mod-k hash-space buckets, and empty buckets filled
+    from the next non-empty slot to the right (cyclically).
+
+    Why it exists: ``minhash_signatures`` evaluates k=32 independent
+    hash functions per shingle — O(k·n) multiplications per doc. OPH
+    hashes each shingle ONCE (O(n) multiplications) and replaces the
+    rest with comparisons; on hash-bound corpora (long docs, big k)
+    that is the classic constant-factor win. Same map-side zero-shuffle
+    shape: every step is a higher-order-function expression of O(1)
+    plan size.
+
+    Signatures are a deterministic function of the shingle SET, so
+    identical sets collide in every band by construction; near-dup
+    recall is pinned empirically in tests (the banding collision law
+    differs slightly from k-permutation MinHash because slot emptiness
+    correlates across similar sets).
+    """
+    (a, b) = _minhash_family(1, seed)[0]
+    h1 = F.transform(
+        "sh_arr",
+        lambda x: F.pmod(F.lit(a) * _fold31(x) + F.lit(b), F.lit(_MERSENNE_P)),
+    )
+    # nullable per-bucket minima; k filter+min passes of comparisons
+    raw = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.filter(h1, lambda x: F.pmod(x, F.lit(k)) == i)
+        ),
+    )
+    slots = F.sequence(F.lit(0), F.lit(k - 1))
+    filled_idx = F.filter(slots, lambda i: F.get(raw, i).isNotNull())
+    # cyclic "next filled slot at or after i": search the index list
+    # unrolled once past k (non-empty shingle sets fill >= 1 slot)
+    wrapped = F.concat(filled_idx, F.transform(filled_idx, lambda j: j + k))
+    dense = F.transform(
+        slots,
+        lambda i: F.get(
+            raw, F.pmod(F.array_min(F.filter(wrapped, lambda j: j >= i)), F.lit(k))
+        ),
+    )
+    out = arr.select("doc_id", "sh_arr", dense.alias("__sig"))
+    return out.select(
+        "doc_id",
+        "sh_arr",
+        *[F.get("__sig", i).alias(f"h{i}") for i in range(k)],
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
     k: int = MINHASH_K,
     bands: int = MINHASH_BANDS,
+    one_perm: bool = False,
 ) -> DataFrame:
     """L2 at scale: MinHash -> LSH banding -> bucket join -> exact
     verification of candidates only.
@@ -296,13 +351,18 @@ def minhash_near_dup_pairs(
     recall on seeded near-dups). Rows-only driver check — DuckDB has
     no xxhash64 — but the exact verification makes false positives
     impossible.
+
+    ``one_perm=True`` swaps in one-permutation-hashing signatures
+    (``minhash_signatures_oph``): O(n) hashing per doc instead of
+    O(k·n) — the hash-bound-corpus variant, same downstream plan.
     """
     rows = k // bands
     # The array table feeds signature derivation AND verification;
     # materialize it once (at cluster scale: write the derived table,
     # read it twice).
     arr = _doc_shingle_arrays(docs).localCheckpoint(eager=True)
-    sig = minhash_signatures(arr, k).drop("sh_arr")
+    sig_fn = minhash_signatures_oph if one_perm else minhash_signatures
+    sig = sig_fn(arr, k).drop("sh_arr")
     band_cols = F.array(
         *[
             F.struct(
