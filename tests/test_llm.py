@@ -706,3 +706,73 @@ def test_minhash_oph_signature_properties(spark):
     assert sig[1] == sig[2]
     assert sig[1] != sig[4]
     assert len(set(sig[3])) == 1  # one real min rotated into all slots
+
+
+def test_pii_redaction_and_counts(spark):
+    """Planted PII of every kind: counts per kind on the original text,
+    redaction replaces each match with its <KIND> token, email consumed
+    before digit-run kinds, and PII-free text passes through unchanged."""
+    from video_stream_processor_spark.llm.pii import pii_count_cols, redact_pii
+
+    rows = [
+        (1, "mail bob.smith+x@sub.example.org and carol@ex.io today"),
+        (2, "cards 4111 1111 1111 1111 or 4111-2222-3333-4444 end"),
+        (3, "ssn 123-45-6789 phone 415-555-0042 ip 10.200.3.255 mix"),
+        (4, "nothing sensitive here 12345 1.2 v2.0.1"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "t"])
+    out = {
+        r["id"]: r
+        for r in df.select(
+            "id", *pii_count_cols("t"), redact_pii("t").alias("red")
+        ).collect()
+    }
+    assert (out[1]["n_email"], out[1]["red"]) == (
+        2, "mail <EMAIL> and <EMAIL> today")
+    assert (out[2]["n_card"], out[2]["red"]) == (
+        2, "cards <CARD> or <CARD> end")
+    assert (out[3]["n_ssn"], out[3]["n_phone"], out[3]["n_ipv4"]) == (1, 1, 1)
+    assert out[3]["red"] == "ssn <SSN> phone <PHONE> ip <IPV4> mix"
+    assert out[4]["red"] == rows[3][1]
+    assert all(
+        out[4][f"n_{k}"] == 0
+        for k in ("email", "card", "ssn", "phone", "ipv4")
+    )
+
+
+def test_pii_oracle_exprs_match_spark(spark):
+    """The DuckDB twins produce byte-identical counts and redacted text
+    for every pattern — the portability contract behind the registered
+    llm_doc_annotations columns."""
+    import duckdb
+    import pandas as pd
+
+    from video_stream_processor_spark.llm.pii import (
+        pii_count_cols,
+        pii_oracle_exprs,
+        redact_pii,
+    )
+
+    texts = [
+        "a@b.co c@d.org 1234 5678 9012 3456 999-99-9999",
+        "call 212.555.1234 or 212-555-9876 from 192.168.1.1",
+        "edge .5 999.999.999.999 12-34-5678 no@tld user@x.y.zz",
+        "plain text with no personal data at all",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["i", "t"])
+    mine = (
+        df.select("i", *pii_count_cols("t"), redact_pii("t").alias("red"))
+        .toPandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    counts_sql, red_sql = pii_oracle_exprs("t")
+    con = duckdb.connect()
+    con.register("tt", pd.DataFrame({"i": range(len(texts)), "t": texts}))
+    theirs = con.execute(
+        f"SELECT i, {', '.join(counts_sql)}, {red_sql} AS red "
+        "FROM tt ORDER BY i"
+    ).fetch_df()
+    con.close()
+    for col in mine.columns:
+        assert list(mine[col]) == list(theirs[col]), col

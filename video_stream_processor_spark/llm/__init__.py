@@ -14,6 +14,8 @@ Modules:
                  search, int8 quantization
 * text         — L4 token/quality stats, BPE-ish token counts, language
                  ID, rolling-hash fingerprints
+* pii          — L4 PII detection counts + redaction (codegen'd regex,
+                 Java-regex/RE2-portable patterns)
 * multimodal   — L5 binary payload columns + Arrow-batched feature
                  extraction (stub decoder + a real stdlib WAV decoder)
 """
@@ -37,6 +39,7 @@ from .similarity import (
     quantize_embeddings,
     srp_near_dup_pairs,
 )
+from .pii import PII_PATTERNS, pii_count, pii_count_cols, redact_pii
 from .text import (
     doc_fingerprints,
     langid_confusion,
@@ -67,7 +70,11 @@ __all__ = [
     "minhash_near_dup_pairs_portable",
     "near_dup_clusters",
     "ngram_jaccard_pairs",
+    "PII_PATTERNS",
+    "pii_count",
+    "pii_count_cols",
     "quantize_embeddings",
+    "redact_pii",
     "sample_frames",
     "simhash_near_dup_pairs",
     "simhash_near_dup_pairs_portable",

@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..io import load_table
+from ..llm.pii import pii_count_cols, pii_oracle_exprs, redact_pii
 from ..llm.similarity import label_centroids
 from ..llm.text import tfidf_top_terms
 from ..llm import (
@@ -396,11 +397,58 @@ def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text_quality_by_lang(load_table(spark, sf_dir, "documents"))
 
 
+# Synthetic PII injection for the doc_annotations PII leg: the corpus
+# is digit-free token soup, so both engines append one deterministic
+# doc_id-derived PII string (kind rotates by doc_id % 4) and the scrub
+# runs on that — the regexes are exercised on real matches, not all-
+# zero counts. Expressions kept literally parallel Spark <-> DuckDB.
+_PII_INJECT_SQL = """text || CASE doc_id % 4
+  WHEN 0 THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@mail.example.com'
+  WHEN 1 THEN ' call 415-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+  WHEN 2 THEN ' host 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+       || CAST(doc_id * 7 % 256 AS VARCHAR)
+  ELSE ' id 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+END"""
+_PII_COUNTS_SQL, _PII_REDACTED_SQL = pii_oracle_exprs("pii_text")
+
+
+def _pii_inject_col() -> F.Column:
+    did = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.when(
+            did % 4 == 0,
+            F.concat(F.lit(" reach user"), did.cast("string"),
+                     F.lit("@mail.example.com")),
+        )
+        .when(
+            did % 4 == 1,
+            F.concat(F.lit(" call 415-555-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0")),
+        )
+        .when(
+            did % 4 == 2,
+            F.concat(F.lit(" host 10.0."), (did % 256).cast("string"),
+                     F.lit("."), (did * 7 % 256).cast("string")),
+        )
+        .otherwise(
+            F.concat(F.lit(" id 123-45-"),
+                     F.lpad((did % 10000).cast("string"), 4, "0"))
+        ),
+    )
+
+
 @register(
     "llm_doc_annotations",
     survey_ids="L4,L2,F9,F10",
     oracle=f"""
-WITH scored AS (
+WITH pii AS (
+  SELECT doc_id, {_PII_INJECT_SQL} AS pii_text FROM documents
+), pii_cols AS (
+  SELECT doc_id, {", ".join(_PII_COUNTS_SQL)},
+         md5({_PII_REDACTED_SQL}) AS redacted_md5
+  FROM pii
+), scored AS (
   SELECT doc_id, lang, text,
          len(list_filter({_TOKS}, x -> x IN ('the','a','and','of'))) AS s_en,
          len(list_filter({_TOKS}, x -> x IN ('der','die','und','nicht'))) AS s_de,
@@ -450,8 +498,12 @@ SELECT scored.doc_id, lang,
              x -> CAST(length(x) * 31 + ascii(x) AS BIGINT))),
          (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint,
        length(text) AS n_chars,
-       cont.n_shingles, cont.n_overlap, cont.frac_overlap, cont.contam
-FROM scored LEFT JOIN cont ON scored.doc_id = cont.doc_id
+       cont.n_shingles, cont.n_overlap, cont.frac_overlap, cont.contam,
+       pii_cols.n_email, pii_cols.n_card, pii_cols.n_ssn,
+       pii_cols.n_phone, pii_cols.n_ipv4, pii_cols.redacted_md5
+FROM scored
+LEFT JOIN cont ON scored.doc_id = cont.doc_id
+JOIN pii_cols ON scored.doc_id = pii_cols.doc_id
 """,
 )
 def llm_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -469,6 +521,10 @@ def llm_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
       NULLs (no shingles to leak). The portable string-shingle form is
       registered; the xxhash64 production form is equality-pinned in
       tests/test_llm.py.
+    * L4 PII scrub: per-kind ``regexp_count`` columns plus the md5 of
+      the fully redacted text (``llm/pii.py``) over deterministically
+      injected synthetic PII — all codegen'd regex projections, no
+      shuffle added (the join below is on doc_id like the others).
     """
     from ..llm.dedup import contamination_overlap
     from ..llm.text import fingerprint_col, predicted_lang
@@ -484,13 +540,24 @@ def llm_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "frac_overlap",
         F.col("contaminated").cast("long").alias("contam"),
     )
-    return docs.select(
+    pii = docs.select(
+        "doc_id", _pii_inject_col().alias("pii_text")
+    ).select(
         "doc_id",
-        "lang",
-        predicted_lang().alias("predicted"),
-        fingerprint_col().alias("fingerprint"),
-        F.length("text").alias("n_chars"),
-    ).join(cont, "doc_id", "left")
+        *pii_count_cols("pii_text"),
+        F.md5(redact_pii("pii_text")).alias("redacted_md5"),
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            predicted_lang().alias("predicted"),
+            fingerprint_col().alias("fingerprint"),
+            F.length("text").alias("n_chars"),
+        )
+        .join(cont, "doc_id", "left")
+        .join(pii, "doc_id")
+    )
 
 
 @register(
