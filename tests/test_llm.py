@@ -504,6 +504,38 @@ def test_repetition_signals_known_values(spark):
     assert out[2]["top_char_frac"] == 1.0
 
 
+def test_unigram_lm_bits_known_values(spark):
+    """Hand-computed 6-token corpus: counts a=3, b=2, c=1, total=6.
+    bits(tok) = -log2(cnt/6). Doc1 'a a a' -> bits = log2(2) = 1.0;
+    doc2 'b b' -> log2(3); doc3 'c' -> log2(6); doc4 '' drops out.
+    Buckets (3 scored docs, ascending bits): doc1=head, doc2=middle,
+    doc3=tail."""
+    import math
+
+    from video_stream_processor_spark.llm.text import (
+        unigram_lm_bits,
+        unigram_lm_by_lang,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a", "en"), (2, "b b", "en"), (3, "c", "de"), (4, "", "de")],
+        ["doc_id", "text", "lang"],
+    )
+    bits = {r["doc_id"]: r for r in unigram_lm_bits(df).collect()}
+    assert set(bits) == {1, 2, 3}  # empty doc unscoreable
+    assert abs(bits[1]["bits_per_token"] - 1.0) < 1e-12
+    assert abs(bits[2]["bits_per_token"] - math.log2(3)) < 1e-12
+    assert abs(bits[3]["bits_per_token"] - math.log2(6)) < 1e-12
+    assert bits[1]["n_tokens"] == 3
+
+    agg = {r["lang"]: r for r in unigram_lm_by_lang(df).collect()}
+    assert (agg["en"]["n_head"], agg["en"]["n_middle"], agg["en"]["n_tail"]) == (
+        1, 1, 0)
+    assert (agg["de"]["n_head"], agg["de"]["n_middle"], agg["de"]["n_tail"]) == (
+        0, 0, 1)
+    assert agg["de"]["avg_bits_per_token"] == round(math.log2(6), 6)
+
+
 def test_segment_dedup_identity_when_no_duplicates(spark, docs):
     """With an occurrence cap no segment exceeds, every doc survives
     intact: kept == total segments and the cleaned fingerprint equals

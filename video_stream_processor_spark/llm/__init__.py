@@ -45,6 +45,8 @@ from .text import (
     langid_confusion,
     text_quality_by_lang,
     token_counts_by_source,
+    unigram_lm_bits,
+    unigram_lm_by_lang,
 )
 from .multimodal import (
     png_header_decoder,
@@ -81,6 +83,8 @@ __all__ = [
     "srp_near_dup_pairs",
     "text_quality_by_lang",
     "token_counts_by_source",
+    "unigram_lm_bits",
+    "unigram_lm_by_lang",
     "png_header_decoder",
     "wav_header_decoder",
 ]

@@ -196,6 +196,74 @@ def tfidf_top_terms(docs: DataFrame, k: int = 5) -> DataFrame:
     )
 
 
+def unigram_lm_bits(docs: DataFrame) -> DataFrame:
+    """L4 (CCNet-style LM quality scoring, Wenzek et al. 2020 §4.3):
+    per-doc cross-entropy in bits/token under the corpus's OWN unigram
+    language model — the deterministic stand-in for CCNet's external
+    KenLM perplexity (no model artifacts in this container), preserving
+    the pipeline shape: train LM on corpus -> score every doc -> bucket
+    into head/middle/tail.
+
+    Plan (what holds at 100 TB):
+    1. one explode of the token arrays;
+    2. vocab = groupBy(token).count() — the LM "training" shuffle, with
+       map-side partial aggregation;
+    3. total token count joins as a broadcast 1-row aggregate (lazy —
+       same pattern as ``tfidf_top_terms``'s n_sources);
+    4. scoring re-reads the exploded tokens and BROADCASTS the vocab
+       onto them (a unigram vocab is bounded by distinct tokens —
+       megabytes even for web-scale corpora once min-count trimmed), so
+       the corpus itself is never shuffled for scoring;
+    5. the per-doc avg groupBy shuffles ~1 row per doc (partial agg).
+
+    Empty docs drop out at the explode (no tokens to score) — exactly
+    the docs a perplexity filter cannot rank.
+    """
+    ex = docs.select("doc_id", "lang", F.explode(tokens()).alias("token"))
+    vocab = ex.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").cast("double").alias("__total_tokens"))
+    return (
+        ex.join(F.broadcast(vocab), "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.avg(-F.log2(F.col("cnt") / F.col("__total_tokens"))).alias(
+                "bits_per_token"
+            ),
+        )
+    )
+
+
+def unigram_lm_by_lang(docs: DataFrame) -> DataFrame:
+    """Per-lang rollup of ``unigram_lm_bits`` plus the CCNet
+    head/middle/tail split: ntile(3) over ALL scored docs ordered by
+    rounded bits/token (round-6 first, then doc_id — the rounding makes
+    the sort key bit-identical across engines, so the bucket boundary
+    can never sit on a float-noise tie), then per-lang bucket counts:
+    which languages contribute "head" (most predictable) vs "tail"
+    documents to a training mix.
+
+    Scale note: the global ntile is a single-partition window over ONE
+    ROW PER DOC (not the corpus rows); at extreme scale the same split
+    comes from two approx-quantile thresholds instead — the output
+    contract (3 near-equal buckets) is unchanged.
+    """
+    from pyspark.sql import Window
+
+    bits = unigram_lm_bits(docs)
+    w = Window.orderBy(F.round("bits_per_token", 6), "doc_id")
+    bucketed = bits.withColumn("bucket", F.ntile(3).over(w))
+    return bucketed.groupBy("lang").agg(
+        F.round(F.avg("bits_per_token"), 6).alias("avg_bits_per_token"),
+        F.round(F.min("bits_per_token"), 6).alias("min_bits_per_token"),
+        F.round(F.max("bits_per_token"), 6).alias("max_bits_per_token"),
+        F.sum((F.col("bucket") == 1).cast("long")).alias("n_head"),
+        F.sum((F.col("bucket") == 2).cast("long")).alias("n_middle"),
+        F.sum((F.col("bucket") == 3).cast("long")).alias("n_tail"),
+    )
+
+
 def repetition_signals(docs: DataFrame) -> DataFrame:
     """L4 (Gopher-style repetition filters): per-doc duplicate-n-gram
     fractions and the character share of the single most repeated

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..llm.pii import pii_count_cols, pii_oracle_exprs, redact_pii
 from ..llm.similarity import label_centroids
-from ..llm.text import tfidf_top_terms
+from ..llm.text import tfidf_top_terms, unigram_lm_by_lang
 from ..llm import (
     attach_payload,
     canonical_dedup_groups,
@@ -375,8 +375,8 @@ WITH per_doc AS (
          len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
            AS n_bpe
   FROM documents
-)
-SELECT lang, count(*) AS n_docs,
+), quality AS (
+  SELECT lang, count(*) AS n_docs,
        round(avg(n_chars), 6) AS avg_chars,
        round(avg(n_tokens), 6) AS avg_tokens,
        round(avg(n_distinct_tokens), 6) AS avg_distinct_tokens,
@@ -386,15 +386,50 @@ SELECT lang, count(*) AS n_docs,
        min(n_bpe) AS min_bpe,
        max(n_bpe) AS max_bpe,
        round(avg(n_bpe), 6) AS avg_bpe
-FROM per_doc GROUP BY lang
+  FROM per_doc GROUP BY lang
+), ex AS (
+  SELECT doc_id, lang, unnest({_TOKS}) AS token FROM documents
+), vocab AS (
+  SELECT token, count(*) AS cnt FROM ex GROUP BY token
+), tot AS (
+  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab
+), bits AS (
+  SELECT ex.doc_id, ex.lang,
+         avg(-log2(vocab.cnt / tot.total)) AS bits_per_token
+  FROM ex JOIN vocab USING (token), tot
+  GROUP BY ex.doc_id, ex.lang
+), bucketed AS (
+  SELECT lang, bits_per_token,
+         ntile(3) OVER (ORDER BY round(bits_per_token, 6), doc_id) AS bucket
+  FROM bits
+), lm AS (
+  SELECT lang,
+         round(avg(bits_per_token), 6) AS avg_bits_per_token,
+         round(min(bits_per_token), 6) AS min_bits_per_token,
+         round(max(bits_per_token), 6) AS max_bits_per_token,
+         CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_head,
+         CAST(sum(CASE WHEN bucket = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_middle,
+         CAST(sum(CASE WHEN bucket = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_tail
+  FROM bucketed GROUP BY lang
+)
+SELECT quality.*, lm.avg_bits_per_token, lm.min_bits_per_token,
+       lm.max_bits_per_token, lm.n_head, lm.n_middle, lm.n_tail
+FROM quality JOIN lm USING (lang)
 """,
 )
 def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """L4: quality-scoring profile per lang (length / diversity /
-    stopword ratios — the thresholds a data pipeline filters on) plus
-    the BPE-ish pre-tokenizer token budget per stratum (F6), one
-    per-doc pass + one small groupBy."""
-    return text_quality_by_lang(load_table(spark, sf_dir, "documents"))
+    stopword ratios — the thresholds a data pipeline filters on), the
+    BPE-ish pre-tokenizer token budget per stratum (F6), and the
+    CCNet-style unigram-LM leg (``llm/text.py``
+    ``unigram_lm_by_lang``): per-lang bits/token under the corpus's
+    own unigram LM plus head/middle/tail bucket counts from a global
+    ntile(3) over rounded per-doc scores. Every lang has scored docs in
+    this corpus, so the lang-key join adds no rows and broadcasts."""
+    docs = load_table(spark, sf_dir, "documents")
+    return text_quality_by_lang(docs).join(
+        F.broadcast(unigram_lm_by_lang(docs)), "lang"
+    )
 
 
 # Synthetic PII injection for the doc_annotations PII leg: the corpus
