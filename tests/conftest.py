@@ -21,6 +21,17 @@ SF_DIR = os.environ.get("VSP_TEST_SF_DIR", "/root/testdata/sf0.001")
 @pytest.fixture(scope="session")
 def spark():
     session = get_spark(app_name="vsp-tests", cpus=8, shuffle_partitions=8)
+    # Fixture-drift smoke probe: analyzing the events load catches an
+    # on-disk type change (e.g. ns→µs regeneration) in the FIRST test
+    # run, not in the driver's correctness run. Schema-only — no job.
+    from video_stream_processor_spark.io import load_table
+
+    probe = load_table(session, SF_DIR, "events")
+    assert "ts_ns" in probe.columns, "events normalization lost ts_ns"
+    assert dict(probe.dtypes)["ts"] == "timestamp", (
+        f"events.ts normalized to {dict(probe.dtypes)['ts']!r}, expected "
+        "'timestamp' — fixture encoding drifted; fix io._normalize_events"
+    )
     yield session
 
 

@@ -153,7 +153,7 @@ def test_watermark_drops_late_data(spark, tmp_path):
 
     def mk(rows, name):
         pdf = pd.DataFrame(rows, columns=cols)
-        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
         pdf.to_parquet(src_dir / name)
 
     # batch 0: events at 10:00 and 14:00 (wm stays at epoch for batch 0)
@@ -351,7 +351,7 @@ def test_closed_user_sessions(spark, tmp_path):
 
     def mk(rows, name):
         pdf = pd.DataFrame(rows, columns=cols)
-        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[ns]")
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
         pdf.to_parquet(src_dir / name)
 
     # batch 0: user 1 session A (2 events), user 2 session X (1 event)

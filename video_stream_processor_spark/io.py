@@ -21,15 +21,27 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def _normalize_events(raw: DataFrame) -> DataFrame:
-    """events.ts is stored as parquet TIMESTAMP(NANOS) → int64 nanos
-    under nanosAsLong. Expose ``ts`` as TimestampType (micros, floor —
-    matches DuckDB epoch_us) and keep exact nanos as ``ts_ns``."""
-    if dict(raw.dtypes).get("ts") != "bigint":
-        # Exact integer path: unix_micros * 1000 — a double round-trip
-        # (cast(double) * 1e9) loses ~100s of ns at current epochs.
-        return raw.withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
-    return raw.withColumn("ts_ns", F.col("ts")).withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000"))
+    """Normalize ``events.ts`` regardless of its on-disk encoding.
+
+    The fixture has shipped as parquet TIMESTAMP(NANOS) (read as int64
+    under nanosAsLong) and as TIMESTAMP(MICROS, isAdjustedToUTC=false)
+    (read as TIMESTAMP_NTZ). Expose ``ts`` as TimestampType (micros,
+    UTC — the session tz is pinned UTC so the NTZ cast is exact and
+    tz-independent, matching DuckDB's naive-UTC rendering) and keep
+    integer epoch nanos as ``ts_ns``. Exact integer path throughout:
+    a double round-trip (cast(double)*1e9) loses ~100s of ns."""
+    dtype = dict(raw.dtypes).get("ts")
+    if dtype == "bigint":  # TIMESTAMP(NANOS) via nanosAsLong
+        return raw.withColumn("ts_ns", F.col("ts")).withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    ts = F.col("ts")
+    if dtype == "timestamp_ntz":
+        # unix_micros requires TIMESTAMP; with session tz UTC the cast
+        # is a pure re-tag (no wall-clock shift).
+        ts = ts.cast("timestamp")
+    return raw.withColumn("ts", ts).withColumn(
+        "ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000)
     )
 
 

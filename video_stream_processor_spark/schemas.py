@@ -87,12 +87,14 @@ LINEITEM_SCHEMA = _struct(
     ("l_shipdate", T.TimestampNTZType()),
 )
 
-# On-disk shape: ts is parquet TIMESTAMP(NANOS) → read as int64 nanos
-# under spark.sql.legacy.parquet.nanosAsLong (session.py). This is the
-# schema for *raw* reads (incl. readStream, which must declare it).
+# On-disk shape (verified via pyarrow.parquet.read_schema, 2026-08-13):
+# ts is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
+# TIMESTAMP_NTZ. This is the schema for *raw* reads (incl. readStream,
+# which must declare it); io._normalize_events handles older nanos
+# fixtures read as bigint too.
 EVENTS_RAW_SCHEMA = _struct(
     ("event_id", T.LongType()),
-    ("ts", T.LongType()),  # epoch nanos
+    ("ts", T.TimestampNTZType()),
     ("user_id", T.LongType()),
     ("event_type", T.StringType()),
     ("value", T.DoubleType()),

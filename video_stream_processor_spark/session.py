@@ -26,11 +26,14 @@ Config rationale (written for the 100 TB target, exercised on local[N]):
 
 from __future__ import annotations
 
+import logging
 import os
 import tempfile
 import zipfile
 
 from pyspark.sql import SparkSession
+
+log = logging.getLogger(__name__)
 
 # Confs that are runtime-settable and required for correct/deterministic
 # results regardless of who built the session (e.g. the driver harness).
@@ -75,8 +78,9 @@ def _ship_package(spark: SparkSession) -> None:
                     zf.write(full, rel)
     try:
         spark.sparkContext.addPyFile(zip_path)
-    except Exception:
-        pass  # e.g. Spark Connect — workers then need PYTHONPATH instead
+    except Exception as exc:
+        # e.g. Spark Connect — workers then need PYTHONPATH instead
+        log.warning("addPyFile(%s) failed: %s", zip_path, exc)
     _shipped_sessions.add(key)
 
 
@@ -85,10 +89,11 @@ def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     for key, value in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(key, value)
-        except Exception:
+        except Exception as exc:
             # Static conf on this build — get_spark() sets it at build
-            # time; an externally built session keeps its value.
-            pass
+            # time; an externally built session keeps its value. Name
+            # the key so environment drift is loud, not silent.
+            log.warning("runtime conf %s=%s not applied: %s", key, value, exc)
     _ship_package(spark)
     return spark
 
