@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .dedup import tokens
+from .dedup import _memo_checkpoint, tokens
 
 STOPWORDS = ["the", "a", "of", "and", "to", "in"]
 
@@ -205,32 +205,52 @@ def unigram_lm_bits(docs: DataFrame) -> DataFrame:
     into head/middle/tail.
 
     Plan (what holds at 100 TB):
-    1. one explode of the token arrays;
-    2. vocab = groupBy(token).count() — the LM "training" shuffle, with
-       map-side partial aggregation;
+    1. ONE explode of the token arrays into per-doc term frequencies
+       (groupBy(doc_id, lang, token).count()) — the only scan of the
+       corpus. The tf exchange is the shared spine of the plan: the
+       vocab build and the scoring join both read it, and Catalyst's
+       ReusedExchange makes the tokenize+explode run ONCE (the naive
+       two-subtree form re-tokenized the whole corpus for scoring);
+    2. vocab = tf.groupBy(token).sum — the LM "training" shuffle over
+       (doc, token) pairs, already deduplicated per doc;
     3. total token count joins as a broadcast 1-row aggregate (lazy —
        same pattern as ``tfidf_top_terms``'s n_sources);
-    4. scoring re-reads the exploded tokens and BROADCASTS the vocab
-       onto them (a unigram vocab is bounded by distinct tokens —
-       megabytes even for web-scale corpora once min-count trimmed), so
-       the corpus itself is never shuffled for scoring;
-    5. the per-doc avg groupBy shuffles ~1 row per doc (partial agg).
+    4. scoring BROADCASTS the vocab back onto the tf rows (a unigram
+       vocab is bounded by distinct tokens — megabytes even for
+       web-scale corpora once min-count trimmed), so the corpus itself
+       is never shuffled for scoring; the per-instance average is the
+       tf-weighted average over distinct terms;
+    5. the per-doc agg shuffles ~1 row per doc (partial agg).
 
     Empty docs drop out at the explode (no tokens to score) — exactly
     the docs a perplexity filter cannot rank.
     """
     ex = docs.select("doc_id", "lang", F.explode(tokens()).alias("token"))
-    vocab = ex.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # Materialize the tf spine once (memoized per session/plan): the
+    # vocab build and the scoring join both read it, so the corpus is
+    # tokenized exactly once — at cluster scale, "write the tf table,
+    # read it twice".
+    tf = _memo_checkpoint(
+        ex.groupBy("doc_id", "lang", "token").agg(
+            F.count(F.lit(1)).alias("tf")
+        ),
+        "unigram_tf",
+    )
+    vocab = tf.groupBy("token").agg(F.sum("tf").alias("cnt"))
     total = vocab.agg(F.sum("cnt").cast("double").alias("__total_tokens"))
     return (
-        ex.join(F.broadcast(vocab), "token")
+        tf.join(F.broadcast(vocab), "token")
         .crossJoin(F.broadcast(total))
         .groupBy("doc_id", "lang")
         .agg(
-            F.count(F.lit(1)).cast("long").alias("n_tokens"),
-            F.avg(-F.log2(F.col("cnt") / F.col("__total_tokens"))).alias(
-                "bits_per_token"
-            ),
+            F.sum("tf").cast("long").alias("n_tokens"),
+            (
+                F.sum(
+                    F.col("tf")
+                    * -F.log2(F.col("cnt") / F.col("__total_tokens"))
+                )
+                / F.sum("tf")
+            ).alias("bits_per_token"),
         )
     )
 

@@ -389,15 +389,18 @@ WITH per_doc AS (
   FROM per_doc GROUP BY lang
 ), ex AS (
   SELECT doc_id, lang, unnest({_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, lang, token, count(*) AS tf FROM ex
+  GROUP BY doc_id, lang, token
 ), vocab AS (
-  SELECT token, count(*) AS cnt FROM ex GROUP BY token
+  SELECT token, sum(tf) AS cnt FROM tf GROUP BY token
 ), tot AS (
   SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM vocab
 ), bits AS (
-  SELECT ex.doc_id, ex.lang,
-         avg(-log2(vocab.cnt / tot.total)) AS bits_per_token
-  FROM ex JOIN vocab USING (token), tot
-  GROUP BY ex.doc_id, ex.lang
+  SELECT tf.doc_id, tf.lang,
+         sum(tf * -log2(vocab.cnt / tot.total)) / sum(tf) AS bits_per_token
+  FROM tf JOIN vocab USING (token), tot
+  GROUP BY tf.doc_id, tf.lang
 ), bucketed AS (
   SELECT lang, bits_per_token,
          ntile(3) OVER (ORDER BY round(bits_per_token, 6), doc_id) AS bucket
