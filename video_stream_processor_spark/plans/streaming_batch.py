@@ -171,6 +171,81 @@ def stream_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_watermark_late_drop",
+    survey_ids="T5,T10,W3",
+    oracle="""
+WITH arr AS (
+  SELECT event_id, event_type, value, epoch_ns(ts) AS tsn,
+         epoch_ns(ts) + (event_id * 2654435761) % 1200 * 1000000000 AS ak
+  FROM events
+), tagged AS (
+  SELECT tsn, event_type, value,
+         CASE WHEN max(tsn) OVER (ORDER BY ak, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR tsn >= max(tsn) OVER (ORDER BY ak, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                - 600000000000
+              THEN 1 ELSE 0 END AS kept
+  FROM arr
+)
+SELECT tsn // 3600000000000 * 3600 AS win_start,
+       event_type,
+       CAST(sum(kept) AS BIGINT) AS n_events,
+       round(sum(CASE WHEN kept = 1 THEN value ELSE 0.0 END), 2) AS sum_value,
+       CAST(sum(1 - kept) AS BIGINT) AS n_late_dropped
+FROM tagged
+GROUP BY 1, 2
+""",
+)
+def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/T10 driver evidence: watermark late-data semantics as a
+    deterministic batch replay (the streaming engine's actual behavior
+    is proven stream-side in tests/test_streaming.py::
+    test_watermark_drops_late_data; this is its oracle-checkable twin).
+
+    The fixture arrives ordered by event time, so lateness is injected
+    with a deterministic per-event arrival jitter of 0-20 minutes
+    (identical arithmetic in both engines). Replay semantics = the
+    1-row-micro-batch limit of Spark's rule: the watermark is
+    max(event time seen so far) - delay (10 min), and a row whose
+    event time is older than the watermark at its arrival is dropped.
+    Survivors aggregate into 1h tumbling windows; each window also
+    reports how many of its rows were late-dropped.
+
+    Scale note: the running max is a single global ordered window —
+    right for an oracle-evidence query (arrival order is inherently a
+    global sequence), but at 100 TB this form is a backfill audit run
+    per arrival segment; the production path is the streaming engine's
+    own watermark (``withWatermark``), which tracks the max per trigger
+    without any global sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    ak = (
+        F.col("ts_ns")
+        + F.col("event_id") * F.lit(2654435761) % 1200 * F.lit(1_000_000_000)
+    )
+    w = Window.orderBy(ak, "event_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wm0 = F.max("ts_ns").over(w)
+    kept = (
+        F.when(wm0.isNull() | (F.col("ts_ns") >= wm0 - F.lit(600_000_000_000)), 1)
+        .otherwise(0)
+    )
+    tagged = ev.select("ts_ns", "event_type", "value", kept.alias("kept"))
+    return tagged.groupBy(
+        (F.expr("ts_ns div 3600000000000") * 3600).alias("win_start"),
+        "event_type",
+    ).agg(
+        F.sum("kept").cast("bigint").alias("n_events"),
+        F.round(
+            F.sum(F.when(F.col("kept") == 1, F.col("value")).otherwise(0.0)), 2
+        ).alias("sum_value"),
+        F.sum(1 - F.col("kept")).cast("bigint").alias("n_late_dropped"),
+    )
+
+
+@register(
     "stream_static_join_categories",
     survey_ids="J8,J1,A3",
     oracle="""
