@@ -158,3 +158,42 @@ def test_repetition_clean_plan_shape(spark, sf_dir):
     assert "Python" not in plan
     # heavy-hitter blacklist must come back as an anti join
     assert "LeftAnti" in plan
+
+
+def test_doc_chunking_map_side_only(spark, sf_dir):
+    """L4 chunking ('chunk' leg of llm_sampling_suite) is one scan:
+    slice+hash inside the per-row transform before the explode — no
+    Exchange, no Python, and the explode emits only (ids, count,
+    digest), never replicated text."""
+    from video_stream_processor_spark.plans.llm import llm_doc_chunking
+
+    plan = plan_text(llm_doc_chunking(spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    assert "Generate" in plan and "explode(" in plan
+
+
+def test_source_mixing_broadcasts_rates(spark, sf_dir):
+    """L4 source mixing ('mix' leg of llm_sampling_suite): the
+    per-source rate table joins onto the corpus as a BROADCAST (the
+    corpus itself must never shuffle for the sampling pass)."""
+    from video_stream_processor_spark.plans.llm import llm_source_mixing
+
+    plan = plan_text(llm_source_mixing(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Python" not in plan
+
+
+def test_watermark_replay_single_window(spark, sf_dir):
+    """T5/T10 replay ('tumbling_1h_wm10m' leg of stream_window_counts):
+    one global ordered window (the arrival sequence) then one hash
+    aggregate — no join, no Python."""
+    from video_stream_processor_spark.plans.streaming_batch import (
+        stream_watermark_late_drop,
+    )
+
+    plan = plan_text(stream_watermark_late_drop(spark, sf_dir))
+    assert plan.count("Window") >= 1
+    assert "Join" not in plan
+    assert "Python" not in plan

@@ -924,13 +924,33 @@ def llm_srp_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_sampling_suite",
-    survey_ids="L4,W1,L1,A3,P7",
-    oracle="""
+    survey_ids="L4,W1,L1,A3,P7,U3,F12",
+    oracle=f"""
 WITH ranked AS (
   SELECT lang, doc_id, n_chars,
          row_number() OVER (PARTITION BY lang ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
            AS rk
   FROM documents
+), counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), tot AS (
+  SELECT CAST(sum(n_docs) AS DOUBLE) AS n_total,
+         sum(sqrt(n_docs)) AS w_total
+  FROM counts
+), rates AS (
+  SELECT source,
+         CAST(floor(
+           round(least(1.0, sqrt(n_docs) / w_total * 0.25 * n_total / n_docs),
+                 6) * 1048576) AS BIGINT) AS thr
+  FROM counts, tot
+), mixed AS (
+  SELECT r.source, r.thr, count(d.doc_id) AS n_sampled,
+         CAST(min(d.doc_id) AS BIGINT) AS min_sampled_id
+  FROM rates r LEFT JOIN documents d
+    ON d.source = r.source AND (d.doc_id * 2654435761) % 1048576 < r.thr
+  GROUP BY r.source, r.thr
+), toks AS (
+  SELECT doc_id, {_TOKS} AS tk, len({_TOKS}) AS n FROM documents
 )
 SELECT 'stratified' AS method, lang AS k,
        doc_id, n_chars AS n, NULL::BIGINT AS extra
@@ -948,6 +968,17 @@ FROM (SELECT doc_id,
              strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1 AS b
       FROM documents)
 GROUP BY 2
+UNION ALL
+SELECT 'mix', source, min_sampled_id, n_sampled, thr
+FROM mixed
+UNION ALL
+SELECT 'chunk',
+       md5(array_to_string(list_slice(tk, s, least(s + 63, n)), ' ')),
+       doc_id,
+       CAST(len(list_slice(tk, s, least(s + 63, n))) AS BIGINT),
+       CAST((s - 1) // 48 + 1 AS BIGINT)
+FROM toks, unnest(generate_series(1, n, 48)) AS g(s)
+WHERE n >= 1
 """,
 )
 def llm_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -968,6 +999,13 @@ def llm_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       Hashing CONTENT, not doc_id, means byte-identical duplicates
       always land in the same split — no train/test leakage through
       dup pairs by construction. Map-side; one tiny 3-group agg.
+    * 'mix' (L4): temperature-based source mixing
+      (``llm_source_mixing``) — per-source sampling thresholds
+      (k=source, doc_id=min sampled id, n=sampled count, extra=the
+      integer rate threshold on the 2^20 grid).
+    * 'chunk' (L4/U3/F12): overlapping token-window chunking
+      (``llm_doc_chunking``) — one row per 64-token/stride-48 window
+      (k=chunk md5, n=chunk tokens, extra=chunk index).
     """
     from pyspark.sql import Window
 
@@ -1017,7 +1055,123 @@ def llm_sampling_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             "extra",
         )
     )
-    return strat.unionByName(hashed).unionByName(split)
+    mix = llm_source_mixing(spark, sf_dir).select(
+        F.lit("mix").alias("method"),
+        F.col("source").alias("k"),
+        F.col("min_sampled_id").alias("doc_id"),
+        F.col("n_sampled").alias("n"),
+        F.col("thr").alias("extra"),
+    )
+    chunk = llm_doc_chunking(spark, sf_dir).select(
+        F.lit("chunk").alias("method"),
+        F.col("chunk_md5").alias("k"),
+        "doc_id",
+        F.col("chunk_tokens").cast("long").alias("n"),
+        F.col("chunk_idx").cast("long").alias("extra"),
+    )
+    return (
+        strat.unionByName(hashed)
+        .unionByName(split)
+        .unionByName(mix)
+        .unionByName(chunk)
+    )
+
+
+def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: overlapping token-window chunking — the RAG/pretraining
+    chunker (64-token windows, stride 48, 16-token overlap). Each doc
+    expands to ceil(max(n-16,1)/48) chunks identified by (doc_id,
+    chunk_idx); the chunk content is carried as an md5 so the whole
+    expansion is hash-checkable cross-engine.
+
+    Scale shape: the slice/hash runs INSIDE the per-row transform
+    before the explode, so the full document text is never replicated
+    per chunk — each output row carries only (ids, count, digest).
+    Map-side only: no shuffle, no Python; 100 TB chunks in one scan.
+    Empty docs produce no chunks (nothing to window) on both engines.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    n = F.size(tok)
+    chunks = F.transform(
+        F.sequence(F.lit(1), n, F.lit(48)),
+        lambda s: F.struct(
+            F.floor((s - 1) / 48 + 1).cast("int").alias("chunk_idx"),
+            F.size(F.slice(tok, s, F.lit(64))).alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(tok, s, F.lit(64)))).alias(
+                "chunk_md5"
+            ),
+        ),
+    )
+    return (
+        docs.filter(n >= 1)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .select(
+            "doc_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+            F.col("c.chunk_md5").alias("chunk_md5"),
+        )
+    )
+
+
+def llm_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L4: temperature-based source mixing — the standard training-mix
+    op (multilingual/multi-source corpora are sampled with weights
+    w_s ∝ n_s^alpha, alpha=0.5 here, so small sources are up-weighted
+    relative to their natural share; cf. the sampling-temperature
+    scheme of multilingual pretraining). Target corpus = 25% of the
+    input; each source's sampling rate is min(1, target_frac *
+    N_target / n_s), applied as a deterministic per-doc Bernoulli on a
+    2^20 integer grid (doc_id * Knuth-constant mod 2^20 < thr) — the
+    threshold is an INTEGER in both engines, so no float boundary can
+    flip membership between Spark and the oracle.
+
+    Scale shape: pass 1 is a tiny per-source count (one shuffle of
+    |sources| rows); the rates derive from that 1-row total via a
+    broadcast; pass 2 filters the corpus MAP-SIDE against the
+    broadcast rate table and re-aggregates per source. The corpus is
+    scanned twice and shuffled never — at 100 TB the second scan is
+    the actual mix materialization (here it aggregates to a checkable
+    per-source summary instead of writing the sample out).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = counts.agg(
+        F.sum("n_docs").cast("double").alias("n_total"),
+        F.sum(F.sqrt("n_docs")).alias("w_total"),
+    )
+    w = F.sqrt("n_docs")
+    rate = F.least(
+        F.lit(1.0), w / F.col("w_total") * 0.25 * F.col("n_total") / F.col("n_docs")
+    )
+    rates = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        F.round(w, 6).alias("weight"),
+        F.round(w / F.col("w_total"), 6).alias("target_frac"),
+        F.floor(F.round(rate, 6) * 1048576).cast("long").alias("thr"),
+    )
+    u = F.col("doc_id") * F.lit(2654435761) % F.lit(1048576)
+    sampled = (
+        docs.join(F.broadcast(rates.select("source", "thr")), "source")
+        .filter(u < F.col("thr"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.min("doc_id").alias("min_sampled_id"),
+        )
+    )
+    return rates.join(sampled, "source", "left").select(
+        "source",
+        "n_docs",
+        "weight",
+        "target_frac",
+        F.round(F.col("thr") / 1048576.0, 6).alias("sample_rate"),
+        F.col("thr"),
+        F.coalesce("n_sampled", F.lit(0)).alias("n_sampled"),
+        "min_sampled_id",
+    )
 
 
 @register(

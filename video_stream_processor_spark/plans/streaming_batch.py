@@ -31,7 +31,7 @@ EVENT_CATEGORIES = [
 
 @register(
     "stream_window_counts",
-    survey_ids="T6,A3,F17",
+    survey_ids="T6,T5,T10,A3,F17",
     oracle="""
 WITH bucketed AS (
   SELECT value, CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS b
@@ -40,6 +40,19 @@ WITH bucketed AS (
   SELECT value, b - js.j * 900 AS win_start
   FROM bucketed
   CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS j) js
+), arr AS (
+  SELECT event_id, event_type, value, epoch_ns(ts) AS tsn,
+         epoch_ns(ts) + (event_id * 2654435761) % 1200 * 1000000000 AS ak
+  FROM events
+), tagged AS (
+  SELECT tsn, event_type, value,
+         CASE WHEN max(tsn) OVER (ORDER BY ak, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR tsn >= max(tsn) OVER (ORDER BY ak, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                - 600000000000
+              THEN 1 ELSE 0 END AS kept
+  FROM arr
 )
 SELECT 'tumbling_1h' AS kind,
        CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS win_start,
@@ -60,16 +73,34 @@ SELECT 'sliding_1h_15m', win_start, win_start + 3600,
        NULL::BIGINT
 FROM expanded
 GROUP BY 2, 3
+UNION ALL
+SELECT 'tumbling_1h_wm10m',
+       tsn // 3600000000000 * 3600,
+       tsn // 3600000000000 * 3600 + 3600,
+       event_type,
+       CAST(sum(kept) AS BIGINT),
+       round(sum(CASE WHEN kept = 1 THEN value ELSE 0.0 END), 2),
+       NULL::DOUBLE,
+       CAST(sum(1 - kept) AS BIGINT)
+FROM tagged
+GROUP BY 2, 3, 4
 """,
 )
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T6, both window shapes in one labeled result (batch twins of the
-    streaming plans in streaming/analytics.py):
+    """T6/T5/T10, three window shapes in one labeled result (batch
+    twins of the streaming plans in streaming/analytics.py):
 
-    * tumbling 1h × event_type stats;
-    * sliding 1h/15m — each event expands to size/slide = 4 overlapping
-      windows (a generator over the window expr + one hash aggregate;
-      the oracle replicates via an explicit offset cross join).
+    * 'tumbling_1h': tumbling 1h × event_type stats;
+    * 'sliding_1h_15m': sliding 1h/15m — each event expands to
+      size/slide = 4 overlapping windows (a generator over the window
+      expr + one hash aggregate; the oracle replicates via an explicit
+      offset cross join);
+    * 'tumbling_1h_wm10m': the watermark late-drop replay
+      (``stream_watermark_late_drop``) — tumbling stats over the
+      events that SURVIVE a 10-minute watermark under a deterministic
+      jittered arrival order; in this leg the generic ``n_users``
+      column carries the per-window count of late-DROPPED rows (typed
+      slot reuse, labeled by ``kind``).
     """
     ev = load_table(spark, sf_dir, "events")
     tum = tumbling_stats(ev, size="1 hour").select(
@@ -92,7 +123,17 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_value"),
         F.lit(None).cast("long").alias("n_users"),
     )
-    return tum.unionByName(sli)
+    wm = stream_watermark_late_drop(spark, sf_dir).select(
+        F.lit("tumbling_1h_wm10m").alias("kind"),
+        "win_start",
+        (F.col("win_start") + 3600).alias("win_end"),
+        "event_type",
+        "n_events",
+        "sum_value",
+        F.lit(None).cast("double").alias("avg_value"),
+        F.col("n_late_dropped").alias("n_users"),
+    )
+    return tum.unionByName(sli).unionByName(wm)
 
 
 @register(
@@ -170,33 +211,6 @@ def stream_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "stream_watermark_late_drop",
-    survey_ids="T5,T10,W3",
-    oracle="""
-WITH arr AS (
-  SELECT event_id, event_type, value, epoch_ns(ts) AS tsn,
-         epoch_ns(ts) + (event_id * 2654435761) % 1200 * 1000000000 AS ak
-  FROM events
-), tagged AS (
-  SELECT tsn, event_type, value,
-         CASE WHEN max(tsn) OVER (ORDER BY ak, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
-              OR tsn >= max(tsn) OVER (ORDER BY ak, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                - 600000000000
-              THEN 1 ELSE 0 END AS kept
-  FROM arr
-)
-SELECT tsn // 3600000000000 * 3600 AS win_start,
-       event_type,
-       CAST(sum(kept) AS BIGINT) AS n_events,
-       round(sum(CASE WHEN kept = 1 THEN value ELSE 0.0 END), 2) AS sum_value,
-       CAST(sum(1 - kept) AS BIGINT) AS n_late_dropped
-FROM tagged
-GROUP BY 1, 2
-""",
-)
 def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T5/T10 driver evidence: watermark late-data semantics as a
     deterministic batch replay (the streaming engine's actual behavior
