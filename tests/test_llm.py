@@ -808,3 +808,74 @@ def test_pii_oracle_exprs_match_spark(spark):
     con.close()
     for col in mine.columns:
         assert list(mine[col]) == list(theirs[col]), col
+
+
+def test_memo_checkpoint_reuses_materialization(spark, sf_dir):
+    """Repeated builds of the same derived table return the SAME
+    materialized DataFrame (the resident-session pattern the bench
+    relies on); a semantically different plan gets its own."""
+    from video_stream_processor_spark.io import load_table
+    from video_stream_processor_spark.llm.dedup import (
+        _doc_shingle_arrays,
+        _memo_checkpoint,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = _memo_checkpoint(_doc_shingle_arrays(docs), "t_memo")
+    b = _memo_checkpoint(_doc_shingle_arrays(docs), "t_memo")
+    assert a is b
+    other = _memo_checkpoint(
+        _doc_shingle_arrays(docs.filter("doc_id < 100")), "t_memo"
+    )
+    assert other is not a
+    # different tag => different slot even for the same plan
+    c = _memo_checkpoint(_doc_shingle_arrays(docs), "t_memo2")
+    assert c is not a
+
+
+def test_doc_chunking_matches_reference(spark):
+    """Chunk expansion pinned against a plain-Python reference on a
+    frame with edge shapes: doc shorter than one window, exactly one
+    window, spanning several windows, and empty (no chunks)."""
+    import hashlib
+
+    texts = {
+        1: "a b c",                      # < 1 window
+        2: " ".join(f"t{i}" for i in range(64)),   # exactly 1 window
+        3: " ".join(f"u{i}" for i in range(150)),  # several windows
+        4: "",                           # empty -> no chunks
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], ["doc_id", "text"]
+    )
+    # same expression pipeline as the builder, over the in-memory frame
+    import pyspark.sql.functions as F
+
+    tok = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    n = F.size(tok)
+    chunks = F.transform(
+        F.sequence(F.lit(1), n, F.lit(48)),
+        lambda s: F.struct(
+            F.floor((s - 1) / 48 + 1).cast("int").alias("chunk_idx"),
+            F.size(F.slice(tok, s, F.lit(64))).alias("chunk_tokens"),
+            F.md5(F.concat_ws(" ", F.slice(tok, s, F.lit(64)))).alias("chunk_md5"),
+        ),
+    )
+    got = {
+        (r["doc_id"], r["c"]["chunk_idx"]): (
+            r["c"]["chunk_tokens"], r["c"]["chunk_md5"]
+        )
+        for r in df.filter(n >= 1)
+        .select("doc_id", F.explode(chunks).alias("c"))
+        .collect()
+    }
+    want = {}
+    for did, text in texts.items():
+        toks = [t for t in text.split(" ") if t]
+        for ci, start in enumerate(range(0, len(toks), 48), start=1):
+            window = toks[start : start + 64]
+            want[(did, ci)] = (
+                len(window),
+                hashlib.md5(" ".join(window).encode()).hexdigest(),
+            )
+    assert got == want

@@ -396,3 +396,27 @@ def test_closed_user_sessions(spark, tmp_path):
     ]
     assert sorted(tuple(r) for r in got) == sorted(want)
     assert len(want) == 3  # A, B, X all present in the twin
+
+
+def test_stream_stream_interval_join_equals_batch(
+    spark, sf_dir, events_batch, events_stream, tmp_path
+):
+    """Stream–stream interval join: signup→purchase attribution within
+    1h, run on two filtered views of the SAME unbounded source (a
+    stream self-join), must equal its batch twin. Both sides carry the
+    watermark; the interval bound is what lets Spark evict join state."""
+    from video_stream_processor_spark.streaming import (
+        signup_purchase_attribution,
+    )
+
+    def build(ev, wm=None):
+        signups = ev.filter(F.col("event_type") == "signup")
+        purchases = ev.filter(F.col("event_type") == "purchase")
+        return signup_purchase_attribution(
+            signups, purchases, horizon="1 hour", watermark=wm
+        )
+
+    want = build(events_batch).collect()
+    assert want, "fixture produced no signup→purchase pairs"
+    got, _ = run_stream_append(build(events_stream, "1 hour"), tmp_path)
+    assert_same_rows(got, want)

@@ -142,3 +142,59 @@ def first_event_per_key(
         F.min_by("event_id", "ts_ns").alias("first_event_id"),
         F.round(F.min_by("value", "ts_ns"), 2).alias("first_value"),
     )
+
+
+def signup_purchase_attribution(
+    signups: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Stream–stream interval join (the T-surface capstone Spark
+    feature): every (signup, purchase) pair for the same user where the
+    purchase happens within ``horizon`` AFTER the signup — the classic
+    conversion-attribution join.
+
+    Works identically on batch relations and on two unbounded streams;
+    in streaming mode both sides carry a watermark and the join
+    condition's time bound lets Spark evict state once the watermark
+    passes ``signup.ts + horizon`` (without the interval bound a
+    stream–stream inner join would buffer both sides forever).
+
+    Scale shape: one shuffle per side on user_id; state per key is
+    bounded by (watermark + horizon) of events — the documented
+    Structured Streaming state-cleanup contract.
+
+    Output is flat epoch-second/na­no columns (engine-portable): one
+    row per qualifying pair.
+    """
+    horizon_ns = {"1 hour": 3_600_000_000_000, "30 minutes": 1_800_000_000_000}[
+        horizon
+    ]
+    s = _maybe_watermark(signups, watermark).select(
+        F.col("user_id").alias("s_user"),
+        F.col("event_id").alias("signup_id"),
+        F.col("ts").alias("s_ts"),
+        F.col("ts_ns").alias("s_ts_ns"),
+    )
+    p = _maybe_watermark(purchases, watermark).select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("ts_ns").alias("p_ts_ns"),
+        F.col("value").alias("purchase_value"),
+    )
+    joined = s.join(
+        p,
+        (F.col("s_user") == F.col("p_user"))
+        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    )
+    return joined.select(
+        F.col("s_user").alias("user_id"),
+        "signup_id",
+        "purchase_id",
+        (F.col("p_ts_ns") - F.col("s_ts_ns")).alias("latency_ns"),
+        F.round("purchase_value", 2).alias("purchase_value"),
+    ).filter(F.col("latency_ns") <= F.lit(horizon_ns))
