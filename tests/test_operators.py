@@ -143,3 +143,36 @@ def test_asof_tolerance_ts_out_passthrough(spark):
     assert out[10] == 90  # fresh match keeps its right ts
     assert out[11] is None  # stale match: ts nulled with the values
     assert out[12] is None  # no match at all
+
+
+def test_asof_cogrouped_twin_equals_jvm_path(spark, sf_dir):
+    """Two independent implementations, one contract: the cogrouped
+    applyInPandas as-of (merge_asof per co-group) must equal the JVM
+    union-sort-fill path row-for-row on real data — signups as the
+    right side, every event as the left, per user."""
+    from video_stream_processor_spark.io import load_table
+    from video_stream_processor_spark.operators.asof import (
+        asof_join,
+        asof_join_cogrouped,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("user_id", "event_id", "ts_ns")
+    right = (
+        ev.filter(F.col("event_type") == "signup")
+        .select("user_id", F.col("event_id").alias("signup_id"), "ts_ns")
+    )
+    kw = dict(
+        on="user_id", left_ts="ts_ns", right_ts="ts_ns",
+        right_cols=["signup_id"], right_tiebreak="signup_id",
+    )
+    jvm = {
+        (r["user_id"], r["event_id"]): r["asof_signup_id"]
+        for r in asof_join(left, right, **kw).collect()
+    }
+    cog = {
+        (r["user_id"], r["event_id"]): r["asof_signup_id"]
+        for r in asof_join_cogrouped(left, right, **kw).collect()
+    }
+    assert len(jvm) == left.count()
+    assert cog == jvm

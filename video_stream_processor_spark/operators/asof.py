@@ -140,3 +140,76 @@ def asof_join_tolerance(
             ts_out, F.when(stale, F.lit(None)).otherwise(matched_ts)
         )
     return out.drop(matched_ts_col)
+
+
+def asof_join_cogrouped(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts_ns",
+    right_ts: str = "ts_ns",
+    right_cols: list[str] | None = None,
+    right_tiebreak: str | None = None,
+    prefix: str = "asof_",
+) -> DataFrame:
+    """The cogrouped-pandas twin of ``asof_join`` (SURVEY §2.9 U4
+    cogroup surface): both inputs group by the key, each co-group's
+    pair of pandas frames meets in one Arrow-batched task, and pandas
+    ``merge_asof`` computes the backward-inclusive match.
+
+    Exists for two reasons: (a) it demonstrates
+    ``groupBy().cogroup().applyInPandas`` — the one pandas-API surface
+    the JVM operators can't express — and (b) it is an independent
+    implementation of the as-of semantics, pinned equal to the
+    union–sort–fill JVM path in tests (two implementations, one
+    contract). The JVM path stays the production default: same single
+    shuffle per side, but no Python workers and no per-group pandas
+    materialization (a hot key's whole group must fit one task here —
+    the documented cogroup hazard).
+
+    Tie among simultaneous right rows: the greatest ``right_tiebreak``
+    wins, matching ``asof_join(right_tiebreak=...)``.
+    """
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    keys = [on] if isinstance(on, str) else list(on)
+    if right_cols is None:
+        right_cols = [c for c in right.columns if c not in keys and c != right_ts]
+    right_types = {f.name: f.dataType for f in right.schema.fields}
+    out_schema = T.StructType(
+        list(left.schema.fields)
+        + [T.StructField(f"{prefix}{c}", right_types[c], True) for c in right_cols]
+    )
+    left_cols = list(left.columns)
+    int_like = (T.LongType(), T.IntegerType())
+    int_out = [
+        f"{prefix}{c}" for c in right_cols if right_types[c] in int_like
+    ]
+    lts, rts, tie = left_ts, right_ts, right_tiebreak
+    rcols = list(right_cols)
+    pfx = prefix
+
+    def merge(ldf: pd.DataFrame, rdf: pd.DataFrame) -> pd.DataFrame:
+        if ldf.empty:
+            return pd.DataFrame(columns=[f.name for f in out_schema.fields])
+        ldf = ldf.sort_values(lts, kind="mergesort")
+        sort_keys = [rts] + ([tie] if tie else [])
+        rdf = rdf.sort_values(sort_keys, kind="mergesort")
+        rsel = rdf[[rts] + rcols].rename(
+            columns={**{c: f"{pfx}{c}" for c in rcols}, rts: "__rts"}
+        )
+        merged = pd.merge_asof(
+            ldf, rsel, left_on=lts, right_on="__rts",
+            direction="backward", allow_exact_matches=True,
+        )
+        out = merged[left_cols + [f"{pfx}{c}" for c in rcols]]
+        # unmatched rows surface integer right-cols as float NaN; cast
+        # to pandas nullable ints so Arrow hands Spark proper NULLs
+        return out.astype({c: "Int64" for c in int_out})
+
+    return (
+        left.groupBy(*keys)
+        .cogroup(right.groupBy(*keys))
+        .applyInPandas(merge, schema=out_schema)
+    )
