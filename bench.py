@@ -33,6 +33,7 @@ from video_stream_processor_spark.llm.dedup import (  # noqa: E402
     exact_dedup_groups,
     minhash_near_dup_pairs,
 )
+from video_stream_processor_spark.llm.similarity import cosine_topk  # noqa: E402
 from video_stream_processor_spark.plans import all_specs  # noqa: E402
 from video_stream_processor_spark.plans.relational import (  # noqa: E402
     scan_filter_project,
@@ -115,6 +116,11 @@ EXTRA_BUILDERS = {
         load_table(s, d, "documents"), threshold=0.5
     ),
     "llm_text_quality": _llm_text_quality_pinned,
+    # r01-pinned single-query form; the registered query is now the
+    # batched suite (timed separately below).
+    "llm_cosine_topk": lambda s, d: cosine_topk(
+        load_table(s, d, "embeddings"), query_vec_id=0, k=10
+    ),
 }
 
 HEADLINE = [
@@ -133,6 +139,7 @@ HEADLINE = [
     "llm_text_quality",
     # New-in-r3 entries (no r01 pin; their first numbers set the bar):
     "llm_text_quality_full",
+    "llm_cosine_topk_batch",
 ]
 
 
@@ -143,8 +150,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()
     builders = {name: spec.builder for name, spec in specs.items()}
-    # the enriched registered query (quality + BPE budget + unigram LM)
+    # the enriched registered queries (timed under their own new names)
     builders["llm_text_quality_full"] = specs["llm_text_quality"].builder
+    builders["llm_cosine_topk_batch"] = specs["llm_cosine_topk"].builder
     builders.update(EXTRA_BUILDERS)
 
     # Warm passes: whole-stage-codegen compilation (janino) of a complex

@@ -67,9 +67,24 @@ def test_q1_stays_in_codegen(spark, sf_dir):
 
 def test_topk_fuses_to_take_ordered(spark, sf_dir):
     """O3+O4: orderBy+limit plans as TakeOrderedAndProject, not a
-    global sort followed by limit."""
-    plan = plan_of(spark, sf_dir, "llm_cosine_topk")
+    global sort followed by limit (single-query cosine top-k — the
+    pinned bench computation)."""
+    from video_stream_processor_spark.io import load_table
+    from video_stream_processor_spark.llm.similarity import cosine_topk
+
+    plan = plan_text(
+        cosine_topk(load_table(spark, sf_dir, "embeddings"), 0, 10)
+    )
     assert "TakeOrderedAndProject" in plan
+
+
+def test_batched_topk_rank_bounded(spark, sf_dir):
+    """The batched ANN form (registered llm_cosine_topk) bounds the
+    per-query window state to k rows via WindowGroupLimit and
+    broadcasts the query batch."""
+    plan = plan_of(spark, sf_dir, "llm_cosine_topk")
+    assert "WindowGroupLimit" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
 def test_no_cartesian_outside_theta_queries(spark, sf_dir):

@@ -33,6 +33,7 @@ from .dedup import (
 )
 from .similarity import (
     cosine_topk,
+    cosine_topk_batch,
     embedding_near_dup_pairs,
     ivf_topk,
     kmeans_centroids,
@@ -60,6 +61,7 @@ __all__ = [
     "attach_payload",
     "canonical_dedup_groups",
     "cosine_topk",
+    "cosine_topk_batch",
     "doc_fingerprints",
     "embedding_near_dup_pairs",
     "contamination_overlap",

@@ -22,6 +22,7 @@ from ..llm import (
     attach_payload,
     canonical_dedup_groups,
     cosine_topk,
+    cosine_topk_batch,
     embedding_near_dup_pairs,
     exact_dedup_groups,
     extract_binary_features,
@@ -280,25 +281,39 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_cosine_topk",
-    survey_ids="L3,O1,O3",
+    survey_ids="L3,O1,O3,W1",
     oracle="""
-WITH q AS (
-  SELECT embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id = 0
+WITH e AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qe FROM e
+  WHERE vec_id IN (0, 100, 200, 300)
+), scored AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         round(list_dot_product(e.v, q.qe)
+               / (sqrt(list_dot_product(e.v, e.v))
+                  * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine
+  FROM e, q WHERE e.vec_id != q.query_id
 )
-SELECT vec_id, label,
-       round(list_dot_product(embedding::DOUBLE[], qe)
-             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                * sqrt(list_dot_product(qe, qe))), 6) AS cosine
-FROM embeddings, q
-WHERE vec_id != 0
-ORDER BY cosine DESC, vec_id
-LIMIT 10
+SELECT query_id, vec_id, label, cosine, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY query_id ORDER BY cosine DESC, vec_id) AS INT) AS rank
+  FROM scored
+) WHERE rank <= 10
 """,
 )
 def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 baseline: exact cosine top-10 for the vec_id=0 query vector —
-    broadcast query, one scan, TakeOrderedAndProject."""
-    return cosine_topk(load_table(spark, sf_dir, "embeddings"), query_vec_id=0, k=10)
+    """L3: exact cosine top-10 for a BATCH of four query vectors in one
+    corpus pass (``cosine_topk_batch``) — broadcast query batch,
+    map-side scoring off a single scan, rank-bounded per-query window
+    (WindowGroupLimit). The query_id=0 slice reproduces the original
+    single-query ``cosine_topk`` result (which stays the pinned bench
+    computation)."""
+    return cosine_topk_batch(
+        load_table(spark, sf_dir, "embeddings"),
+        query_vec_ids=[0, 100, 200, 300],
+        k=10,
+    )
 
 
 @register(
