@@ -180,6 +180,10 @@ def main() -> None:
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                # BENCH_BASELINE.json: timings only trustworthy at
+                # machine load < ~2; recorded so a noisy round is
+                # interpretable after the fact.
+                "load_1m": round(os.getloadavg()[0], 2),
             }
         )
     )

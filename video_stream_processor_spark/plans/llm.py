@@ -187,6 +187,7 @@ def llm_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from ..llm.dedup import (
         _doc_shingles,
+        _memo_checkpoint,
         minhash_near_dup_pairs_portable,
         simhash_near_dup_pairs_portable,
     )
@@ -194,7 +195,7 @@ def llm_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # One tokenize+explode pass feeds both the exact and MinHash legs
     # (at cluster scale: write the shingle table once, read it twice).
-    sh = _doc_shingles(docs).localCheckpoint(eager=True)
+    sh = _memo_checkpoint(_doc_shingles(docs), "near_dup_sh")
     ngram = ngram_jaccard_pairs(docs, threshold=0.5, shingles=sh).select(
         F.lit("ngram_jaccard").alias("method"),
         "doc_a",
