@@ -420,3 +420,33 @@ def test_stream_stream_interval_join_equals_batch(
     assert want, "fixture produced no signup→purchase pairs"
     got, _ = run_stream_append(build(events_stream, "1 hour"), tmp_path)
     assert_same_rows(got, want)
+
+
+def test_streaming_near_dup_flags_equals_batch(spark, sf_dir, tmp_path):
+    """LLM op on an unbounded stream: incoming docs flagged against the
+    static corpus LSH index (stream-static join, zero streaming state)
+    must equal the batch twin as a SET of (doc, corpus, band) hits."""
+    from video_stream_processor_spark.llm.dedup import (
+        streaming_near_dup_flags,
+    )
+    from video_stream_processor_spark.schemas import DOCUMENTS_SCHEMA
+
+    corpus = load_table(spark, sf_dir, "documents")
+    want = {
+        (r["doc_id"], r["corpus_id"], r["band"], r["jaccard"])
+        for r in streaming_near_dup_flags(corpus, corpus).collect()
+    }
+    assert want, "no near-dup flags in fixture corpus"
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(table_path(sf_dir, "documents") + "*")
+    )
+    got_rows, _ = run_stream_append(
+        streaming_near_dup_flags(stream, corpus), tmp_path
+    )
+    got = {
+        (r["doc_id"], r["corpus_id"], r["band"], r["jaccard"])
+        for r in got_rows
+    }
+    assert got == want

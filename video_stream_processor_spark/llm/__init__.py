@@ -29,6 +29,7 @@ from .dedup import (
     near_dup_clusters,
     ngram_jaccard_pairs,
     simhash_near_dup_pairs,
+    streaming_near_dup_flags,
     simhash_near_dup_pairs_portable,
 )
 from .similarity import (
@@ -81,6 +82,7 @@ __all__ = [
     "redact_pii",
     "sample_frames",
     "simhash_near_dup_pairs",
+    "streaming_near_dup_flags",
     "simhash_near_dup_pairs_portable",
     "srp_near_dup_pairs",
     "text_quality_by_lang",

@@ -278,9 +278,9 @@ def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
         F.sequence(F.lit(1), F.size(tok) - 1),
         lambda i: F.xxhash64(F.get(tok, i - 1), F.get(tok, i)),
     )
+    base = docs if docs.isStreaming else _spread(docs)
     return (
-        _spread(docs)
-        .filter(F.size(tok) >= 2)
+        base.filter(F.size(tok) >= 2)
         .select("doc_id", F.array_distinct(hashed).alias("sh_arr"))
     )
 
@@ -930,4 +930,80 @@ def segment_dedup(
                 lambda acc, x: (acc * FP_BASE + tok_val(x)) % FP_MOD,
             ).alias("cleaned_fp"),
         )
+    )
+
+
+def streaming_near_dup_flags(
+    incoming: DataFrame,
+    corpus: DataFrame,
+    threshold: float = 0.5,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """In-flight near-dup detection: flag each INCOMING document that
+    is a near-duplicate of the STATIC reference corpus — the admission
+    filter a training-data ingestion pipeline runs before appending to
+    its corpus. Works identically when ``incoming`` is an unbounded
+    stream (the intended mode) or a batch relation (the test twin).
+
+    Design — deliberately ZERO streaming state:
+    1. the static side builds its LSH index once per (micro-)batch
+       plan: banded bucket table joined with its shingle arrays;
+    2. each incoming doc derives shingle array + signatures + band
+       buckets MAP-SIDE (the same narrow expressions as the batch
+       MinHash path — no repartition on streams);
+    3. a stream–static equi-join on (band, bucket) proposes candidate
+       (incoming, corpus) matches, exact Jaccard verifies them from
+       the two in-row arrays.
+    A pair sharing several bands is flagged once per shared band
+    (at-least-once per pair); dedup is left to the downstream consumer
+    (`.dropDuplicates` in batch, a keyed sink upsert in streaming) —
+    keeping THIS operator stateless is what makes its streaming cost
+    bounded per row regardless of stream length. At 100 TB-corpus
+    scale the static index is a bucketed table and the join co-locates
+    on (band, bucket); at test scale AQE broadcasts it.
+    """
+    rows = k // bands
+
+    def banded_of(sig: DataFrame) -> DataFrame:
+        band_cols = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        *[F.col(f"h{b * rows + j}") for j in range(rows)]
+                    ).alias("bucket"),
+                )
+                for b in range(bands)
+            ]
+        )
+        keep = [c for c in sig.columns if not c.startswith("h")]
+        return sig.select(*keep, F.explode(band_cols).alias("bb")).select(
+            *keep, F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+        )
+
+    sarr = _doc_shingle_arrays(corpus)
+    sidx = banded_of(minhash_signatures(sarr, k)).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("sh_arr").alias("corpus_arr"),
+        "band",
+        "bucket",
+    )
+    qsig = minhash_signatures(_doc_shingle_arrays(incoming), k)
+    qbanded = banded_of(qsig)
+    inter = F.size(F.array_intersect("sh_arr", "corpus_arr"))
+    return (
+        qbanded.join(sidx, ["band", "bucket"])
+        .filter(F.col("doc_id") != F.col("corpus_id"))
+        .select(
+            "doc_id",
+            "corpus_id",
+            "band",
+            F.round(
+                inter
+                / (F.size("sh_arr") + F.size("corpus_arr") - inter),
+                6,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
     )
