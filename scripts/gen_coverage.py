@@ -62,6 +62,7 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "T10": ["tests/test_streaming.py::test_watermark_drops_late_data"],
     "T11": ["tests/test_streaming.py::test_streaming_metrics_progress", "pipeline observe metrics"],
     "U1": ["sources/extractor.py + pipeline/station.enrich_links", "tests/test_station.py"],
+    "U4": ["operators/asof.asof_join_cogrouped (groupBy().cogroup().applyInPandas)"],
     "P4": ["io.read_links (trim + '#'-comment filter)", "tests/test_station.py::test_links_source_filters"],
     "A1": ["pipeline/sink.write_json_array post-write count", "every oracle query's row-count gate"],
     "O2": ["functions/scalar.file_extension (element_at(arr,-1))", "tests/test_functions.py property suite"],
@@ -73,9 +74,19 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "operators/salt.salted_join + tests/test_scale_paths.py (skew salting)",
     ],
     "J6": ["tests/test_scale_paths.py::test_stream_stream_time_range_join (watermarked stream-stream)"],
+    "J7": [
+        "operators/asof.asof_join_cogrouped (cogroup+applyInPandas twin, pinned equal to the JVM path)",
+        "tests/test_operators.py::test_asof_cogrouped_twin_equals_jvm_path",
+    ],
+    "J8": [
+        "streaming/analytics.signup_purchase_attribution (stream-stream interval join)",
+        "tests/test_streaming.py::test_stream_stream_interval_join_equals_batch",
+    ],
     "L2": [
         "tests/test_llm.py::test_minhash_recall_vs_exact (LSH vs exact)",
         "llm/dedup.contamination_overlap (benchmark decontamination; hash==portable pinned)",
+        "llm/dedup.streaming_near_dup_flags (stateless stream-static admission filter)",
+        "tests/test_streaming.py::test_streaming_near_dup_flags_equals_batch",
     ],
     "L3": ["tests/test_llm.py::test_ivf_recall_vs_bruteforce"],
     "L5": ["tests/test_llm.py (decoder seam, parquet round trip)"],
