@@ -879,3 +879,54 @@ def test_doc_chunking_matches_reference(spark):
                 hashlib.md5(" ".join(window).encode()).hexdigest(),
             )
     assert got == want
+
+
+def test_quantized_topk_recall(spark, sf_dir):
+    """int8 quantization must preserve neighborhood structure: cosine
+    top-10 computed on DEQUANTIZED vectors (x ≈ q * scale/127) recalls
+    >= 8/10 of the exact float top-10 for the query vector."""
+    from pyspark.sql import functions as F
+
+    from video_stream_processor_spark.io import load_table
+    from video_stream_processor_spark.llm.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = F.transform("embedding", lambda x: x.cast("double"))
+    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    deq = F.transform(
+        v,
+        lambda x: F.when(s == 0, F.lit(0.0)).otherwise(
+            F.floor(x * 127.0 / s + 0.5) * s / 127.0
+        ),
+    )
+    qemb = emb.select("vec_id", "label", deq.alias("embedding"))
+    exact = {r["vec_id"] for r in cosine_topk(emb, 0, 10).collect()}
+    approx = {r["vec_id"] for r in cosine_topk(qemb, 0, 10).collect()}
+    assert len(exact & approx) >= 8, (exact, approx)
+
+
+def test_source_mixing_invariants(spark, sf_dir):
+    """Mixing summary invariants: rates in [0,1], sampled counts within
+    [0, n_docs], target fractions sum to ~1, and small sources get
+    rate >= their natural share (the point of temperature alpha<1)."""
+    from video_stream_processor_spark.plans.llm import llm_source_mixing
+
+    rows = llm_source_mixing(spark, sf_dir).collect()
+    assert rows
+    tf_sum = sum(r["target_frac"] for r in rows)
+    assert abs(tf_sum - 1.0) < 1e-4
+    n_total = sum(r["n_docs"] for r in rows)
+    for r in rows:
+        assert 0.0 <= r["sample_rate"] <= 1.0
+        assert 0 <= r["n_sampled"] <= r["n_docs"]
+        # ~rate*n_docs sampled (integer-grid Bernoulli, generous slack)
+        assert abs(r["n_sampled"] - r["sample_rate"] * r["n_docs"]) <= max(
+            10, 0.2 * r["n_docs"]
+        )
+    smallest = min(rows, key=lambda r: r["n_docs"])
+    largest = max(rows, key=lambda r: r["n_docs"])
+    if smallest["n_docs"] < largest["n_docs"]:
+        assert (
+            smallest["sample_rate"] * n_total / 4 / smallest["n_docs"]
+            >= largest["sample_rate"] * n_total / 4 / largest["n_docs"]
+        ) or smallest["sample_rate"] >= largest["sample_rate"]
