@@ -930,3 +930,27 @@ def test_source_mixing_invariants(spark, sf_dir):
             smallest["sample_rate"] * n_total / 4 / smallest["n_docs"]
             >= largest["sample_rate"] * n_total / 4 / largest["n_docs"]
         ) or smallest["sample_rate"] >= largest["sample_rate"]
+
+
+def test_ivf_batch_equals_single(spark, sf_dir):
+    """Batched IVF (shared assignment pass) must return exactly the
+    single-query ivf_topk result for every query in the batch — same
+    rounding, same tie-breaks, same probes."""
+    from video_stream_processor_spark.llm.similarity import (
+        ivf_topk,
+        ivf_topk_batch,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qids = [0, 100, 200, 300]
+    batch = {}
+    for r in ivf_topk_batch(emb, qids, k=10).collect():
+        batch.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["cosine"])
+        )
+    for qid in qids:
+        single = [
+            (i + 1, r["vec_id"], r["cosine"])
+            for i, r in enumerate(ivf_topk(emb, query_vec_id=qid, k=10).collect())
+        ]
+        assert sorted(batch[qid]) == single, qid

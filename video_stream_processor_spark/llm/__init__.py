@@ -37,6 +37,7 @@ from .similarity import (
     cosine_topk_batch,
     embedding_near_dup_pairs,
     ivf_topk,
+    ivf_topk_batch,
     kmeans_centroids,
     quantize_embeddings,
     srp_near_dup_pairs,
@@ -69,6 +70,7 @@ __all__ = [
     "exact_dedup_groups",
     "extract_binary_features",
     "ivf_topk",
+    "ivf_topk_batch",
     "kmeans_centroids",
     "langid_confusion",
     "minhash_near_dup_pairs",

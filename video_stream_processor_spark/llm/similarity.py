@@ -320,6 +320,73 @@ def ivf_topk(
     )
 
 
+def ivf_topk_batch(
+    embeddings: DataFrame,
+    query_vec_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 8,
+    nprobe: int = 4,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """L3 batched + pruned: IVF search for a BATCH of queries with the
+    assignment pass shared. The cell assignment of the corpus — the
+    expensive part — is computed ONCE for the whole batch; each query
+    contributes its ``nprobe`` probed cells via a per-query ranked
+    window over the (query × centroid) cross scores (queries ×
+    n_centroids rows — tiny, all broadcast); candidates join on
+    (centroid_id) ∈ probes(query) and the per-query top-k comes from a
+    rank-bounded window (WindowGroupLimit).
+
+    Per-query semantics identical to ``ivf_topk`` (same rounding, same
+    tie-breaks) — pinned in tests. At 100 TB this is the batch serving
+    plan: one assignment materialization amortized over every query in
+    the batch, and only probed cells are ever scored.
+    """
+    from pyspark.sql import Window
+
+    assigned = ivf_assignments(embeddings, n_centroids, centroids=centroids)
+    qs = embeddings.filter(F.col("vec_id").isin(query_vec_ids)).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qe")
+    )
+    cent = (
+        embeddings.filter(F.col("vec_id") < n_centroids).select(
+            F.col("vec_id").alias("centroid_id"), _dvec("embedding").alias("cv")
+        )
+        if centroids is None
+        else centroids
+    )
+    pw = Window.partitionBy("query_id").orderBy(
+        F.desc("qcos"), "centroid_id"
+    )
+    probes = (
+        cent.join(F.broadcast(qs))
+        .select(
+            "query_id",
+            "centroid_id",
+            F.round(cosine(F.col("cv"), F.col("qe")), 9).alias("qcos"),
+        )
+        .withColumn("prn", F.row_number().over(pw))
+        .filter(F.col("prn") <= nprobe)
+        .select("query_id", "centroid_id")
+    )
+    # (query, centroid) probe pairs joined with the query vectors so a
+    # candidate row scores against exactly its probing queries
+    probe_q = probes.join(qs, "query_id")
+    kw = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
+    return (
+        assigned.join(F.broadcast(probe_q), "centroid_id")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round(cosine(_dvec("embedding"), F.col("qe")), 6).alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(kw))
+        .filter(F.col("rank") <= k)
+    )
+
+
 SRP_PLANES = 32
 SRP_BANDS = 8
 SRP_DIM = 64
