@@ -954,3 +954,34 @@ def test_ivf_batch_equals_single(spark, sf_dir):
             for i, r in enumerate(ivf_topk(emb, query_vec_id=qid, k=10).collect())
         ]
         assert sorted(batch[qid]) == single, qid
+
+
+def test_sketch_heavy_hitters_vs_exact(spark, docs):
+    """Sketch surface over the token stream: per-source DataSketches
+    HLL sketches union to the global distinct estimate (the mergeable
+    partial-aggregation property that makes sketches work at 100 TB),
+    and freqItems surfaces every token above the support threshold."""
+    from video_stream_processor_spark.llm.dedup import tokens
+
+    tok = docs.select("source", F.explode(tokens()).alias("token"))
+    exact_distinct = tok.select("token").distinct().count()
+    # per-source sketches (the map-side partials), then one union —
+    # never a re-scan of the data
+    per_source = tok.groupBy("source").agg(
+        F.expr("hll_sketch_agg(token, 12)").alias("sk")
+    )
+    est = per_source.agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias("est")
+    ).first()["est"]
+    assert abs(est - exact_distinct) / exact_distinct < 0.05, (
+        est, exact_distinct,
+    )
+    exact = {
+        r["token"]: r["cnt"]
+        for r in tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    total = sum(exact.values())
+    support = 0.01
+    freq = tok.stat.freqItems(["token"], support).collect()[0][0]
+    must_find = {t for t, c in exact.items() if c / total > support}
+    assert must_find <= set(freq)
