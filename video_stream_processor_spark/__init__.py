@@ -9,7 +9,7 @@ set per ``SURVEY.md §2`` and designed for 100 TB scale.
 Layout
 ------
 - ``session``    SparkSession factory + runtime-conf guard
-- ``schemas``    explicit StructTypes for every table (incl. the 38-field
+- ``schemas``    explicit StructTypes for every table (incl. the 37-field
                  station record of the reference output)
 - ``io``         table loaders (parquet test tables, link-file source)
 - ``functions``  scalar derivations (reference parity) + text/vector funcs

@@ -1,0 +1,106 @@
+"""CLI — the switching path from the reference.
+
+The reference runs as ``python video_processor.py`` over ``links.txt``
+(video_processor.py:394-417: check links.txt, process all, write the
+JSON array, exit 0 on >0 records else 1). The equivalent here is:
+
+    python -m video_stream_processor_spark station links.txt out.json
+
+plus the engine surface the reference doesn't have:
+
+    python -m video_stream_processor_spark list
+    python -m video_stream_processor_spark query q1_pricing_summary \
+        --sf-dir /root/testdata/sf0.01 --limit 20
+
+Exit codes mirror the reference: 0 when records were produced, 1
+otherwise.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+
+def _spark(cpus: int | None = None):
+    from .session import get_spark
+
+    return get_spark(app_name="vsp-cli", cpus=cpus)
+
+
+def cmd_station(args: argparse.Namespace) -> int:
+    if not os.path.exists(args.links):
+        print(f"links file not found: {args.links}", file=sys.stderr)
+        return 1
+    from .io import read_links
+    from .pipeline.sink import write_json_array
+    from .pipeline.station import build_station_records
+    from .sources.extractor import StubExtractor, YtDlpExtractor
+
+    if args.stub:
+        factory = StubExtractor
+    else:
+        try:  # yt-dlp is an optional runtime dependency
+            import yt_dlp  # noqa: F401
+
+            factory = YtDlpExtractor
+        except ImportError:
+            print("yt-dlp not installed — using deterministic stub extractor")
+            factory = StubExtractor
+    spark = _spark(args.cpus)
+    links = read_links(spark, args.links)
+    records = build_station_records(links, factory)
+    n = write_json_array(records, args.output)
+    print(f"wrote {n} station records to {args.output}")
+    return 0 if n > 0 else 1
+
+
+def cmd_list(_args: argparse.Namespace) -> int:
+    from .plans import all_specs
+
+    for name, spec in sorted(all_specs().items()):
+        kind = "oracle" if spec.oracle else "rows-only"
+        print(f"{name}\t{spec.survey_ids}\t{kind}")
+    return 0
+
+
+def cmd_query(args: argparse.Namespace) -> int:
+    from .plans import all_specs
+
+    specs = all_specs()
+    if args.name not in specs:
+        print(f"unknown query {args.name!r}; see `list`", file=sys.stderr)
+        return 1
+    spark = _spark(args.cpus)
+    df = specs[args.name].builder(spark, args.sf_dir)
+    df.show(args.limit, truncate=False)
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="python -m video_stream_processor_spark")
+    p.add_argument("--cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ps = sub.add_parser("station", help="reference-parity pipeline: links file -> JSON array")
+    ps.add_argument("links")
+    ps.add_argument("output")
+    ps.add_argument("--stub", action="store_true", help="force the deterministic stub extractor")
+    ps.set_defaults(fn=cmd_station)
+
+    pl = sub.add_parser("list", help="list registered queries")
+    pl.set_defaults(fn=cmd_list)
+
+    pq = sub.add_parser("query", help="run a registered query and show rows")
+    pq.add_argument("name")
+    pq.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    pq.add_argument("--limit", type=int, default=20)
+    pq.set_defaults(fn=cmd_query)
+
+    args = p.parse_args(argv)
+    return args.fn(args)
+
+
+if __name__ == "__main__":
+    sys.exit(main())

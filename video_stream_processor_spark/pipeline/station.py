@@ -2,7 +2,7 @@
 graph (SURVEY §7 Phase 2).
 
 Reference flow (video_processor.py:356-392): read links → dedup →
-per-URL enrichment → validity filters → scalar derivations → 38-field
+per-URL enrichment → validity filters → scalar derivations → 37-field
 station record → JSON sink, with success/failure counters.
 
 Spark flow (identical semantics, different execution):
@@ -66,7 +66,7 @@ def build_station_records(
     observation=None,
     partitions: int | None = None,
 ) -> DataFrame:
-    """links(url) → 38-field station records (schemas.STATION_SCHEMA).
+    """links(url) → 37-field station records (schemas.STATION_SCHEMA).
 
     ``run_ts``: the frozen 'current time' (SURVEY §4.3 determinism) —
     the reference stamps one wall-clock instant per record (:257).

@@ -4,7 +4,7 @@ as a driver-visible query.
 Covers in one graph: S1 (link scan semantics), O5 (dedup before the
 expensive call — video_processor.py:330), U1 (Arrow-batched enrichment
 with the deterministic stub extractor), P2/P3 (validity filters),
-F1-F14 (scalar derivations), P1 (38-field projection).
+F1-F14 (scalar derivations), P1 (37-field projection).
 
 Oracle-checked end to end: the stub enrichment is a pure function of
 md5(url), so the ENTIRE pipeline — including the Python mapInPandas
@@ -166,7 +166,7 @@ FROM lang
 )
 def station_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference pipeline (links -> dedup -> enrich -> validate ->
-    38-field station records) on a deterministic synthetic link set:
+    37-field station records) on a deterministic synthetic link set:
     fully reproducible (seeded stub extractor + frozen run_ts +
     md5-derived uuids), ~1/16 enrichment failures and ~1/16 unresolved
     URLs exercise the P2/P3 drop paths. The DuckDB oracle replays the

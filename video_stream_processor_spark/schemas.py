@@ -4,7 +4,7 @@ Production paths never infer schemas (SURVEY §1.3); streaming file
 sources *require* one. Test-table schemas verified against the parquet
 footers of ``/root/testdata/sf0.001`` (FIXTURES.md §B).
 
-The 38-field ``STATION_SCHEMA`` is the reference's output record —
+The 37-field ``STATION_SCHEMA`` is the reference's output record —
 field list and types from ``/root/reference/video_processor.py:281-319``
 (ints for the 0/1 flags per :275,:303,:314; nullable doubles for the geo
 fields per :315-317; bool only for ``has_extended_info`` per :318).
