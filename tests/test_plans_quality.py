@@ -212,3 +212,24 @@ def test_watermark_replay_single_window(spark, sf_dir):
     assert plan.count("Window") >= 1
     assert "Join" not in plan
     assert "Python" not in plan
+
+
+def test_no_python_eval_outside_u_surface(spark, sf_dir):
+    """UDFs are the slow path: no query may evaluate Python on the
+    executors except the declared U-surface (pandas UDAF, UDTF,
+    grouped map, mapInPandas enrichment/multimodal). Everything else
+    must stay whole-JVM."""
+    allowed = {
+        "udaf_weighted_avg",       # U2 pandas GROUPED_AGG
+        "py_udtf_tokenize",        # U3 Python UDTF
+        "grouped_map_zscore",      # U4 applyInPandas
+        "llm_multimodal_suite",    # L5/U1 mapInPandas decoder
+        "station_pipeline",        # U1 mapInPandas enrichment
+    }
+    markers = ("Python", "InPandas", "PandasUDF")
+    for name in all_specs():
+        if name in allowed:
+            continue
+        plan = plan_of(spark, sf_dir, name)
+        for m in markers:
+            assert m not in plan, (name, m)

@@ -279,7 +279,13 @@ def stream_static_join_categories(spark: SparkSession, sf_dir: str) -> DataFrame
     The dim is broadcast — zero shuffle added to the stream side; the
     same join works unchanged under readStream (tests prove it)."""
     ev = load_table(spark, sf_dir, "events")
-    dim = spark.createDataFrame(EVENT_CATEGORIES, "event_type string, category string")
+    # SQL VALUES → a JVM LocalRelation; createDataFrame(list) would ship
+    # the rows through a Python RDD scan (a "Python" node in the plan)
+    dim = spark.sql(
+        "SELECT * FROM VALUES "
+        + ", ".join(f"('{et}', '{cat}')" for et, cat in EVENT_CATEGORIES)
+        + " AS t(event_type, category)"
+    )
     return (
         ev.join(F.broadcast(dim), "event_type")
         .groupBy("category")
