@@ -98,6 +98,17 @@ def test_asof_random_bulk_vs_pandas(spark):
         v = None if pd.isna(row["v"]) else row["v"]
         w = None if pd.isna(row["w"]) else row["w"]
         assert got[row["lid"]] == (v, w), (row["lid"], got[row["lid"]], (v, w))
+    # three-way agreement: the cogrouped applyInPandas twin must match
+    # the JVM path on the same joint distribution
+    from video_stream_processor_spark.operators.asof import asof_join_cogrouped
+
+    cog = {
+        r["lid"]: (r["asof_v"], r["asof_w"])
+        for r in asof_join_cogrouped(
+            left, right, on="k", left_ts="ts", right_ts="ts"
+        ).collect()
+    }
+    assert cog == got
 
 
 def test_asof_tolerance_nulls_only_attached_columns(spark):
