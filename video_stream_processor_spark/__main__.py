@@ -74,6 +74,8 @@ def cmd_query(args: argparse.Namespace) -> int:
         return 1
     spark = _spark(args.cpus)
     df = specs[args.name].builder(spark, args.sf_dir)
+    if args.explain:
+        df.explain("formatted")
     df.show(args.limit, truncate=False)
     return 0
 
@@ -96,6 +98,7 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("name")
     pq.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
     pq.add_argument("--limit", type=int, default=20)
+    pq.add_argument("--explain", action="store_true", help="print the physical plan first")
     pq.set_defaults(fn=cmd_query)
 
     args = p.parse_args(argv)
