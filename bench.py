@@ -144,6 +144,9 @@ HEADLINE = [
 
 
 def main() -> None:
+    # sampled BEFORE any Spark work — the bench's own executor threads
+    # would otherwise dominate the reading
+    load_1m = round(os.getloadavg()[0], 2)
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="vsp-bench")
@@ -183,7 +186,7 @@ def main() -> None:
                 # BENCH_BASELINE.json: timings only trustworthy at
                 # machine load < ~2; recorded so a noisy round is
                 # interpretable after the fact.
-                "load_1m": round(os.getloadavg()[0], 2),
+                "load_1m": load_1m,
             }
         )
     )

@@ -116,6 +116,17 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("VSP_DRIVER_MEMORY", "32g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.execution.pyspark.udf.faulthandler.enabled", "true")
+        # Local right-sizing: the test-SF parquet files are ≤ ~15 MB, so
+        # the 128 MB default split gives a local[32] session 1-3 scan
+        # tasks per table. 16 MB splits spread scans across cores
+        # (q1 -20% at sf0.1). Cluster deployments against TB-scale
+        # inputs should keep the 128 MB+ default — this is sized to the
+        # local fixture files, hence get_spark-only (never forced onto
+        # an externally built session by ensure_runtime_confs).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("VSP_MAX_PARTITION_BYTES", "16m"),
+        )
     )
     for key, value in _RUNTIME_CONFS.items():
         builder = builder.config(key, value)
