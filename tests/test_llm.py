@@ -985,3 +985,24 @@ def test_sketch_heavy_hitters_vs_exact(spark, docs):
     freq = tok.stat.freqItems(["token"], support).collect()[0][0]
     must_find = {t for t, c in exact.items() if c / total > support}
     assert must_find <= set(freq)
+
+
+def test_corpus_report_values(spark, docs):
+    """The one-row audit report must agree with independently computed
+    exact values (dup rate, totals) and its HLL distinct-text estimate
+    must land within 5% of exact."""
+    from video_stream_processor_spark.llm.text import corpus_report
+
+    row = corpus_report(docs).collect()[0]
+    n_docs = docs.count()
+    n_distinct = docs.select("text").distinct().count()
+    assert row["n_docs"] == n_docs
+    assert row["n_distinct_texts"] == n_distinct
+    assert row["n_duplicate_docs"] == n_docs - n_distinct
+    assert row["dup_rate"] == round((n_docs - n_distinct) / n_docs, 6)
+    assert abs(row["approx_distinct_texts"] - n_distinct) / n_distinct < 0.05
+    exact_tokens = docs.selectExpr(
+        "sum(size(filter(split(text, ' '), x -> x != ''))) AS t"
+    ).collect()[0]["t"]
+    assert row["total_tokens"] == exact_tokens
+    assert row["n_langs"] >= 1 and row["n_sources"] >= 1

@@ -46,6 +46,7 @@ from .pii import PII_PATTERNS, pii_count, pii_count_cols, redact_pii
 from .text import (
     doc_fingerprints,
     langid_confusion,
+    corpus_report,
     text_quality_by_lang,
     token_counts_by_source,
     unigram_lm_bits,
@@ -87,6 +88,7 @@ __all__ = [
     "streaming_near_dup_flags",
     "simhash_near_dup_pairs_portable",
     "srp_near_dup_pairs",
+    "corpus_report",
     "text_quality_by_lang",
     "token_counts_by_source",
     "unigram_lm_bits",

@@ -341,3 +341,46 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
             "top_char_frac"
         ),
     )
+
+
+def corpus_report(docs: DataFrame) -> DataFrame:
+    """One-row corpus audit — the "is this corpus sane" call an
+    operator runs before and after every curation step: size, token
+    budget, distinct-token estimate (HLL — sketch, not a giant exact
+    distinct), language/source breadth, exact-duplicate rate, and mean
+    quality ratios.
+
+    Scale shape: ONE scan of the corpus into a single global aggregate
+    (map-side partials for every column, HLL for the distinct
+    estimate), plus one hash-shuffle for the duplicate-group count —
+    the same two-pass budget as ``exact_dedup_groups`` alone. Nothing
+    is collected; the result is a 1-row DataFrame.
+    """
+    tok = tokens()
+    n_tok = F.size(tok)
+    stats = docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.sum(n_tok).cast("long").alias("total_tokens"),
+        F.approx_count_distinct("lang").alias("n_langs"),
+        F.approx_count_distinct("source").alias("n_sources"),
+        F.round(F.avg(F.try_divide(F.size(F.array_distinct(tok)), n_tok)), 6).alias(
+            "avg_distinct_token_ratio"
+        ),
+        F.round(F.avg(F.length("text")), 2).alias("avg_chars"),
+        F.expr("hll_sketch_estimate(hll_sketch_agg(sha2(text, 256), 12))").alias(
+            "approx_distinct_texts"
+        ),
+    )
+    dups = (
+        docs.groupBy(F.sha2("text", 256).alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.col("n") - 1).cast("long").alias("n_duplicate_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_texts"),
+        )
+    )
+    return stats.crossJoin(F.broadcast(dups)).withColumn(
+        "dup_rate",
+        F.round(F.try_divide(F.col("n_duplicate_docs"), F.col("n_docs")), 6),
+    )
