@@ -67,3 +67,36 @@ def test_normalize_events_encodings(spark, tmp_path, ts_type, expect_raw_dtype):
     # ts renders as the same naive-UTC wall clock in every encoding
     # (session tz pinned UTC in _RUNTIME_CONFS)
     assert [r["ts"].replace(tzinfo=None) for r in rows] == _WALL
+
+
+@pytest.mark.parametrize(
+    "ts_type",
+    [pa.timestamp("ns"), pa.timestamp("us"), pa.timestamp("us", tz="UTC")],
+    ids=["nanos-as-long", "micros-ntz", "micros-utc"],
+)
+def test_events_stream_reads_every_encoding(spark, tmp_path, ts_type):
+    """Streaming reads must declare a schema, so the footer decides
+    which raw schema to declare (ADVICE r3: a hardcoded TIMESTAMP_NTZ
+    declaration broke older TIMESTAMP(NANOS) fixtures on the stream
+    path even though the batch path handled them)."""
+    from video_stream_processor_spark.io import load_events_stream
+
+    _write(tmp_path, ts_type, "events.parquet")
+    sdf = load_events_stream(spark, str(tmp_path))
+    assert dict(sdf.dtypes)["ts"] == "timestamp"
+    assert dict(sdf.dtypes)["ts_ns"] == "bigint"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName("t_enc_stream")
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination(60)
+    finally:
+        q.stop()
+    rows = sorted(
+        spark.sql("select event_id, ts, ts_ns from t_enc_stream").collect()
+    )
+    assert [r["ts_ns"] for r in rows] == _EXPECT_NS
+    assert [r["ts"].replace(tzinfo=None) for r in rows] == _WALL

@@ -833,6 +833,49 @@ def test_memo_checkpoint_reuses_materialization(spark, sf_dir):
     assert c is not a
 
 
+def test_memo_checkpoint_invalidates_on_file_change(spark, tmp_path):
+    """Rewriting the parquet files at the same path must NOT serve a
+    stale memoized checkpoint: the key includes the leaf files'
+    (path, mtime, size) fingerprint."""
+    import os
+
+    from video_stream_processor_spark.llm.dedup import _memo_checkpoint
+
+    p = str(tmp_path / "docs")
+    spark.createDataFrame([(1, "one two")], ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(p)
+    first = _memo_checkpoint(spark.read.parquet(p), "t_fp")
+    assert first.count() == 1
+    spark.createDataFrame(
+        [(1, "one two"), (2, "three four")], ["doc_id", "text"]
+    ).write.mode("overwrite").parquet(p)
+    # overwrite within the same mtime tick is possible on fast runs;
+    # bump mtimes explicitly to model a later regeneration
+    for f in os.listdir(p):
+        full = os.path.join(p, f)
+        st = os.stat(full)
+        os.utime(full, ns=(st.st_atime_ns, st.st_mtime_ns + 1_000_000))
+    second = _memo_checkpoint(spark.read.parquet(p), "t_fp")
+    assert second.count() == 2
+
+
+def test_memo_checkpoint_invalidation_hook(spark, sf_dir):
+    """invalidate_checkpoint_memo() force-drops every memo slot."""
+    from video_stream_processor_spark.io import load_table
+    from video_stream_processor_spark.llm.dedup import (
+        _doc_shingle_arrays,
+        _memo_checkpoint,
+        invalidate_checkpoint_memo,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = _memo_checkpoint(_doc_shingle_arrays(docs), "t_inval")
+    invalidate_checkpoint_memo()
+    b = _memo_checkpoint(_doc_shingle_arrays(docs), "t_inval")
+    assert b is not a
+
+
 def test_doc_chunking_matches_reference(spark):
     """Chunk expansion pinned against a plain-Python reference on a
     frame with edge shapes: doc shorter than one window, exactly one

@@ -111,6 +111,36 @@ def test_asof_random_bulk_vs_pandas(spark):
     assert cog == got
 
 
+def test_asof_cogrouped_small_int_right_columns(spark):
+    """ByteType/ShortType right columns survive the pandas round-trip:
+    matched rows keep exact values, unmatched rows become real NULLs
+    (not float NaN that fails the Arrow cast to int8/int16)."""
+    from pyspark.sql import types as T
+
+    from video_stream_processor_spark.operators.asof import asof_join_cogrouped
+
+    left = spark.createDataFrame(
+        [(1, 5, 10), (1, 50, 11), (2, 5, 12)], "k bigint, ts bigint, lid bigint"
+    )
+    right = spark.createDataFrame(
+        [(1, 10, 3, 7)],
+        T.StructType(
+            [
+                T.StructField("k", T.LongType()),
+                T.StructField("ts", T.LongType()),
+                T.StructField("tiny", T.ByteType()),
+                T.StructField("small", T.ShortType()),
+            ]
+        ),
+    )
+    out = asof_join_cogrouped(left, right, on="k", left_ts="ts", right_ts="ts")
+    types = {f.name: f.dataType for f in out.schema.fields}
+    assert types["asof_tiny"] == T.ByteType()
+    assert types["asof_small"] == T.ShortType()
+    got = {r["lid"]: (r["asof_tiny"], r["asof_small"]) for r in out.collect()}
+    assert got == {10: (None, None), 11: (3, 7), 12: (None, None)}
+
+
 def test_asof_tolerance_nulls_only_attached_columns(spark):
     """Stale matches null exactly the columns THIS join attached; a
     pre-existing left column sharing the prefix is untouched."""

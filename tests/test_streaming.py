@@ -422,6 +422,46 @@ def test_stream_stream_interval_join_equals_batch(
     assert_same_rows(got, want)
 
 
+def test_interval_ns_parses_arbitrary_horizons():
+    """interval_ns accepts any quantity/unit mix the INTERVAL literal
+    accepts — not just the two horizons the join shipped with."""
+    import pytest
+
+    from video_stream_processor_spark.streaming.analytics import interval_ns
+
+    assert interval_ns("1 hour") == 3_600_000_000_000
+    assert interval_ns("30 minutes") == 1_800_000_000_000
+    assert interval_ns("45 minutes") == 2_700_000_000_000
+    assert interval_ns("90 seconds") == 90_000_000_000
+    assert interval_ns("1 day 6 hours") == 108_000_000_000_000
+    assert interval_ns("1.5 hours") == 5_400_000_000_000
+    assert interval_ns("250 milliseconds") == 250_000_000
+    with pytest.raises(ValueError):
+        interval_ns("fortnight")
+    with pytest.raises(ValueError):
+        interval_ns("3 parsecs")
+
+
+def test_attribution_arbitrary_horizon_batch(spark, events_batch):
+    """A horizon outside the original lookup table runs and bounds
+    latency correctly (batch twin; same builder serves streams)."""
+    from video_stream_processor_spark.streaming import (
+        signup_purchase_attribution,
+    )
+
+    signups = events_batch.filter(F.col("event_type") == "signup")
+    purchases = events_batch.filter(F.col("event_type") == "purchase")
+    rows = signup_purchase_attribution(
+        signups, purchases, horizon="45 minutes"
+    ).collect()
+    assert rows, "no pairs within 45 minutes in fixture"
+    assert all(0 < r["latency_ns"] <= 2_700_000_000_000 for r in rows)
+    hour = signup_purchase_attribution(
+        signups, purchases, horizon="1 hour"
+    ).count()
+    assert len(rows) <= hour  # tighter horizon, no extra pairs
+
+
 def test_streaming_near_dup_flags_equals_batch(spark, sf_dir, tmp_path):
     """LLM op on an unbounded stream: incoming docs flagged against the
     static corpus LSH index (stream-static join, zero streaming state)

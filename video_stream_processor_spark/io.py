@@ -64,19 +64,61 @@ def register_views(spark: SparkSession, sf_dir: str, suffix: str = "") -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(f"{name}{suffix}")
 
 
+def _events_stream_schema(path: str):
+    """Raw schema for a streaming events read, chosen from the parquet
+    footer. Batch reads infer this; streaming reads must declare it,
+    and the fixture has shipped with three ``ts`` encodings
+    (TIMESTAMP(NANOS) → bigint under nanosAsLong, TIMESTAMP(MICROS)
+    NTZ, TIMESTAMP(MICROS) UTC), so a hardcoded declaration breaks on
+    older fixtures. Falls back to EVENTS_RAW_SCHEMA (the current
+    encoding) if the footer can't be read."""
+    from pyspark.sql import types as T
+
+    try:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pq.read_schema(path).field("ts").type
+        if pa.types.is_timestamp(t):
+            if t.unit == "ns":
+                ts_type = T.LongType()  # read as bigint via nanosAsLong
+            elif t.tz is None:
+                ts_type = T.TimestampNTZType()
+            else:
+                ts_type = T.TimestampType()
+        elif pa.types.is_integer(t):
+            ts_type = T.LongType()
+        else:
+            return EVENTS_RAW_SCHEMA
+    except Exception:
+        return EVENTS_RAW_SCHEMA
+    return T.StructType(
+        [
+            T.StructField(
+                f.name,
+                ts_type if f.name == "ts" else f.dataType,
+                f.nullable,
+            )
+            for f in EVENTS_RAW_SCHEMA.fields
+        ]
+    )
+
+
 def load_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events as an unbounded relation (T2/T5-T11 fixtures): the parquet
     file replayed through the streaming file source. Schema must be
-    declared for streaming reads; one file per trigger keeps micro-batch
+    declared for streaming reads (chosen from the footer — see
+    _events_stream_schema); one file per trigger keeps micro-batch
     boundaries deterministic in tests."""
     ensure_runtime_confs(spark)
+    path = table_path(sf_dir, "events")
     # The streaming file source needs a directory or glob (a bare file
     # path fails "basePath must be a directory"); a trailing-* glob
     # keeps this zero-copy over the read-only fixture file.
     raw = (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(path))
         .option("maxFilesPerTrigger", "1")
-        .parquet(table_path(sf_dir, "events") + "*")
+        .parquet(path + "*")
     )
     return _normalize_events(raw)
 

@@ -19,6 +19,10 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import os
+import threading
+from urllib.parse import urlparse
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -31,39 +35,74 @@ MINHASH_ROWS = 4
 SIMHASH_BITS = 64
 SIMHASH_CHUNKS = 4  # 16-bit chunks: hamming<=3 → >=1 chunk identical
 
-# (session id, tag, semanticHash) -> (source df, checkpointed df).
-# Bounded FIFO; evicted entries are reclaimed by the driver's
-# ContextCleaner once unreferenced (no explicit unpersist — a caller
-# may still hold the returned DataFrame).
+# (session id, tag, semanticHash, input fingerprint) ->
+# (source df, checkpointed df). Bounded FIFO; evicted entries are
+# reclaimed by the driver's ContextCleaner once unreferenced (no
+# explicit unpersist — a caller may still hold the returned DataFrame).
 _CKPT_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _CKPT_MEMO_MAX = 16
+_CKPT_LOCK = threading.Lock()
+
+
+def invalidate_checkpoint_memo() -> None:
+    """Drop every memoized checkpoint (e.g. after regenerating the
+    parquet fixtures mid-session). Evicted frames are reclaimed by the
+    driver's ContextCleaner once callers release their references."""
+    with _CKPT_LOCK:
+        _CKPT_MEMO.clear()
+
+
+def _input_fingerprint(df: DataFrame) -> tuple:
+    """Best-effort (path, mtime_ns, size) fingerprint of the plan's
+    leaf input files, so a fixture regenerated at the same path gets a
+    fresh checkpoint instead of stale memoized data. Local/file paths
+    are stat'ed; remote URIs fall back to path identity (object stores
+    are immutable-by-convention — a rewrite changes the file list)."""
+    try:
+        files = sorted(df.inputFiles())
+    except Exception:
+        return ()
+    out = []
+    for uri in files[:64]:  # cap stat calls for very wide scans
+        p = urlparse(uri)
+        if p.scheme in ("", "file"):
+            try:
+                st = os.stat(p.path)
+                out.append((p.path, st.st_mtime_ns, st.st_size))
+                continue
+            except OSError:
+                pass
+        out.append((uri, 0, 0))
+    return tuple(out)
 
 
 def _memo_checkpoint(df: DataFrame, tag: str) -> DataFrame:
-    """Eager ``localCheckpoint`` memoized per (session, plan semantics).
+    """Eager ``localCheckpoint`` memoized per (session, plan semantics,
+    input-file fingerprint).
 
     A resident session (bench loop, notebook, repeated driver calls)
     rebuilds the same derived table on every builder call; without the
     memo each build re-materializes it and strands the previous
-    checkpoint until driver GC. Keyed by ``semanticHash`` and verified
-    with ``sameSemantics``, so only a truly identical plan (same
-    source, same derivation) reuses the materialization. Assumes the
-    underlying files are immutable for the session — true for the
-    fixture tables; at cluster scale the analog is writing the derived
-    table once and reading it thereafter. NOT for iteratively-updated
-    frames (k-means state, label propagation) — those change per call
-    by design."""
+    checkpoint until driver GC. Keyed by ``semanticHash`` plus the leaf
+    files' (path, mtime, size), verified with ``sameSemantics``, so
+    only a truly identical plan over unchanged files reuses the
+    materialization; ``invalidate_checkpoint_memo()`` force-clears. At
+    cluster scale the analog is writing the derived table once and
+    reading it thereafter. NOT for iteratively-updated frames (k-means
+    state, label propagation) — those change per call by design."""
     try:
-        key = (id(df.sparkSession), tag, df.semanticHash())
-        hit = _CKPT_MEMO.get(key)
+        key = (id(df.sparkSession), tag, df.semanticHash(), _input_fingerprint(df))
+        with _CKPT_LOCK:
+            hit = _CKPT_MEMO.get(key)
         if hit is not None and hit[0].sameSemantics(df):
             return hit[1]
     except Exception:
         return df.localCheckpoint(eager=True)
     ck = df.localCheckpoint(eager=True)
-    while len(_CKPT_MEMO) >= _CKPT_MEMO_MAX:
-        _CKPT_MEMO.pop(next(iter(_CKPT_MEMO)))
-    _CKPT_MEMO[key] = (df, ck)
+    with _CKPT_LOCK:
+        while len(_CKPT_MEMO) >= _CKPT_MEMO_MAX:
+            _CKPT_MEMO.pop(next(iter(_CKPT_MEMO)))
+        _CKPT_MEMO[key] = (df, ck)
     return ck
 
 

@@ -182,10 +182,20 @@ def asof_join_cogrouped(
         + [T.StructField(f"{prefix}{c}", right_types[c], True) for c in right_cols]
     )
     left_cols = list(left.columns)
-    int_like = (T.LongType(), T.IntegerType())
-    int_out = [
-        f"{prefix}{c}" for c in right_cols if right_types[c] in int_like
-    ]
+    # All integral widths: unmatched rows surface these as float NaN in
+    # pandas; map each to its exact-width nullable dtype so Arrow hands
+    # Spark proper NULLs with no unsafe downcast.
+    pd_int = {
+        T.ByteType: "Int8",
+        T.ShortType: "Int16",
+        T.IntegerType: "Int32",
+        T.LongType: "Int64",
+    }
+    int_out = {
+        f"{prefix}{c}": pd_int[type(right_types[c])]
+        for c in right_cols
+        if type(right_types[c]) in pd_int
+    }
     lts, rts, tie = left_ts, right_ts, right_tiebreak
     rcols = list(right_cols)
     pfx = prefix
@@ -206,7 +216,7 @@ def asof_join_cogrouped(
         out = merged[left_cols + [f"{pfx}{c}" for c in rcols]]
         # unmatched rows surface integer right-cols as float NaN; cast
         # to pandas nullable ints so Arrow hands Spark proper NULLs
-        return out.astype({c: "Int64" for c in int_out})
+        return out.astype(int_out)
 
     return (
         left.groupBy(*keys)

@@ -89,9 +89,11 @@ LINEITEM_SCHEMA = _struct(
 
 # On-disk shape (verified via pyarrow.parquet.read_schema, 2026-08-13):
 # ts is parquet TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark reads
-# TIMESTAMP_NTZ. This is the schema for *raw* reads (incl. readStream,
-# which must declare it); io._normalize_events handles older nanos
-# fixtures read as bigint too.
+# TIMESTAMP_NTZ. This is the *current-encoding* raw-read schema; batch
+# reads infer from the footer, and streaming reads go through
+# io._events_stream_schema, which swaps the ts field per the footer
+# (older TIMESTAMP(NANOS) fixtures → bigint under nanosAsLong), so
+# every historical encoding is readable on both paths.
 EVENTS_RAW_SCHEMA = _struct(
     ("event_id", T.LongType()),
     ("ts", T.TimestampNTZType()),

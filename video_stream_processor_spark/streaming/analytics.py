@@ -30,6 +30,33 @@ def _maybe_watermark(events: DataFrame, watermark: str | None) -> DataFrame:
     return events
 
 
+_INTERVAL_UNIT_NS = {
+    "microsecond": 1_000,
+    "millisecond": 1_000_000,
+    "second": 1_000_000_000,
+    "minute": 60_000_000_000,
+    "hour": 3_600_000_000_000,
+    "day": 86_400_000_000_000,
+    "week": 604_800_000_000_000,
+}
+
+
+def interval_ns(interval: str) -> int:
+    """Parse a Spark interval string ("1 hour", "90 minutes",
+    "1 day 6 hours") to nanoseconds, accepting any quantity/unit mix
+    the join condition's ``INTERVAL`` literal accepts."""
+    parts = interval.strip().lower().split()
+    if not parts or len(parts) % 2:
+        raise ValueError(f"unparseable interval: {interval!r}")
+    total = 0
+    for qty, unit in zip(parts[::2], parts[1::2]):
+        unit = unit.rstrip("s")
+        if unit not in _INTERVAL_UNIT_NS:
+            raise ValueError(f"unknown interval unit {unit!r} in {interval!r}")
+        total += int(float(qty) * _INTERVAL_UNIT_NS[unit])
+    return total
+
+
 def windowed_to_flat(df: DataFrame) -> DataFrame:
     """Flatten the struct ``window`` column to epoch-second bounds so
     results hash identically across engines (no raw timestamps out)."""
@@ -168,9 +195,7 @@ def signup_purchase_attribution(
     Output is flat epoch-second/na­no columns (engine-portable): one
     row per qualifying pair.
     """
-    horizon_ns = {"1 hour": 3_600_000_000_000, "30 minutes": 1_800_000_000_000}[
-        horizon
-    ]
+    horizon_ns = interval_ns(horizon)
     s = _maybe_watermark(signups, watermark).select(
         F.col("user_id").alias("s_user"),
         F.col("event_id").alias("signup_id"),
