@@ -143,10 +143,42 @@ HEADLINE = [
 ]
 
 
+# Timings are only bar-comparable on a quiet machine (r3 shipped a
+# 133 s artifact at load 4.61 that re-ran at 12.8 s idle). Measured
+# inflation on this box vs the starting 1-min load: 0.16 -> 0.8x,
+# 1.18 -> 2.2x, 1.33 (5m 2.87) -> 5x — so both averages gate, and
+# "quiet" means well under one busy core.
+LOAD_GATE_1M = 1.0
+LOAD_GATE_5M = 2.0
+
+
+def _await_quiet_machine() -> tuple[float, bool]:
+    """Sample load BEFORE any Spark work (the bench's own executor
+    threads would otherwise dominate the reading); if the machine is
+    hot, sleep-and-resample within a bounded budget. Returns
+    (final 1-min load, comparable?) — a still-hot machine runs anyway
+    (the driver needs its one JSON line) but the artifact
+    self-describes as not bar-comparable."""
+    max_wait = float(os.environ.get("SPARK_GRAFT_BENCH_MAX_WAIT_S", "300"))
+    poll = 20.0
+    waited = 0.0
+    while True:
+        l1, l5, _ = os.getloadavg()
+        quiet = l1 < LOAD_GATE_1M and l5 < LOAD_GATE_5M
+        if quiet or waited >= max_wait:
+            return round(l1, 2), quiet
+        print(
+            f"# load {l1:.2f}/{l5:.2f} >= gate {LOAD_GATE_1M}/"
+            f"{LOAD_GATE_5M}: waiting for quiet machine "
+            f"({waited:.0f}/{max_wait:.0f}s)",
+            file=sys.stderr,
+        )
+        time.sleep(poll)
+        waited += poll
+
+
 def main() -> None:
-    # sampled BEFORE any Spark work — the bench's own executor threads
-    # would otherwise dominate the reading
-    load_1m = round(os.getloadavg()[0], 2)
+    load_1m, comparable = _await_quiet_machine()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark(app_name="vsp-bench")
@@ -185,8 +217,11 @@ def main() -> None:
                 "sf": sf,
                 # BENCH_BASELINE.json: timings only trustworthy at
                 # machine load < ~2; recorded so a noisy round is
-                # interpretable after the fact.
+                # interpretable after the fact. comparable=false means
+                # the load gate timed out still-hot: do NOT read these
+                # numbers against any pinned bar.
                 "load_1m": load_1m,
+                "comparable": comparable,
             }
         )
     )
