@@ -27,6 +27,7 @@ from ..llm import (
     exact_dedup_groups,
     extract_binary_features,
     ivf_topk,
+    kmeans_centroids,
     ngram_jaccard_pairs,
     text_quality_by_lang,
 )
@@ -317,60 +318,107 @@ def llm_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_cos9(a: str, b: str) -> str:
+    """Engine-stable cosine: rounded to 9dp before any argmax/ordering
+    (same contract as similarity.cosine + F.round in the Spark plans)."""
+    return (
+        f"round(list_dot_product({a}, {b})"
+        f" / (sqrt(list_dot_product({a}, {a}))"
+        f" * sqrt(list_dot_product({b}, {b}))), 9)"
+    )
+
+
+def _sql_kmeans_iter(n: int, prev: str) -> str:
+    """One unrolled Lloyd's round: assign every vector to its nearest
+    centroid from ``prev`` (rounded cosine, ties to the lowest id),
+    then per-(cell, pos) mean rounded to 9dp — the SQL twin of one
+    kmeans_centroids iteration."""
+    return f"""assign{n} AS (
+  SELECT vec_id, v, centroid_id FROM (
+    SELECT e.vec_id, e.v, c.centroid_id,
+           row_number() OVER (
+             PARTITION BY e.vec_id
+             ORDER BY {_sql_cos9('e.v', 'c.cv')} DESC, c.centroid_id
+           ) AS rn
+    FROM e, {prev} c
+  ) WHERE rn = 1
+), cent{n} AS (
+  SELECT centroid_id, list(m ORDER BY pos) AS cv FROM (
+    SELECT centroid_id, i AS pos, round(avg(v[i]), 9) AS m
+    FROM assign{n}, unnest(generate_series(1, len(v))) AS u(i)
+    GROUP BY centroid_id, i
+  ) GROUP BY centroid_id
+)"""
+
+
+def _sql_ivf_leg(cent: str, variant: str) -> str:
+    """IVF search against centroid relation ``cent``: assign the corpus
+    to cells, probe the 4 cells nearest the query, exact-rank the
+    candidates, top-10."""
+    return f"""SELECT vec_id, label, cosine, variant FROM (
+  SELECT a.vec_id, a.label,
+         round(list_dot_product(a.v, q.qe)
+           / (sqrt(list_dot_product(a.v, a.v))
+              * sqrt(list_dot_product(q.qe, q.qe))), 6) AS cosine,
+         '{variant}' AS variant
+  FROM (
+    SELECT vec_id, label, v, centroid_id FROM (
+      SELECT e.vec_id, e.label, e.v, c.centroid_id,
+             row_number() OVER (
+               PARTITION BY e.vec_id
+               ORDER BY {_sql_cos9('e.v', 'c.cv')} DESC, c.centroid_id
+             ) AS rn
+      FROM e, {cent} c
+    ) WHERE rn = 1
+  ) a
+  JOIN (
+    SELECT centroid_id FROM (
+      SELECT c.centroid_id, {_sql_cos9('c.cv', 'q.qe')} AS qcos
+      FROM {cent} c, q
+    ) ORDER BY qcos DESC, centroid_id LIMIT 4
+  ) probe USING (centroid_id), q
+  WHERE a.vec_id != 0
+) ORDER BY cosine DESC, vec_id LIMIT 10"""
+
+
 @register(
     "llm_ivf_topk",
     survey_ids="L3",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
-), cent AS (
-  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
 ), q AS (
   SELECT v AS qe FROM e WHERE vec_id = 0
-), assign AS (
-  SELECT vec_id, label, v, centroid_id FROM (
-    SELECT e.vec_id, e.label, e.v, c.centroid_id,
-           row_number() OVER (
-             PARTITION BY e.vec_id
-             ORDER BY round(list_dot_product(e.v, c.cv)
-               / (sqrt(list_dot_product(e.v, e.v))
-                  * sqrt(list_dot_product(c.cv, c.cv))), 9) DESC,
-               c.centroid_id
-           ) AS rn
-    FROM e, cent c
-  ) WHERE rn = 1
-), probe AS (
-  SELECT centroid_id FROM (
-    SELECT c.centroid_id,
-           round(list_dot_product(c.cv, q.qe)
-             / (sqrt(list_dot_product(c.cv, c.cv))
-                * sqrt(list_dot_product(q.qe, q.qe))), 9) AS qcos
-    FROM cent c, q
-  ) ORDER BY qcos DESC, centroid_id LIMIT 4
-)
-SELECT vec_id, label, round(cos, 6) AS cosine FROM (
-  SELECT a.vec_id, a.label,
-         list_dot_product(a.v, q.qe)
-           / (sqrt(list_dot_product(a.v, a.v))
-              * sqrt(list_dot_product(q.qe, q.qe))) AS cos
-  FROM assign a JOIN probe USING (centroid_id), q
-  WHERE a.vec_id != 0
-)
-ORDER BY round(cos, 6) DESC, vec_id
-LIMIT 10
+), cent_seed AS (
+  SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 8
+), {_sql_kmeans_iter(1, 'cent_seed')}, {_sql_kmeans_iter(2, 'cent1')}
+({_sql_ivf_leg('cent_seed', 'seed')})
+UNION ALL
+({_sql_ivf_leg('cent2', 'kmeans')})
 """,
 )
 def llm_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3 scale path: IVF-pruned top-10 (8 coarse cells, probe 4) —
-    deterministic tie-breaks make the whole pruned search replayable in
-    SQL, so even the approximate path is oracle-checked; recall vs
-    llm_cosine_topk additionally pinned in tests."""
-    return ivf_topk(
-        load_table(spark, sf_dir, "embeddings"),
+    """L3 scale path: IVF-pruned top-10 (8 coarse cells, probe 4), two
+    variants in one suite — ``seed`` cells (deterministic vec_id < 8
+    init) and ``kmeans`` cells (two Lloyd's rounds from that init, the
+    production path: trained cells balance list sizes so the same
+    nprobe prunes more accurately). Deterministic tie-breaks and 9dp
+    rounding make BOTH paths — including the k-means training itself —
+    replayable in SQL, so even the trained approximate index is
+    oracle-checked; recall vs the exact scan additionally pinned in
+    tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    seed = ivf_topk(emb, query_vec_id=0, k=10, n_centroids=8, nprobe=4)
+    trained = ivf_topk(
+        emb,
         query_vec_id=0,
         k=10,
         n_centroids=8,
         nprobe=4,
+        centroids=kmeans_centroids(emb, k=8, iters=2),
+    )
+    return seed.withColumn("variant", F.lit("seed")).unionByName(
+        trained.withColumn("variant", F.lit("kmeans"))
     )
 
 
