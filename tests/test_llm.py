@@ -549,6 +549,119 @@ def test_repetition_signals_known_values(spark):
     assert out[2]["top_char_frac"] == 1.0
 
 
+def _py_bpe_train(texts, n_merges, min_pair_count=2):
+    """Independent plain-Python BPE reference (train over the word-freq
+    dict, ties to (max count, lexicographically smallest pair))."""
+    import re
+    from collections import Counter
+
+    pre = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+    vocab = Counter(w for t in texts for w in pre.findall(t))
+    syms = {w: tuple(w) for w in vocab}
+    merges = []
+    for _ in range(n_merges):
+        pc = Counter()
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), cnt = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+def _py_bpe_count(text, merges):
+    import re
+
+    pre = re.compile(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]")
+    n = 0
+    for w in pre.findall(text):
+        s = " ".join(w)
+        for a, b in merges:
+            s = s.replace(f"{a} {b}", a + b)
+        n += len(s.split(" "))
+    return n
+
+
+def test_bpe_train_matches_python_reference(docs):
+    """The Spark-side trainer (distributed word counts + driver merge
+    loop) must learn the SAME merge table as an independent in-memory
+    reference, and the JVM-side replay must count the same tokens per
+    doc — two implementations, one contract."""
+    from video_stream_processor_spark.llm.text import (
+        bpe_count_col,
+        bpe_train,
+    )
+
+    texts = [r["text"] for r in docs.select("text").collect()]
+    want_merges = _py_bpe_train(texts, n_merges=24)
+    got_merges = bpe_train(docs, n_merges=24)
+    assert got_merges == want_merges
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", bpe_count_col(got_merges).alias("n")
+        ).collect()
+    }
+    want = {
+        r["doc_id"]: _py_bpe_count(r["text"], want_merges)
+        for r in docs.select("doc_id", "text").collect()
+    }
+    assert got == want
+
+
+def test_bpe_segmentation_roundtrip_and_compression(docs):
+    """Segments concatenate back to the pre-token stream (BPE never
+    crosses pre-token boundaries or loses characters), and the learned
+    table compresses: fewer tokens than characters, no fewer than
+    pre-tokens."""
+    from video_stream_processor_spark.llm.bpe_merges import (
+        PRETRAINED_MERGES,
+    )
+    from video_stream_processor_spark.llm.text import (
+        BPE_TOKEN_RE,
+        bpe_count_col,
+        bpe_segment_col,
+    )
+
+    out = docs.select(
+        "doc_id",
+        F.concat_ws("", bpe_segment_col(PRETRAINED_MERGES)).alias("glued"),
+        F.concat_ws(
+            "", F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+        ).alias("pre_glued"),
+        bpe_count_col(PRETRAINED_MERGES).alias("n_learned"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(BPE_TOKEN_RE), 0)
+        ).alias("n_pre"),
+        F.length(F.regexp_replace(F.col("text"), " ", "")).alias("n_chars"),
+    ).collect()
+    assert out
+    saw_compression = False
+    for r in out:
+        assert r["glued"] == r["pre_glued"], r["doc_id"]
+        assert r["n_pre"] <= r["n_learned"] <= max(r["n_chars"], 0) or (
+            r["n_chars"] == 0 and r["n_learned"] == 0
+        )
+        if r["n_learned"] < r["n_chars"]:
+            saw_compression = True
+    assert saw_compression, "merge table never fired on the corpus"
+
+
 def test_unigram_lm_bits_known_values(spark):
     """Hand-computed 6-token corpus: counts a=3, b=2, c=1, total=6.
     bits(tok) = -log2(cnt/6). Doc1 'a a a' -> bits = log2(2) = 1.0;

@@ -131,6 +131,139 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
     )
 
 
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 48,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+) -> list[tuple[str, str]]:
+    """L4: learn a BPE merge table from a corpus (real subword
+    tokenization, not just the pre-tokenizer regex).
+
+    Scale shape — the two standard phases:
+    1. distributed: pre-token *word frequencies* (one explode + hash
+       agg). BPE trains on the word-frequency dict, never the raw
+       corpus, so the collect below is bounded by |vocab|, not corpus
+       size; at 100 TB you additionally sample documents and/or drop
+       hapax words before collecting (standard practice — in-memory
+       trainers work the same way).
+    2. driver: classic pair-merge loop over the vocab. Deterministic
+       regardless of collect order: the best pair is chosen by
+       (max count, then lexicographically smallest pair).
+
+    Application is engine-portable: replaying the returned merges in
+    order, each exhaustively left-to-right (plain string replace),
+    reproduces the training segmentation exactly.
+    """
+    wc = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(
+                    F.col(text_col), F.lit(BPE_TOKEN_RE), 0
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    vocab = {r["w"]: int(r["count"]) for r in wc}
+    syms: dict[str, tuple[str, ...]] = {w: tuple(w) for w in vocab}
+    merges: list[tuple[str, str]] = []
+    for _ in range(n_merges):
+        pair_counts: dict[tuple[str, str], int] = {}
+        for w, c in vocab.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                p = (s[i], s[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        (a, b), cnt = min(
+            pair_counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        if cnt < min_pair_count:
+            break
+        merges.append((a, b))
+        ab = a + b
+        for w, s in syms.items():
+            if a not in s:
+                continue
+            out: list[str] = []
+            i = 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(ab)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges
+
+
+def _bpe_word_expr(w: Column, merges: list[tuple[str, str]]) -> Column:
+    """Space-joined BPE symbols of one pre-token: split to chars, then
+    replay every merge in rank order (literal replace-all — exactly the
+    training-time evolution). Pure string Columns, JVM-side."""
+    s = F.concat_ws(
+        " ", F.filter(F.split(w, ""), lambda x: x != F.lit(""))
+    )
+    for a, b in merges:
+        s = F.replace(s, F.lit(f"{a} {b}"), F.lit(a + b))
+    return s
+
+
+def bpe_count_col(
+    merges: list[tuple[str, str]], col: str = "text"
+) -> Column:
+    """Learned-BPE token count per document (BIGINT, 0 for empty) —
+    the budget number a training pipeline actually bills by, vs the
+    pre-tokenizer upper bound ``regexp_count(BPE_TOKEN_RE)``."""
+    pre = F.regexp_extract_all(F.col(col), F.lit(BPE_TOKEN_RE), 0)
+    counts = F.transform(
+        pre, lambda w: F.size(F.split(_bpe_word_expr(w, merges), " "))
+    )
+    return F.aggregate(
+        counts, F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+
+
+def bpe_segment_col(
+    merges: list[tuple[str, str]], col: str = "text"
+) -> Column:
+    """Array of learned-BPE subword tokens for a document (pre-token
+    boundaries never crossed, like real BPE)."""
+    pre = F.regexp_extract_all(F.col(col), F.lit(BPE_TOKEN_RE), 0)
+    return F.flatten(
+        F.transform(
+            pre, lambda w: F.split(_bpe_word_expr(w, merges), " ")
+        )
+    )
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_count_sql(merges: list[tuple[str, str]], text_expr: str = "text") -> str:
+    """DuckDB twin of ``bpe_count_col`` — same merge replay as nested
+    literal ``replace`` calls, so a learned tokenizer is still
+    oracle-checkable once its merge table is fixed."""
+    s = (
+        "array_to_string(list_filter(string_split(w, ''),"
+        " x -> x != ''), ' ')"
+    )
+    for a, b in merges:
+        s = f"replace({s}, {_sql_quote(f'{a} {b}')}, {_sql_quote(a + b)})"
+    return (
+        "CAST(coalesce(list_sum(list_transform("
+        f"regexp_extract_all({text_expr},"
+        " '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'),"
+        f" w -> len(string_split({s}, ' ')))), 0) AS BIGINT)"
+    )
+
+
 def fingerprint_col() -> Column:
     """Order-sensitive polynomial rolling hash of the token stream:
     fp = fold(fp * B + (31*len(tok) + ascii(tok[0]))) mod M. Pure

@@ -17,7 +17,13 @@ from pyspark.sql import functions as F
 from ..io import load_table
 from ..llm.pii import pii_count_cols, pii_oracle_exprs, redact_pii
 from ..llm.similarity import label_centroids
-from ..llm.text import tfidf_top_terms, unigram_lm_by_lang
+from ..llm.bpe_merges import PRETRAINED_MERGES
+from ..llm.text import (
+    bpe_count_col,
+    bpe_count_sql,
+    tfidf_top_terms,
+    unigram_lm_by_lang,
+)
 from ..llm import (
     attach_payload,
     canonical_dedup_groups,
@@ -600,6 +606,7 @@ SELECT scored.doc_id, lang,
              x -> CAST(length(x) * 31 + ascii(x) AS BIGINT))),
          (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fingerprint,
        length(text) AS n_chars,
+       {bpe_count_sql(PRETRAINED_MERGES)} AS n_bpe_learned,
        cont.n_shingles, cont.n_overlap, cont.frac_overlap, cont.contam,
        pii_cols.n_email, pii_cols.n_card, pii_cols.n_ssn,
        pii_cols.n_phone, pii_cols.n_ipv4, pii_cols.redacted_md5
@@ -616,6 +623,11 @@ def llm_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
       matrix is one groupBy away);
     * F10: order-sensitive polynomial rolling-hash fingerprint — pure
       integer Column arithmetic (codegen'd, no UDF);
+    * L4 learned-subword token count (``n_bpe_learned``): the frozen
+      BPE merge table (``llm/bpe_merges.py``, trained by
+      ``text.bpe_train``) replayed as pure string Columns — the
+      shipped-tokenizer pattern, with the same merge replay in the
+      oracle so learned tokenization is value-checked;
     * L2/L4 decontamination: trigram-overlap columns against a
       benchmark corpus (here the doc_id % 7 == 0 slice stands in for an
       eval set) via ``contamination_overlap`` — benchmark shingles
@@ -656,6 +668,7 @@ def llm_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
             predicted_lang().alias("predicted"),
             fingerprint_col().alias("fingerprint"),
             F.length("text").alias("n_chars"),
+            bpe_count_col(PRETRAINED_MERGES).alias("n_bpe_learned"),
         )
         .join(cont, "doc_id", "left")
         .join(pii, "doc_id")
