@@ -1018,6 +1018,37 @@ def test_memo_checkpoint_invalidates_on_file_change(spark, tmp_path):
     assert second.count() == 2
 
 
+def test_materialize_durable_dir_equivalent(spark, sf_dir, tmp_path, monkeypatch):
+    """With SPARK_GRAFT_CHECKPOINT_DIR set, iterative state goes
+    through durable parquet write-reads instead of localCheckpoint —
+    same results, and the checkpoint files actually land there."""
+    import os
+
+    from video_stream_processor_spark.io import load_table
+    from video_stream_processor_spark.llm.dedup import invalidate_checkpoint_memo
+    from video_stream_processor_spark.llm.similarity import kmeans_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    local = {
+        r["centroid_id"]: r["cv"]
+        for r in kmeans_centroids(emb, k=4, iters=2).collect()
+    }
+    ckdir = str(tmp_path / "ck")
+    monkeypatch.setenv("SPARK_GRAFT_CHECKPOINT_DIR", ckdir)
+    invalidate_checkpoint_memo()
+    try:
+        durable = {
+            r["centroid_id"]: r["cv"]
+            for r in kmeans_centroids(emb, k=4, iters=2).collect()
+        }
+    finally:
+        monkeypatch.delenv("SPARK_GRAFT_CHECKPOINT_DIR")
+        invalidate_checkpoint_memo()
+    assert durable == local
+    written = os.listdir(ckdir)
+    assert any(d.startswith("kmeans_cent-") for d in written), written
+
+
 def test_memo_checkpoint_invalidation_hook(spark, sf_dir):
     """invalidate_checkpoint_memo() force-drops every memo slot."""
     from video_stream_processor_spark.io import load_table

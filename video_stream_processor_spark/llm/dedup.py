@@ -26,6 +26,8 @@ from urllib.parse import urlparse
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import materialize
+
 # MinHash parameters: K hashes in B bands of R rows. P(candidate) =
 # 1-(1-j^R)^B — with 8x4, j=0.5 → 0.61, j=0.8 → 0.97.
 MINHASH_K = 32
@@ -97,8 +99,8 @@ def _memo_checkpoint(df: DataFrame, tag: str) -> DataFrame:
         if hit is not None and hit[0].sameSemantics(df):
             return hit[1]
     except Exception:
-        return df.localCheckpoint(eager=True)
-    ck = df.localCheckpoint(eager=True)
+        return materialize(df, tag)
+    ck = materialize(df, tag)
     with _CKPT_LOCK:
         while len(_CKPT_MEMO) >= _CKPT_MEMO_MAX:
             _CKPT_MEMO.pop(next(iter(_CKPT_MEMO)))
@@ -765,22 +767,25 @@ def near_dup_clusters(
         .unionByName(
             pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
         )
-        .localCheckpoint(eager=True)
+        .transform(lambda d: materialize(d, "cc_edges"))
     )
-    labels = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
-    ).localCheckpoint(eager=True)
+    labels = materialize(
+        docs.select(
+            F.col("doc_id").alias("node"), F.col("doc_id").alias("label")
+        ),
+        "cc_labels",
+    )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
     for _ in range(max_iter):
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        labels = (
+        labels = materialize(
             labels.unionByName(prop)
             .groupBy("node")
-            .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
+            .agg(F.min("label").alias("label")),
+            "cc_labels",
         )
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:

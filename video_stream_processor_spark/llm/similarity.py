@@ -26,6 +26,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from ..session import materialize
+
 
 def _dvec(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -188,13 +190,18 @@ def kmeans_centroids(
        (narrow — no shuffle of the corpus);
     2. update: posexplode assigned vectors, one (cluster, pos) hash agg
        for the component means, collect_list back into k small arrays.
-    State between rounds is k×dim doubles — localCheckpoint locally;
-    write-to-table on a real cluster. Deterministic given the seed
+    State between rounds is k×dim doubles — held via the
+    ``session.materialize`` seam (localCheckpoint locally; parquet
+    write-read under SPARK_GRAFT_CHECKPOINT_DIR on a real cluster, so
+    iteration state survives executor loss). Deterministic given the seed
     (ties break on centroid_id; means are rounded to 9dp so float
     summation order cannot flip later assignments)."""
-    cent = embeddings.filter(F.col("vec_id") < k).select(
-        F.col("vec_id").alias("centroid_id"), _dvec("embedding").alias("cv")
-    ).localCheckpoint(eager=True)
+    cent = materialize(
+        embeddings.filter(F.col("vec_id") < k).select(
+            F.col("vec_id").alias("centroid_id"), _dvec("embedding").alias("cv")
+        ),
+        "kmeans_cent",
+    )
     vecs = embeddings.select("vec_id", _dvec("embedding").alias("v"))
     for _ in range(iters):
         assigned = (
@@ -227,7 +234,7 @@ def kmeans_centroids(
                 "centroid_id",
                 F.transform(F.col("pm"), lambda s: s.getField("m")).alias("cv"),
             )
-            .localCheckpoint(eager=True)
+            .transform(lambda d: materialize(d, "kmeans_cent"))
         )
     return cent
 
@@ -471,7 +478,7 @@ def srp_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFra
         bucket_docs.select(F.explode(pair_expr).alias("p"))
         .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .distinct()
-        .localCheckpoint(eager=True)
+        .transform(lambda d: materialize(d, "srp_cand"))
     )
     vecs = embeddings.select("vec_id", _dvec("embedding").alias("v"))
     step1 = vecs.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")).join(

@@ -84,6 +84,34 @@ def _ship_package(spark: SparkSession) -> None:
     _shipped_sessions.add(key)
 
 
+def materialize(df, tag: str):
+    """Materialization seam for iterative / reused frames (k-means
+    rounds, label propagation, LSH candidate sets, memoized derived
+    tables).
+
+    Default: eager ``localCheckpoint`` — right for local sessions and
+    the driver harness (no filesystem config needed), but the blocks
+    live on executors and die with them.
+
+    Set ``SPARK_GRAFT_CHECKPOINT_DIR`` (an HDFS/S3/DBFS path on a real
+    cluster) to instead write the frame as parquet under
+    ``<dir>/<tag>-<semanticHash>`` and read it back: durable across
+    executor loss, reusable across jobs, and the path is
+    plan-addressed so successive iteration states never clobber each
+    other (each round's plan hashes differently).
+    """
+    base = os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+    if not base:
+        return df.localCheckpoint(eager=True)
+    try:
+        key = f"{tag}-{df.semanticHash() & 0xFFFFFFFF:08x}"
+    except Exception:
+        key = tag
+    path = f"{base.rstrip('/')}/{key}"
+    df.write.mode("overwrite").parquet(path)
+    return df.sparkSession.read.parquet(path)
+
+
 def ensure_runtime_confs(spark: SparkSession) -> SparkSession:
     """Set the runtime confs this engine relies on; safe on any session."""
     for key, value in _RUNTIME_CONFS.items():
