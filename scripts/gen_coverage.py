@@ -88,7 +88,18 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "llm/dedup.streaming_near_dup_flags (stateless stream-static admission filter)",
         "tests/test_streaming.py::test_streaming_near_dup_flags_equals_batch",
     ],
-    "L3": ["tests/test_llm.py::test_ivf_recall_vs_bruteforce"],
+    "L3": [
+        "tests/test_llm.py::test_ivf_recall_vs_bruteforce",
+        "llm/similarity.kmeans_centroids (trained IVF cells; training "
+        "replayed in the llm_ivf_topk oracle)",
+        "tests/test_llm.py::test_ivf_trained_centroids_recall_and_objective",
+    ],
+    "L4": [
+        "llm/text.bpe_train + llm/bpe_merges.PRETRAINED_MERGES (learned "
+        "subword tokenizer, frozen-table replay in the "
+        "llm_doc_annotations oracle)",
+        "tests/test_llm.py::test_bpe_train_matches_python_reference",
+    ],
     "L5": ["tests/test_llm.py (decoder seam, parquet round trip)"],
 }
 
