@@ -93,6 +93,9 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "llm/similarity.kmeans_centroids (trained IVF cells; training "
         "replayed in the llm_ivf_topk oracle)",
         "tests/test_llm.py::test_ivf_trained_centroids_recall_and_objective",
+        "llm/similarity.pq_train/pq_encode/pq_topk_rerank (product "
+        "quantization: m sub-codebooks, ADC shortlist + exact re-rank)",
+        "tests/test_llm.py::test_pq_train_encode_matches_python_reference",
     ],
     "L4": [
         "llm/text.bpe_train + llm/bpe_merges.PRETRAINED_MERGES (learned "

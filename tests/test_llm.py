@@ -1238,3 +1238,151 @@ def test_corpus_report_values(spark, docs):
     ).collect()[0]["t"]
     assert row["total_tokens"] == exact_tokens
     assert row["n_langs"] >= 1 and row["n_sources"] >= 1
+
+
+def _np_pq_reference(rows, m, k, iters):
+    """Independent plain-Python PQ reference with the engine's
+    determinism rules: 9dp-rounded sqdist, argmin ties to lowest
+    centroid id, 9dp-rounded means."""
+    import numpy as np
+
+    vecs = {vid: np.asarray(v, dtype=np.float64) for vid, v in rows}
+    d = len(next(iter(vecs.values())))
+    sub_d = d // m
+    subs = {
+        (vid, s): v[s * sub_d : (s + 1) * sub_d]
+        for vid, v in vecs.items()
+        for s in range(m)
+    }
+    book = {
+        (s, cid): subs[(cid, s)].copy()
+        for cid in sorted(vecs)
+        if cid < k
+        for s in range(m)
+    }
+
+    def assign(sv, s):
+        best = None
+        for cid in sorted(c for (ss, c) in book if ss == s):
+            d2 = round(float(((sv - book[(s, cid)]) ** 2).sum()), 9)
+            if best is None or (d2, cid) < best[:2]:
+                best = (d2, cid)
+        return best[1]
+
+    for _ in range(iters):
+        members = {}
+        for (vid, s), sv in subs.items():
+            members.setdefault((s, assign(sv, s)), []).append(sv)
+        book = {
+            key: np.round(np.mean(np.stack(g), axis=0), 9)
+            for key, g in members.items()
+        }
+    codes = {
+        vid: [assign(subs[(vid, s)], s) for s in range(m)] for vid in vecs
+    }
+    return book, codes
+
+
+def test_pq_train_encode_matches_python_reference(emb):
+    """The distributed PQ trainer/encoder must reproduce an independent
+    in-memory reference exactly — same codebooks, same codes (two
+    implementations, one determinism contract; mirrors the BPE and
+    as-of twins)."""
+    from video_stream_processor_spark.llm.similarity import (
+        pq_encode,
+        pq_train,
+    )
+
+    sub = emb.filter(F.col("vec_id") < 200)
+    rows = [
+        (r["vec_id"], [float(x) for x in r["embedding"]])
+        for r in sub.select("vec_id", "embedding").collect()
+    ]
+    m, k, iters = 4, 8, 2
+    want_book, want_codes = _np_pq_reference(rows, m, k, iters)
+    book = pq_train(sub, m=m, k=k, iters=iters)
+    got_book = {
+        (r["sub"], r["centroid_id"]): [round(float(x), 9) for x in r["cv"]]
+        for r in book.collect()
+    }
+    assert set(got_book) == set(want_book)
+    for key, cv in got_book.items():
+        assert cv == [round(float(x), 9) for x in want_book[key]], key
+    got_codes = {
+        r["vec_id"]: list(r["codes"])
+        for r in pq_encode(sub, book, m=m).collect()
+    }
+    assert got_codes == want_codes
+
+
+def test_pq_adc_recall_vs_exact_l2(emb):
+    """The full PQ search (ADC shortlist + exact re-rank) must keep
+    most of the exact-L2 top-10; the fixture's near-random embeddings
+    are PQ's worst case (concentrated distances), which is exactly why
+    the production shape re-ranks. Every raw ADC distance must equal
+    the reference lookup-table sum."""
+    from video_stream_processor_spark.llm.similarity import (
+        _dvec,
+        _sqdist,
+        pq_encode,
+        pq_topk,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    m, k = 8, 16
+    book = pq_train(emb, m=m, k=k, iters=2)
+    codes = pq_encode(emb, book, m=m)
+    got_rows = pq_topk(
+        emb, book, query_vec_id=0, topk=10, m=m, codes=codes
+    ).collect()
+    assert len(got_rows) == 10
+    q = emb.filter(F.col("vec_id") == 0).select(_dvec("embedding").alias("qe"))
+    exact = [
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", _sqdist(_dvec("embedding"), F.col("qe")).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    ]
+    reranked = {
+        r["vec_id"]
+        for r in pq_topk_rerank(
+            emb, book, query_vec_id=0, topk=10, m=m, oversample=10, codes=codes
+        ).collect()
+    }
+    recall = len(reranked & set(exact)) / 10
+    assert recall >= 0.7, f"PQ+rerank recall {recall} too low"
+    # ADC distances are exact LUT sums: recompute one returned row
+    import numpy as np
+
+    rows = {
+        r["vec_id"]: np.asarray([float(x) for x in r["embedding"]])
+        for r in emb.select("vec_id", "embedding").collect()
+    }
+    bookd = {
+        (r["sub"], r["centroid_id"]): np.asarray([float(x) for x in r["cv"]])
+        for r in book.collect()
+    }
+    codesd = {r["vec_id"]: list(r["codes"]) for r in codes.collect()}
+    qv = rows[0]
+    sub_d = len(qv) // m
+    for r in got_rows[:3]:
+        want = round(
+            sum(
+                round(
+                    float(
+                        (
+                            (qv[s * sub_d : (s + 1) * sub_d]
+                             - bookd[(s, codesd[r["vec_id"]][s])]) ** 2
+                        ).sum()
+                    ),
+                    9,
+                )
+                for s in range(m)
+            ),
+            9,
+        )
+        assert r["adc_dist"] == pytest.approx(want, abs=1e-8)
