@@ -1,0 +1,172 @@
+#!/usr/bin/env python
+"""Scaling-curve smoke: time representative operators at sf0.01,
+sf0.1, and a synthetic 8x multiplication of sf0.1 (the largest corpus
+this container holds), and report seconds per million input rows at
+each point. A plan that is linear in input shows a flat-ish sec/Mrow
+curve as data grows 10x and then 8x more; a superlinear operator (an
+accidental all-pairs, a collapsing partition, a skew hotspot) shows
+up as a rising curve long before a cluster run would.
+
+The 8x corpus is built by unioning 8 key-remapped copies of each
+table (ids shifted by copy * stride so joins stay consistent);
+document texts get a per-copy suffix token so the multiplication does
+not plant 8-way exact duplicates (which would legitimately explode
+near-dup pair counts quadratically and measure the DATA, not the
+plan).
+
+Usage: python scripts/scale_smoke.py   # writes one JSON line per op
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from video_stream_processor_spark.io import load_table  # noqa: E402
+from video_stream_processor_spark.llm.dedup import (  # noqa: E402
+    exact_dedup_groups,
+    minhash_near_dup_pairs,
+)
+from video_stream_processor_spark.llm.similarity import cosine_topk  # noqa: E402
+from video_stream_processor_spark.session import get_spark  # noqa: E402
+from video_stream_processor_spark.streaming.analytics import (  # noqa: E402
+    tumbling_stats,
+)
+
+COPIES = 8
+STRIDE = 100_000_000  # key shift per copy; far above any fixture id
+
+
+def _multiply(df: DataFrame, id_cols: list[str], text_col: str | None = None) -> DataFrame:
+    """Union COPIES key-remapped copies of a table (one narrow
+    explode — no shuffle), keeping join keys consistent across tables
+    multiplied with the same stride."""
+    c = F.explode(F.array(*[F.lit(i) for i in range(COPIES)])).alias("__copy")
+    out = df.select("*", c)
+    for col in id_cols:
+        out = out.withColumn(col, F.col(col) + F.col("__copy") * STRIDE)
+    if text_col is not None:
+        out = out.withColumn(
+            text_col,
+            F.concat_ws(" ", F.col(text_col), F.concat(F.lit("c"), F.col("__copy"))),
+        )
+    return out.drop("__copy")
+
+
+def q1(tables):
+    li = tables["lineitem"]
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+def revenue_join(tables):
+    li, o, c, n = (
+        tables["lineitem"],
+        tables["orders"],
+        tables["customer"],
+        tables["nation"],
+    )
+    rev = li.groupBy("l_orderkey").agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev")
+    )
+    return (
+        o.join(rev, o.o_orderkey == rev.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum("rev"), 2).alias("revenue"))
+    )
+
+
+OPS = {
+    "q1_scan_agg": (
+        q1,
+        lambda t: t["lineitem"].count(),
+    ),
+    "revenue_join": (
+        revenue_join,
+        lambda t: t["lineitem"].count(),
+    ),
+    "minhash_pairs": (
+        lambda t: minhash_near_dup_pairs(t["documents"], threshold=0.5),
+        lambda t: t["documents"].count(),
+    ),
+    "exact_dedup": (
+        lambda t: exact_dedup_groups(t["documents"]),
+        lambda t: t["documents"].count(),
+    ),
+    "cosine_topk": (
+        lambda t: cosine_topk(t["embeddings"], query_vec_id=0, k=10),
+        lambda t: t["embeddings"].count(),
+    ),
+    "tumbling_1h": (
+        lambda t: tumbling_stats(t["events"], size="1 hour"),
+        lambda t: t["events"].count(),
+    ),
+}
+
+
+def tables_at(spark, sf_dir: str, multiplied: bool) -> dict[str, DataFrame]:
+    t = {
+        name: load_table(spark, sf_dir, name)
+        for name in ("lineitem", "orders", "customer", "nation",
+                     "documents", "embeddings", "events")
+    }
+    if not multiplied:
+        return t
+    return {
+        "lineitem": _multiply(t["lineitem"], ["l_orderkey"]),
+        "orders": _multiply(t["orders"], ["o_orderkey", "o_custkey"]),
+        "customer": _multiply(t["customer"], ["c_custkey"]),
+        "nation": t["nation"],  # dims stay
+        "documents": _multiply(t["documents"], ["doc_id"], text_col="text"),
+        "embeddings": _multiply(t["embeddings"], ["vec_id"]),
+        "events": _multiply(t["events"], ["event_id", "user_id"]),
+    }
+
+
+def main() -> None:
+    spark = get_spark(app_name="vsp-scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    points = [
+        ("sf0.01", "/root/testdata/sf0.01", False),
+        ("sf0.1", "/root/testdata/sf0.1", False),
+        (f"sf0.1x{COPIES}", "/root/testdata/sf0.1", True),
+    ]
+    results: dict[str, dict] = {name: {} for name in OPS}
+    for label, sf_dir, multiplied in points:
+        t = tables_at(spark, sf_dir, multiplied)
+        for name, (build, rows_of) in OPS.items():
+            df = build(t)
+            df.write.format("noop").mode("overwrite").save()  # warm
+            t0 = time.perf_counter()
+            df.write.format("noop").mode("overwrite").save()
+            sec = round(time.perf_counter() - t0, 3)
+            rows = rows_of(t)
+            results[name][label] = {
+                "rows_in": rows,
+                "sec": sec,
+                "sec_per_mrow": round(sec / (rows / 1e6), 3),
+            }
+    for name, curve in results.items():
+        print(json.dumps({"op": name, "curve": curve}))
+
+
+if __name__ == "__main__":
+    main()
