@@ -253,10 +253,46 @@ def llm_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_M = 8
+_PQ_K = 16
+
+
+def _sql_pq_sqdist(a: str, b: str) -> str:
+    """Positionwise squared-L2 over DuckDB lists, 9dp-rounded — the
+    SQL twin of similarity._sqdist."""
+    return (
+        f"round(list_sum(list_transform(generate_series(1, len({a})),"
+        f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))), 9)"
+    )
+
+
+def _sql_pq_iter(n: int, book: str) -> str:
+    """One unrolled PQ-training round over ALL subspaces at once
+    (long (sub, cid) form, like similarity.pq_train): assign each
+    sub-vector to its nearest centroid in ``book`` (ties to lowest
+    id), then per-(sub, cid, pos) mean rounded to 9dp."""
+    return f"""passign{n} AS (
+  SELECT vec_id, sub, sv, cid FROM (
+    SELECT es.vec_id, es.sub, es.sv, b.cid,
+           row_number() OVER (
+             PARTITION BY es.vec_id, es.sub
+             ORDER BY {_sql_pq_sqdist('es.sv', 'b.cv')}, b.cid
+           ) AS rn
+    FROM esub es JOIN {book} b USING (sub)
+  ) WHERE rn = 1
+), pbook{n} AS (
+  SELECT sub, cid, list(m ORDER BY pos) AS cv FROM (
+    SELECT sub, cid, i AS pos, round(avg(sv[i]), 9) AS m
+    FROM passign{n}, unnest(generate_series(1, len(sv))) AS u(i)
+    GROUP BY sub, cid, i
+  ) GROUP BY sub, cid
+)"""
+
+
 @register(
     "llm_embedding_quantize",
     survey_ids="L3,L5,F16",
-    oracle="""
+    oracle=f"""
 WITH e AS (
   SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
 ), q AS (
@@ -266,25 +302,64 @@ WITH e AS (
            x -> CAST(floor(x * 127.0 / list_max(list_transform(v, y -> abs(y)))
                            + 0.5) AS BIGINT)) AS qv
   FROM e
+), esub AS (
+  SELECT vec_id,
+         s.sub,
+         e.v[(s.sub * (len(e.v) // {_PQ_M})) + 1
+             : (s.sub + 1) * (len(e.v) // {_PQ_M})] AS sv
+  FROM e, (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub) s
+), pbook0 AS (
+  SELECT sub, vec_id AS cid, sv AS cv FROM esub WHERE vec_id < {_PQ_K}
+), {_sql_pq_iter(1, 'pbook0')}, {_sql_pq_iter(2, 'pbook1')},
+pcodes AS (
+  SELECT vec_id, list(cid ORDER BY sub) AS codes FROM (
+    SELECT vec_id, sub, cid FROM (
+      SELECT es.vec_id, es.sub, b.cid,
+             row_number() OVER (
+               PARTITION BY es.vec_id, es.sub
+               ORDER BY {_sql_pq_sqdist('es.sv', 'b.cv')}, b.cid
+             ) AS rn
+      FROM esub es JOIN pbook2 b USING (sub)
+    ) WHERE rn = 1
+  ) GROUP BY vec_id
 )
-SELECT vec_id, label,
+SELECT q.vec_id, label,
        round(s, 6) AS scale,
        CAST(list_sum(qv) AS BIGINT) AS q_sum,
        CAST(list_sum(list_transform(qv, x -> abs(x))) AS BIGINT) AS q_l1,
        list_reduce(list_prepend(CAST(0 AS BIGINT), qv),
-         (acc, x) -> (acc * 31 + (x + 128)) % 2147483647) AS q_checksum
-FROM q
+         (acc, x) -> (acc * 31 + (x + 128)) % 2147483647) AS q_checksum,
+       list_reduce(list_prepend(CAST(0 AS BIGINT), pcodes.codes),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS pq_checksum
+FROM q JOIN pcodes ON q.vec_id = pcodes.vec_id
 """,
 )
 def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L3/L5: symmetric int8 quantization per vector (max-abs scale) —
-    the 4x compression step in front of an ANN index. Narrow Column
-    math only; the oracle replays scale, quantized sums and a
-    polynomial checksum of the int8 stream (floor(x+0.5) rounding is
-    engine-identical where round() is not)."""
-    from ..llm.similarity import quantize_embeddings
+    """L3/L5: the compression stack in front of an ANN index, both
+    layers oracle-checked per vector:
 
-    return quantize_embeddings(load_table(spark, sf_dir, "embeddings"))
+    * symmetric int8 quantization (max-abs scale, 4x) — scale, sums
+      and a polynomial checksum of the int8 stream (floor(x+0.5)
+      rounding is engine-identical where round() is not);
+    * product quantization (8 sub-codebooks x 16 centroids, two
+      Lloyd's rounds — 32x at float32) — the TRAINING itself is
+      replayed in the oracle (same unrolled-iteration technique as
+      llm_ivf_topk) and the per-vector code stream is checksummed, so
+      the learned PQ index is value-checked end to end.
+    """
+    from ..llm.similarity import pq_encode, pq_train, quantize_embeddings
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    book = pq_train(emb, m=_PQ_M, k=_PQ_K, iters=2)
+    pq = pq_encode(emb, book, m=_PQ_M).select(
+        "vec_id",
+        F.aggregate(
+            "codes",
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + x) % F.lit(2147483647),
+        ).alias("pq_checksum"),
+    )
+    return quantize_embeddings(emb).join(pq, "vec_id")
 
 
 @register(
