@@ -434,12 +434,40 @@ def test_interval_ns_parses_arbitrary_horizons():
     assert interval_ns("45 minutes") == 2_700_000_000_000
     assert interval_ns("90 seconds") == 90_000_000_000
     assert interval_ns("1 day 6 hours") == 108_000_000_000_000
-    assert interval_ns("1.5 hours") == 5_400_000_000_000
     assert interval_ns("250 milliseconds") == 250_000_000
     with pytest.raises(ValueError):
         interval_ns("fortnight")
     with pytest.raises(ValueError):
         interval_ns("3 parsecs")
+    with pytest.raises(ValueError):
+        # Spark's INTERVAL literal rejects fractional quantities; the
+        # parser must not silently accept what the join would throw on
+        interval_ns("1.5 hours")
+
+
+def test_interval_ns_agrees_with_spark_parser(spark):
+    """interval_ns must agree with Spark's own INTERVAL literal
+    evaluation (timestamp shift -> unix_micros delta) for every
+    quantity/unit mix the join builder accepts."""
+    from video_stream_processor_spark.streaming.analytics import interval_ns
+
+    cases = [
+        "1 hour", "30 minutes", "45 minutes", "90 seconds",
+        "1 day 6 hours", "2 days 3 hours 4 minutes",
+        "250 milliseconds", "1 week", "36 hours",
+    ]
+    base = "timestamp'2020-01-01 00:00:00'"
+    row = spark.range(1).select(
+        *[
+            (
+                F.unix_micros(F.expr(f"{base} + INTERVAL {c}"))
+                - F.unix_micros(F.expr(base))
+            ).alias(f"c{i}")
+            for i, c in enumerate(cases)
+        ]
+    ).collect()[0]
+    for i, c in enumerate(cases):
+        assert interval_ns(c) == row[f"c{i}"] * 1000, c
 
 
 def test_attribution_arbitrary_horizon_batch(spark, events_batch):

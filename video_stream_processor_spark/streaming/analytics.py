@@ -43,8 +43,10 @@ _INTERVAL_UNIT_NS = {
 
 def interval_ns(interval: str) -> int:
     """Parse a Spark interval string ("1 hour", "90 minutes",
-    "1 day 6 hours") to nanoseconds, accepting any quantity/unit mix
-    the join condition's ``INTERVAL`` literal accepts."""
+    "1 day 6 hours") to nanoseconds — same grammar as the join
+    condition's ``INTERVAL`` literal, including its rejection of
+    fractional quantities ("1.5 hours" fails in Spark too; pinned
+    equal to Spark's own parser in tests)."""
     parts = interval.strip().lower().split()
     if not parts or len(parts) % 2:
         raise ValueError(f"unparseable interval: {interval!r}")
@@ -53,7 +55,12 @@ def interval_ns(interval: str) -> int:
         unit = unit.rstrip("s")
         if unit not in _INTERVAL_UNIT_NS:
             raise ValueError(f"unknown interval unit {unit!r} in {interval!r}")
-        total += int(float(qty) * _INTERVAL_UNIT_NS[unit])
+        if not qty.isdigit():
+            raise ValueError(
+                f"non-integer quantity {qty!r} in {interval!r} "
+                "(Spark INTERVAL literals reject fractional parts)"
+            )
+        total += int(qty) * _INTERVAL_UNIT_NS[unit]
     return total
 
 
