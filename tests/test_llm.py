@@ -1386,3 +1386,41 @@ def test_pq_adc_recall_vs_exact_l2(emb):
             9,
         )
         assert r["adc_dist"] == pytest.approx(want, abs=1e-8)
+
+
+def test_pq_topk_batch_equals_single_query_rerank(emb):
+    """The batched PQ search (one codes scan for the whole query
+    batch) must reproduce each query's single-query rerank result
+    exactly, and per-query output is bounded to topk."""
+    from video_stream_processor_spark.llm.similarity import (
+        pq_encode,
+        pq_topk_batch,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    m, k, qids = 8, 16, [0, 100, 200, 300]
+    book = pq_train(emb, m=m, k=k, iters=2)
+    codes = pq_encode(emb, book, m=m)
+    batch = pq_topk_batch(
+        emb, book, qids, topk=10, m=m, oversample=10, codes=codes
+    ).collect()
+    by_q = {}
+    for r in batch:
+        by_q.setdefault(r["query_id"], []).append(
+            (r["rank"], r["vec_id"], r["l2_dist"])
+        )
+    assert set(by_q) == set(qids)
+    for qid in qids:
+        got = sorted(by_q[qid])
+        assert len(got) == 10
+        want = [
+            (i + 1, r["vec_id"], r["l2_dist"])
+            for i, r in enumerate(
+                pq_topk_rerank(
+                    emb, book, query_vec_id=qid, topk=10, m=m,
+                    oversample=10, codes=codes,
+                ).collect()
+            )
+        ]
+        assert got == want, qid

@@ -715,3 +715,117 @@ def pq_topk_rerank(
         .orderBy(F.asc("l2_dist"), "vec_id")
         .limit(topk)
     )
+
+
+def _pq_luts(
+    embeddings: DataFrame, codebook: DataFrame, query_vec_ids: list[int], m: int
+) -> dict[int, list[Column]]:
+    """Per-query ADC lookup tables as literal array Columns —
+    B x m x k doubles collected once (broadcast-class, same as the
+    codebook); missing cells guard with +inf."""
+    q = embeddings.filter(F.col("vec_id").isin(query_vec_ids))
+    rows = (
+        _subvectors(q, m)
+        .join(F.broadcast(codebook), "sub")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "sub",
+            "centroid_id",
+            _sqdist(F.col("sv"), F.col("cv")).alias("d2"),
+        )
+        .collect()
+    )
+    by_q: dict[int, dict[int, dict[int, float]]] = {}
+    n_cent = 0
+    for r in rows:
+        by_q.setdefault(r["query_id"], {}).setdefault(r["sub"], {})[
+            r["centroid_id"]
+        ] = r["d2"]
+        n_cent = max(n_cent, r["centroid_id"] + 1)
+    return {
+        qid: [
+            F.array(
+                *[
+                    F.lit(subs.get(s, {}).get(c, float("inf")))
+                    for c in range(n_cent)
+                ]
+            )
+            for s in range(m)
+        ]
+        for qid, subs in by_q.items()
+    }
+
+
+def pq_topk_batch(
+    embeddings: DataFrame,
+    codebook: DataFrame,
+    query_vec_ids: list[int],
+    topk: int = 10,
+    m: int = 8,
+    oversample: int = 10,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Batched PQ search, production shape: ONE scan of the compressed
+    codes computes every query's ADC sum (per-query LUTs inlined as
+    literals), a rank-bounded window keeps oversample*topk candidates
+    per query (WindowGroupLimit — per-query state is the shortlist,
+    not the corpus), and only the union of shortlists is fetched as
+    raw vectors for the exact per-query re-rank. At 100 TB: the float
+    corpus is read for B * oversample * topk rows total, everything
+    else scans bytes."""
+    from pyspark.sql import Window
+
+    if codes is None:
+        codes = pq_encode(embeddings, codebook, m)
+    luts = _pq_luts(embeddings, codebook, query_vec_ids, m)
+
+    def adc(qid: int) -> Column:
+        return F.round(
+            sum(
+                F.element_at(
+                    luts[qid][s], (F.get(F.col("codes"), s) + 1).cast("int")
+                )
+                for s in range(m)
+            ),
+            9,
+        )
+
+    entries = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(qid).alias("query_id"), adc(qid).alias("adc_dist")
+                )
+                for qid in query_vec_ids
+            ]
+        )
+    ).alias("e")
+    scored = (
+        codes.select("vec_id", entries)
+        .select("vec_id", F.col("e.query_id").alias("query_id"), "e.adc_dist")
+        .filter(F.col("vec_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"), "vec_id")
+    shortlist = (
+        scored.withColumn("cand_rank", F.row_number().over(w))
+        .filter(F.col("cand_rank") <= topk * oversample)
+        .select("query_id", "vec_id")
+    )
+    qvecs = embeddings.filter(F.col("vec_id").isin(query_vec_ids)).select(
+        F.col("vec_id").alias("query_id"), _dvec("embedding").alias("qe")
+    )
+    exact = (
+        embeddings.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            _sqdist(_dvec("embedding"), F.col("qe")).alias("l2_dist"),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), "vec_id")
+    return (
+        exact.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= topk)
+    )
