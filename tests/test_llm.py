@@ -1424,3 +1424,26 @@ def test_pq_topk_batch_equals_single_query_rerank(emb):
             )
         ]
         assert got == want, qid
+
+
+def test_pq_encode_mapside_equals_longform_and_never_shuffles(emb):
+    """The zero-shuffle encoder must produce byte-identical codes to
+    the long-form (explode + agg) twin, and its physical plan must
+    contain no Exchange — encoding a 100 TB corpus must not shuffle
+    it."""
+    from video_stream_processor_spark.llm.similarity import (
+        pq_encode,
+        pq_encode_mapside,
+        pq_train,
+    )
+
+    m, k = 8, 16
+    book = pq_train(emb, m=m, k=k, iters=2)
+    long_form = {
+        r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, book, m=m).collect()
+    }
+    mapside_df = pq_encode_mapside(emb, book, m=m)
+    mapside = {r["vec_id"]: list(r["codes"]) for r in mapside_df.collect()}
+    assert mapside == long_form
+    plan = mapside_df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan

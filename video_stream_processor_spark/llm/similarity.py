@@ -829,3 +829,62 @@ def pq_topk_batch(
         exact.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= topk)
     )
+
+
+def pq_encode_mapside(
+    embeddings: DataFrame, codebook: DataFrame, m: int = 8
+) -> DataFrame:
+    """Zero-shuffle PQ encoding: the trained codebook (m x k x d/m
+    doubles — broadcast-class) is collected and inlined as literals,
+    so each vector's m codes are pure column expressions over the
+    scan — encoding never shuffles the corpus. Ties and rounding match
+    the long-form ``pq_encode`` exactly: 9dp sqdist, lowest centroid
+    id wins (array_position returns the FIRST minimum and cells are
+    ordered by id, with +inf guards for dropped empty cells); the two
+    encoders are pinned byte-equal in tests.
+
+    Measured tradeoff (sf0.1, local[32]): map-side 2.15 s vs long-form
+    0.90 s — the m*k inlined distance expressions cost more CPU per
+    row than the long-form's two hash aggs, whose shuffles are free at
+    fixture scale. The crossover is where shuffling the corpus stops
+    being free: at 100 TB the long form moves the whole exploded
+    corpus (m rows per vector) across the network twice, while this
+    path moves nothing — use map-side for cluster index builds,
+    long-form when the corpus is small relative to the network."""
+    rows = codebook.collect()
+    by_sub: dict[int, dict[int, list[float]]] = {}
+    n_cent = 0
+    for r in rows:
+        by_sub.setdefault(r["sub"], {})[r["centroid_id"]] = [
+            float(x) for x in r["cv"]
+        ]
+        n_cent = max(n_cent, r["centroid_id"] + 1)
+    v = _dvec("embedding")
+    sub_d = (F.size(v) / m).cast("int")
+
+    def sqdist_lit(sl: Column, cv: list[float] | None) -> Column:
+        if cv is None:
+            return F.lit(float("inf"))
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    sl,
+                    F.array(*[F.lit(x) for x in cv]),
+                    lambda x, y: (x - y) * (x - y),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            9,
+        )
+
+    def code_for(s: int) -> Column:
+        sl = F.slice(v, s * sub_d + 1, sub_d)
+        ds = F.array(
+            *[sqdist_lit(sl, by_sub.get(s, {}).get(c)) for c in range(n_cent)]
+        )
+        return (F.array_position(ds, F.array_min(ds)) - 1).cast("long")
+
+    return embeddings.select(
+        "vec_id", F.array(*[code_for(s) for s in range(m)]).alias("codes")
+    )
