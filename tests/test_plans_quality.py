@@ -233,3 +233,17 @@ def test_no_python_eval_outside_u_surface(spark, sf_dir):
         plan = plan_of(spark, sf_dir, name)
         for m in markers:
             assert m not in plan, (name, m)
+
+
+def test_bpe_counting_is_map_only(spark, sf_dir):
+    """L4 learned-BPE token counting is per-row string math — its plan
+    must contain no Exchange (a 100 TB tokenization pass must not
+    shuffle the corpus)."""
+    from video_stream_processor_spark.io import load_table
+    from video_stream_processor_spark.llm.bpe_merges import PRETRAINED_MERGES
+    from video_stream_processor_spark.llm.text import bpe_count_col
+
+    df = load_table(spark, sf_dir, "documents").select(
+        "doc_id", bpe_count_col(PRETRAINED_MERGES).alias("n")
+    )
+    assert "Exchange" not in plan_text(df)
