@@ -1447,3 +1447,25 @@ def test_pq_encode_mapside_equals_longform_and_never_shuffles(emb):
     assert mapside == long_form
     plan = mapside_df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_train_memo_reuses_and_invalidates(emb):
+    """Trained artifacts (k-means cells, PQ codebooks) memoize per
+    (input plan, params): repeated builder calls in a resident session
+    must not re-train; changed params or invalidation must."""
+    from video_stream_processor_spark.llm.dedup import (
+        invalidate_checkpoint_memo,
+    )
+    from video_stream_processor_spark.llm.similarity import (
+        kmeans_centroids,
+        pq_train,
+    )
+
+    a = kmeans_centroids(emb, k=8, iters=2)
+    assert kmeans_centroids(emb, k=8, iters=2) is a
+    assert kmeans_centroids(emb, k=8, iters=3) is not a
+    b = pq_train(emb, m=8, k=16, iters=2)
+    assert pq_train(emb, m=8, k=16, iters=2) is b
+    assert pq_train(emb, m=4, k=16, iters=2) is not b
+    invalidate_checkpoint_memo()
+    assert kmeans_centroids(emb, k=8, iters=2) is not a

@@ -47,11 +47,16 @@ _CKPT_LOCK = threading.Lock()
 
 
 def invalidate_checkpoint_memo() -> None:
-    """Drop every memoized checkpoint (e.g. after regenerating the
-    parquet fixtures mid-session). Evicted frames are reclaimed by the
-    driver's ContextCleaner once callers release their references."""
+    """Drop every memoized checkpoint AND trained artifact (e.g. after
+    regenerating the parquet fixtures mid-session). Evicted frames are
+    reclaimed by the driver's ContextCleaner once callers release
+    their references."""
     with _CKPT_LOCK:
         _CKPT_MEMO.clear()
+    from .similarity import _TRAIN_LOCK, _TRAIN_MEMO
+
+    with _TRAIN_LOCK:
+        _TRAIN_MEMO.clear()
 
 
 def _input_fingerprint(df: DataFrame) -> tuple:
