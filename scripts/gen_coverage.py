@@ -94,8 +94,12 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "replayed in the llm_ivf_topk oracle)",
         "tests/test_llm.py::test_ivf_trained_centroids_recall_and_objective",
         "llm/similarity.pq_train/pq_encode/pq_topk_rerank (product "
-        "quantization: m sub-codebooks, ADC shortlist + exact re-rank)",
+        "quantization: m sub-codebooks, ADC shortlist + exact re-rank; "
+        "batched form pq_topk_batch; zero-shuffle pq_encode_mapside)",
         "tests/test_llm.py::test_pq_train_encode_matches_python_reference",
+        "llm/similarity.ivf_assign_mapside (stateless cell routing — "
+        "streaming ingest twin, stream==batch pinned)",
+        "tests/test_streaming.py::test_streaming_ivf_assignment_equals_batch",
     ],
     "L4": [
         "llm/text.bpe_train + llm/bpe_merges.PRETRAINED_MERGES (learned "

@@ -1469,3 +1469,29 @@ def test_train_memo_reuses_and_invalidates(emb):
     assert pq_train(emb, m=4, k=16, iters=2) is not b
     invalidate_checkpoint_memo()
     assert kmeans_centroids(emb, k=8, iters=2) is not a
+
+
+def test_ivf_assign_mapside_equals_groupby_form(emb):
+    """The stateless inlined-centroid assignment must agree with the
+    broadcast-join + groupBy form on every vector, for seed and
+    trained cells, and its plan must be Exchange-free."""
+    from video_stream_processor_spark.llm.similarity import (
+        _dvec,
+        ivf_assign_mapside,
+        ivf_assignments,
+        kmeans_centroids,
+    )
+
+    seed = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("centroid_id"), _dvec("embedding").alias("cv")
+    )
+    for cent in (seed, kmeans_centroids(emb, k=8, iters=2)):
+        want = {
+            r["vec_id"]: r["centroid_id"]
+            for r in ivf_assignments(emb, centroids=cent).collect()
+        }
+        got_df = ivf_assign_mapside(emb, cent)
+        got = {r["vec_id"]: r["centroid_id"] for r in got_df.collect()}
+        assert got == want
+        plan = got_df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan

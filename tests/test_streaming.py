@@ -518,3 +518,35 @@ def test_streaming_near_dup_flags_equals_batch(spark, sf_dir, tmp_path):
         for r in got_rows
     }
     assert got == want
+
+
+def test_streaming_ivf_assignment_equals_batch(spark, sf_dir, tmp_path):
+    """L3 on an unbounded stream: incoming embeddings route to trained
+    IVF cells via the stateless inlined-centroid assignment (zero
+    streaming state — the groupBy form would buffer per-key state) and
+    must equal the batch assignment exactly."""
+    from video_stream_processor_spark.io import table_path
+    from video_stream_processor_spark.llm.similarity import (
+        ivf_assign_mapside,
+        ivf_assignments,
+        kmeans_centroids,
+    )
+    from video_stream_processor_spark.schemas import EMBEDDINGS_SCHEMA
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = kmeans_centroids(emb, k=8, iters=2)
+    want = {
+        r["vec_id"]: r["centroid_id"]
+        for r in ivf_assignments(emb, centroids=cent).collect()
+    }
+    stream = (
+        spark.readStream.schema(EMBEDDINGS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(table_path(sf_dir, "embeddings") + "*")
+    )
+    got_rows, _ = run_stream_append(
+        ivf_assign_mapside(stream, cent).select("vec_id", "centroid_id"),
+        tmp_path,
+    )
+    got = {r["vec_id"]: r["centroid_id"] for r in got_rows}
+    assert got == want

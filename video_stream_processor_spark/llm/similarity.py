@@ -947,3 +947,42 @@ def pq_encode_mapside(
     return embeddings.select(
         "vec_id", F.array(*[code_for(s) for s in range(m)]).alias("codes")
     )
+
+
+def ivf_assign_mapside(
+    embeddings: DataFrame, centroids: DataFrame
+) -> DataFrame:
+    """Stateless IVF cell assignment: centroids collected (k x d —
+    broadcast-class) and inlined as literals, argmax-by-cosine as pure
+    column expressions. Two jobs for the same shape:
+
+    * streaming ingest — an unbounded embedding stream routes to index
+      cells with ZERO streaming state (the groupBy form of
+      ``ivf_assignments`` would be stateful on a stream);
+    * map-side batch assignment — at 100 TB, corpus-to-cell routing is
+      a narrow projection over the scan, like ``pq_encode_mapside``.
+
+    Same determinism contract as ``ivf_assignments`` (9dp-rounded
+    cosine, ties to lowest centroid id), pinned equal in tests; same
+    output shape (vec_id, label, embedding + centroid_id)."""
+    rows = sorted(
+        centroids.collect(), key=lambda r: r["centroid_id"]
+    )
+    v = _dvec("embedding")
+    scores = F.array(
+        *[
+            F.round(
+                cosine(v, F.array(*[F.lit(float(x)) for x in r["cv"]])), 9
+            )
+            for r in rows
+        ]
+    )
+    cids = F.array(*[F.lit(int(r["centroid_id"])) for r in rows])
+    # first occurrence of the max = lowest centroid id on ties (rows
+    # are sorted by centroid_id)
+    best = F.element_at(
+        cids, F.array_position(scores, F.array_max(scores)).cast("int")
+    ).cast("long")
+    return embeddings.select(
+        "vec_id", "label", "embedding", best.alias("centroid_id")
+    )
