@@ -1545,3 +1545,48 @@ def test_bpe_three_way_on_hostile_texts(spark):
     )
     con.close()
     assert duck == want
+
+
+def test_ivfpq_composed_index(emb):
+    """IVF-PQ composition: probing ALL cells must reproduce the pure
+    PQ rerank exactly (pruning off == no pruning), and the pruned form
+    (4/8 cells) must keep useful recall vs exact L2."""
+    from video_stream_processor_spark.llm.similarity import (
+        _dvec,
+        _sqdist,
+        ivfpq_topk,
+        pq_encode,
+        pq_topk_rerank,
+        pq_train,
+    )
+
+    full = [
+        (r["vec_id"], r["l2_dist"])
+        for r in ivfpq_topk(emb, query_vec_id=0, topk=10, nprobe=8).collect()
+    ]
+    book = pq_train(emb, m=8, k=16, iters=2)
+    codes = pq_encode(emb, book, m=8)
+    pure = [
+        (r["vec_id"], r["l2_dist"])
+        for r in pq_topk_rerank(
+            emb, book, query_vec_id=0, topk=10, oversample=10, codes=codes
+        ).collect()
+    ]
+    assert full == pure
+
+    pruned = {
+        r["vec_id"]
+        for r in ivfpq_topk(emb, query_vec_id=0, topk=10, nprobe=4).collect()
+    }
+    assert len(pruned) == 10
+    q = emb.filter(F.col("vec_id") == 0).select(_dvec("embedding").alias("qe"))
+    exact = {
+        r["vec_id"]
+        for r in emb.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(q))
+        .select("vec_id", _sqdist(_dvec("embedding"), F.col("qe")).alias("d2"))
+        .orderBy("d2", "vec_id")
+        .limit(10)
+        .collect()
+    }
+    assert len(pruned & exact) / 10 >= 0.3, pruned & exact

@@ -986,3 +986,79 @@ def ivf_assign_mapside(
     return embeddings.select(
         "vec_id", "label", "embedding", best.alias("centroid_id")
     )
+
+
+def ivfpq_topk(
+    embeddings: DataFrame,
+    query_vec_id: int = 0,
+    topk: int = 10,
+    n_cells: int = 8,
+    nprobe: int = 4,
+    m: int = 8,
+    k_sub: int = 16,
+    oversample: int = 10,
+    centroids: DataFrame | None = None,
+    codebook: DataFrame | None = None,
+) -> DataFrame:
+    """The composed production ANN index (FAISS IVF-PQ shape): coarse
+    cells prune the corpus to nprobe/n_cells, PQ codes make scanning
+    the survivors memory-cheap (ADC), and the exact re-rank touches
+    only the final shortlist. At 100 TB each stage cuts what the next
+    one reads: cells -> nprobe/C of the rows, codes -> m bytes per
+    surviving row, floats -> oversample*topk rows total.
+
+    With nprobe == n_cells this degrades to exactly
+    ``pq_topk_rerank`` (pinned in tests). Both trained structures
+    (cells + sub-codebooks) come from the memoized deterministic
+    trainers."""
+    cent = (
+        kmeans_centroids(embeddings, k=n_cells, iters=2)
+        if centroids is None
+        else centroids
+    )
+    book = (
+        pq_train(embeddings, m=m, k=k_sub, iters=2)
+        if codebook is None
+        else codebook
+    )
+    assigned = ivf_assign_mapside(embeddings, cent).select(
+        "vec_id", "centroid_id"
+    )
+    q = embeddings.filter(F.col("vec_id") == query_vec_id).select(
+        _dvec("embedding").alias("qe")
+    )
+    probe = (
+        cent.join(F.broadcast(q))
+        .select(
+            "centroid_id",
+            F.round(cosine(F.col("cv"), F.col("qe")), 9).alias("qcos"),
+        )
+        .orderBy(F.desc("qcos"), "centroid_id")
+        .limit(nprobe)
+        .select("centroid_id")
+    )
+    survivors = assigned.join(F.broadcast(probe), "centroid_id").select(
+        "vec_id"
+    )
+    codes = pq_encode_mapside(embeddings, book, m=m).join(
+        F.broadcast(survivors), "vec_id"
+    )
+    shortlist = pq_topk(
+        embeddings,
+        book,
+        query_vec_id=query_vec_id,
+        topk=topk * oversample,
+        m=m,
+        codes=codes,
+    ).select("vec_id")
+    return (
+        embeddings.join(F.broadcast(shortlist), "vec_id")
+        .join(F.broadcast(q))
+        .select(
+            "vec_id",
+            "label",
+            _sqdist(_dvec("embedding"), F.col("qe")).alias("l2_dist"),
+        )
+        .orderBy(F.asc("l2_dist"), "vec_id")
+        .limit(topk)
+    )
