@@ -95,7 +95,8 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "tests/test_llm.py::test_ivf_trained_centroids_recall_and_objective",
         "llm/similarity.pq_train/pq_encode/pq_topk_rerank (product "
         "quantization: m sub-codebooks, ADC shortlist + exact re-rank; "
-        "batched form pq_topk_batch; zero-shuffle pq_encode_mapside)",
+        "batched form pq_topk_batch; zero-shuffle pq_encode_mapside; "
+        "composed ivfpq_topk pinned equal to pure PQ at nprobe=all)",
         "tests/test_llm.py::test_pq_train_encode_matches_python_reference",
         "llm/similarity.ivf_assign_mapside (stateless cell routing — "
         "streaming ingest twin, stream==batch pinned)",

@@ -1590,3 +1590,19 @@ def test_ivfpq_composed_index(emb):
         .collect()
     }
     assert len(pruned & exact) / 10 >= 0.3, pruned & exact
+
+
+def test_pq_search_rejects_unknown_query_ids(emb):
+    """A missing query id must fail loudly at plan-build, not return
+    an empty or all-inf result."""
+    from video_stream_processor_spark.llm.similarity import (
+        pq_topk,
+        pq_topk_batch,
+        pq_train,
+    )
+
+    book = pq_train(emb, m=8, k=16, iters=2)
+    with pytest.raises(ValueError, match="not present"):
+        pq_topk(emb, book, query_vec_id=10_000_000, topk=5)
+    with pytest.raises(ValueError, match="10000001"):
+        pq_topk_batch(emb, book, [0, 10_000_001], topk=5)

@@ -713,6 +713,10 @@ def pq_topk(
     # literal ADC tables: lut[sub][centroid_id] (centroid ids are dense
     # 0..k-1 from the vec_id < k seed; guard holes with +inf so a
     # dropped-empty-cell code can never win)
+    if not by_sub:
+        raise ValueError(
+            f"query_vec_id {query_vec_id} not present in embeddings"
+        )
     n_cent = max(max(d) for d in by_sub.values()) + 1
     luts = [
         F.array(
@@ -801,6 +805,9 @@ def _pq_luts(
             r["centroid_id"]
         ] = r["d2"]
         n_cent = max(n_cent, r["centroid_id"] + 1)
+    missing = sorted(set(query_vec_ids) - set(by_q))
+    if missing:
+        raise ValueError(f"query_vec_ids not present in embeddings: {missing}")
     return {
         qid: [
             F.array(
