@@ -54,19 +54,28 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "T5": ["streaming/analytics._maybe_watermark", "tests/test_streaming.py::test_watermark_drops_late_data"],
     "T8": ["streaming/analytics.stream_dedup", "tests/test_streaming.py::test_stream_dedup_within_watermark"],
     "T9": [
-        "streaming/stateful.running_user_totals (+ Spark-4 transformWithStateInPandas twin)",
+        "streaming/stateful.running_user_totals (+ Spark-4 transformWithStateInPandas twin; "
+        "the TWS twin needs the public `protobuf` package for Spark's state-server protocol — "
+        "absent here and installs are disallowed in this environment, so its test importorskips; "
+        "the applyInPandasWithState twin runs and pins identical semantics)",
         "streaming/stateful.closed_user_sessions (EventTimeTimeout session closer)",
         "tests/test_streaming.py::test_stateful_running_totals",
         "tests/test_streaming.py::test_closed_user_sessions",
     ],
     "T10": ["tests/test_streaming.py::test_watermark_drops_late_data"],
-    "T11": ["tests/test_streaming.py::test_streaming_metrics_progress", "pipeline observe metrics"],
+    "T11": [
+        "tests/test_streaming.py::test_streaming_metrics_progress",
+        "pipeline observe metrics (batch observe() counters are oracle-checked via "
+        "agg_counts_suite's observe: rows; StreamingQueryProgress itself is runtime "
+        "telemetry with no batch-oracle form)",
+    ],
     "U1": ["sources/extractor.py + pipeline/station.enrich_links", "tests/test_station.py"],
     "U4": ["operators/asof.asof_join_cogrouped (groupBy().cogroup().applyInPandas)"],
     "P4": ["io.read_links (trim + '#'-comment filter)", "tests/test_station.py::test_links_source_filters"],
     "A1": ["pipeline/sink.write_json_array post-write count", "every oracle query's row-count gate"],
     "O2": ["functions/scalar.file_extension (element_at(arr,-1))", "tests/test_functions.py property suite"],
     "A2": ["pipeline/station.build_station_records observe()", "tests/test_station.py"],
+
     "F1": ["functions/scalar.deterministic_uuid (seeded twin of uuid())"],
     "F2": ["functions/scalar.dual_timestamp (frozen run_ts)"],
     "J2": [

@@ -26,3 +26,24 @@ def test_registry_fits_driver_window_and_is_fully_oracle_paired():
     assert len(specs) <= 50, f"registry has {len(specs)} entries (> 50)"
     rows_only = [n for n, s in specs.items() if s.oracle is None]
     assert not rows_only, f"rows-only entries burn driver slots: {rows_only}"
+
+
+def test_station_observe_counters(spark, sf_dir):
+    """A2: the observe() counters surfaced by agg_counts_suite must
+    agree with the stub extractor's outcome classes AND with the
+    station pipeline's surviving row count (input - failed - unresolved
+    = records the 37-field projection emits)."""
+    df = all_specs()["agg_counts_suite"].builder(spark, sf_dir)
+    got = {
+        r["part"]: r["n"]
+        for r in df.collect()
+        if r["part"].startswith("observe:")
+    }
+    assert got["observe:station_input"] == 64
+    survivors = (
+        got["observe:station_input"]
+        - got["observe:station_failed"]
+        - got["observe:station_unresolved"]
+    )
+    station_rows = all_specs()["station_pipeline"].builder(spark, sf_dir).count()
+    assert survivors == station_rows

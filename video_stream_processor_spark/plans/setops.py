@@ -274,7 +274,7 @@ def agg_percentile_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_counts_suite",
-    survey_ids="A1,A5,A3",
+    survey_ids="A1,A5,A3,A2",
     oracle="""
 SELECT 'count:documents' AS part, count(*) AS n,
        NULL::BIGINT AS exact_users, NULL::BIGINT AS approx_ok
@@ -293,10 +293,30 @@ SELECT 'approx:' || event_type,
         AS BIGINT)
 FROM events
 GROUP BY event_type
+UNION ALL
+SELECT * FROM (
+  WITH stub AS (
+    SELECT CAST(concat('0x', substr(md5(
+             'https://www.youtube.com/watch?v=vid' || CAST(i AS VARCHAR)
+           ), 1, 2)) AS INT) % 16 AS r
+    FROM range(64) t(i)
+  )
+  SELECT 'observe:station_input' AS part, count(*) AS n,
+         NULL::BIGINT AS exact_users, NULL::BIGINT AS approx_ok
+  FROM stub
+  UNION ALL
+  SELECT 'observe:station_failed', count(*) FILTER (WHERE r = 0),
+         NULL::BIGINT, NULL::BIGINT
+  FROM stub
+  UNION ALL
+  SELECT 'observe:station_unresolved', count(*) FILTER (WHERE r = 1),
+         NULL::BIGINT, NULL::BIGINT
+  FROM stub
+)
 """,
 )
 def agg_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A1 + A5 in one labeled result:
+    """A1 + A5 + A2 in one labeled result:
 
     * plain record counts per table (the reference's processed/failed
       run summary, video_processor.py:385-388 — parquet answers these
@@ -308,7 +328,16 @@ def agg_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       1/0 as BIGINT — nullable ints have proven cross-engine hashing
       where nullable booleans don't) — true on both sides, hence
       hash-identical. The sketch is mergeable — at 100 TB it replaces
-      the two-phase distinct shuffle with constant-size partial state.
+      the two-phase distinct shuffle with constant-size partial state;
+    * A2 side metrics: the station pipeline's ``observe()`` counters
+      (n_input/n_failed/n_unresolved — the reference's processed/failed
+      run summary, video_processor.py:385-388) captured through Spark's
+      real Observation machinery during one pipeline action, then
+      surfaced as labeled rows. The oracle replays the stub extractor's
+      outcome-class arithmetic (md5 byte0 mod 16: 0 → failed, 1 →
+      unresolved) in SQL, so the observed values are value-checked, not
+      just smoke-tested. observe() aggregates ride the existing job —
+      at 100 TB this is the zero-extra-pass way to get run telemetry.
     """
     nb = F.lit(None).cast("long").alias("exact_users")
     nk = F.lit(None).cast("long").alias("approx_ok")
@@ -337,4 +366,43 @@ def agg_counts_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = count_legs[0]
     for leg in count_legs[1:]:
         out = out.unionByName(leg)
-    return out.unionByName(approx_leg)
+    return out.unionByName(approx_leg).unionByName(_station_observe_leg(spark))
+
+
+def _station_observe_leg(spark: SparkSession) -> DataFrame:
+    """A2: run the deterministic station pipeline once with an attached
+    ``Observation`` and return its counters as (part, n) rows.
+
+    The Observation's aggregates are computed inside the SAME job that
+    materializes the pipeline (a noop-equivalent count action here) —
+    no second pass over the data, which is the point of observe() vs a
+    separate ``df.agg`` at cluster scale. The three scalars crossing the
+    driver are O(1)."""
+    from pyspark.sql import Observation
+
+    from ..pipeline.station import build_station_records
+    from ..session import ensure_runtime_confs
+    from ..sources.extractor import StubExtractor
+    from .station import N_LINKS, RUN_TS
+
+    ensure_runtime_confs(spark)
+    links = spark.range(N_LINKS).select(
+        F.concat(F.lit("https://www.youtube.com/watch?v=vid"), F.col("id")).alias("url")
+    )
+    obs = Observation()
+    records = build_station_records(
+        links, StubExtractor, run_ts=RUN_TS, observation=obs, partitions=8
+    )
+    records.count()  # one action; observe metrics ride it map-side
+    got = obs.get
+    rows = [
+        ("observe:station_input", int(got["n_input"])),
+        ("observe:station_failed", int(got["n_failed"])),
+        ("observe:station_unresolved", int(got["n_unresolved"])),
+    ]
+    return spark.createDataFrame(rows, "part string, n long").select(
+        "part",
+        "n",
+        F.lit(None).cast("long").alias("exact_users"),
+        F.lit(None).cast("long").alias("approx_ok"),
+    )
