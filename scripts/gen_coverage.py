@@ -116,6 +116,12 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "subword tokenizer, frozen-table replay in the "
         "llm_doc_annotations oracle)",
         "tests/test_llm.py::test_bpe_train_matches_python_reference",
+        "llm/quality_model.model_quality_filter (learned quality filter: "
+        "logistic regression distilled from the rule filter's labels — "
+        "standardized features, 32 full-batch GD rounds each one agg pass, "
+        "map-side sigmoid inference; the TRAINING is replayed unrolled in "
+        "the llm_corpus_filter_suite oracle)",
+        "tests/test_llm.py::test_logreg_train_matches_python_reference",
     ],
     "L5": ["tests/test_llm.py (decoder seam, parquet round trip)"],
 }

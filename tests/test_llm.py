@@ -1606,3 +1606,80 @@ def test_pq_search_rejects_unknown_query_ids(emb):
         pq_topk(emb, book, query_vec_id=10_000_000, topk=5)
     with pytest.raises(ValueError, match="10000001"):
         pq_topk_batch(emb, book, [0, 10_000_001], topk=5)
+
+
+# --- learned quality filter (L4) ---------------------------------------
+
+
+def test_logreg_train_matches_python_reference(spark, sf_dir):
+    """The DataFrame-expressed training loop (moments pass + unrolled
+    full-batch GD) must reproduce a plain numpy implementation of the
+    same contract: 9dp-rounded moments/gradients, exact power-of-two-lr
+    updates. Run at a reduced iteration count to keep the test fast —
+    the contract is per-round, so agreement at 6 rounds pins the
+    arithmetic for any depth."""
+    import numpy as np
+
+    from video_stream_processor_spark.llm.quality_model import (
+        feature_moments,
+        logreg_train,
+        quality_features,
+        standardize,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    feats = quality_features(docs)
+    moments = feature_moments(feats)
+    w_spark = logreg_train(standardize(feats, moments), iters=6)
+
+    pdf = feats.toPandas()
+    raw = pdf[["r_len", "r_stop", "r_div", "r_len2"]].to_numpy()
+    y = pdf["y"].to_numpy()
+    mu = np.round(raw.mean(axis=0), 9)
+    sd = np.round(raw.std(axis=0), 9)  # population std, like stddev_pop
+    assert mu == pytest.approx(
+        [moments[f"m_{c}"] for c in ("r_len", "r_stop", "r_div", "r_len2")],
+        abs=1e-9,
+    )
+    assert sd == pytest.approx(
+        [moments[f"s_{c}"] for c in ("r_len", "r_stop", "r_div", "r_len2")],
+        abs=1e-9,
+    )
+    x = (raw - mu) / np.where(sd == 0, 1.0, sd)
+    w = np.zeros(5)
+    for _ in range(6):
+        p = 1.0 / (1.0 + np.exp(-(w[0] + x @ w[1:])))
+        e = p - y
+        g = np.concatenate(
+            ([np.round(e.mean(), 9)],
+             np.round((e[:, None] * x).mean(axis=0), 9))
+        )
+        w = w - 2.0 * g
+    assert w_spark == pytest.approx(list(w), abs=1e-12)
+
+
+def test_model_quality_filter_learns(spark, sf_dir):
+    """The distilled model must beat the majority class on its own
+    labels — i.e. actually separate, not collapse to pass/fail-all
+    (plain GD without the standardization pass does collapse)."""
+    from video_stream_processor_spark.llm.quality_model import (
+        quality_features,
+        score_quality,
+        standardize,
+        train_quality_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    moments, w = train_quality_model(docs)
+    scored = score_quality(standardize(quality_features(docs), moments), w)
+    row = scored.agg(
+        F.avg("y").alias("pos_rate"),
+        F.avg(
+            ((F.col("quality_score") >= 0.5).cast("int") == F.col("y").cast("int"))
+            .cast("double")
+        ).alias("acc"),
+        F.avg((F.col("quality_score") >= 0.5).cast("double")).alias("pass_rate"),
+    ).first()
+    majority = max(row["pos_rate"], 1.0 - row["pos_rate"])
+    assert row["acc"] >= majority + 0.05, dict(row.asDict())
+    assert 0.0 < row["pass_rate"] < 1.0, "model collapsed to a constant"

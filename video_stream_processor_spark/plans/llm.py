@@ -37,6 +37,7 @@ from ..llm import (
     ngram_jaccard_pairs,
     text_quality_by_lang,
 )
+from ..llm.quality_model import model_quality_filter
 from .base import register
 
 _TOKS = "list_filter(string_split(text, ' '), x -> x != '')"
@@ -870,6 +871,89 @@ def llm_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sql_logreg_grad(n: int, werr: str) -> str:
+    """One unrolled gradient-descent round: ``werr`` is the per-row
+    error expression p - y with the CURRENT weights (weight CTE joined
+    in); emits the 9dp-rounded gradient CTE g{n} and the exact (NO
+    rounding — lr=2 is a power of two, the update is exact IEEE) next
+    weights w{n}. SQL twin of one quality_model.logreg_train round.
+    MATERIALIZED is load-bearing: each round references the previous
+    weight CTE twice, so inlining would re-expand the whole upstream
+    chain per reference — 2^iters corpus scans (observed as a
+    too-many-open-files planner blowup at 16 rounds)."""
+    prev = ("SELECT 0.0 AS wb, 0.0 AS wl, 0.0 AS ws, 0.0 AS wd, 0.0 AS wq"
+            if n == 1 else f"SELECT * FROM w{n - 1}")
+    return f"""g{n} AS MATERIALIZED (
+  SELECT round(avg(e), 9) AS gb, round(avg(e * x_len), 9) AS gl,
+         round(avg(e * x_stop), 9) AS gs, round(avg(e * x_div), 9) AS gd,
+         round(avg(e * x_len2), 9) AS gq
+  FROM (SELECT ({werr}) AS e, x_len, x_stop, x_div, x_len2
+        FROM sfeats, ({prev}) pw)
+), w{n} AS MATERIALIZED (
+  SELECT pw.wb - 2.0 * g{n}.gb AS wb, pw.wl - 2.0 * g{n}.gl AS wl,
+         pw.ws - 2.0 * g{n}.gs AS ws, pw.wd - 2.0 * g{n}.gd AS wd,
+         pw.wq - 2.0 * g{n}.gq AS wq
+  FROM ({prev}) pw, g{n}
+)"""
+
+
+_SQL_SIGMOID_Z = (
+    "1.0 / (1.0 + exp(-(pw.wb + pw.wl * x_len + pw.ws * x_stop"
+    " + pw.wd * x_div + pw.wq * x_len2)))"
+)
+
+_LOGREG_ITERS = 32
+
+_MODEL_FILTER_ORACLE = f"""
+WITH rfeats AS MATERIALIZED (
+  SELECT doc_id, lang, source,
+         length(text) / 1000.0 AS r_len,
+         CASE WHEN len({_TOKS}) = 0 THEN 0.0
+              ELSE len(list_filter({_TOKS},
+                     x -> x IN ('the','a','of','and','to','in'))) * 1.0
+                   / len({_TOKS}) END AS r_stop,
+         CASE WHEN len({_TOKS}) = 0 THEN 0.0
+              ELSE len(list_distinct({_TOKS})) * 1.0
+                   / len({_TOKS}) END AS r_div,
+         (length(text) / 1000.0) * (length(text) / 1000.0) AS r_len2,
+         CASE WHEN length(text) BETWEEN 120 AND 450
+               AND CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                        ELSE len(list_distinct({_TOKS})) * 1.0
+                             / len({_TOKS}) END >= 0.35
+               AND CASE WHEN len({_TOKS}) = 0 THEN 0.0
+                        ELSE len(list_filter({_TOKS},
+                               x -> x IN ('the','a','of','and','to','in')))
+                             * 1.0 / len({_TOKS}) END <= 0.12
+              THEN 1.0 ELSE 0.0 END AS y
+  FROM documents
+), mom AS MATERIALIZED (
+  SELECT round(avg(r_len), 9) AS m_len, round(stddev_pop(r_len), 9) AS s_len,
+         round(avg(r_stop), 9) AS m_stop,
+         round(stddev_pop(r_stop), 9) AS s_stop,
+         round(avg(r_div), 9) AS m_div, round(stddev_pop(r_div), 9) AS s_div,
+         round(avg(r_len2), 9) AS m_len2,
+         round(stddev_pop(r_len2), 9) AS s_len2
+  FROM rfeats
+), sfeats AS MATERIALIZED (
+  SELECT doc_id, lang, source, y,
+         (r_len - m_len) / (CASE WHEN s_len = 0 THEN 1.0 ELSE s_len END)
+           AS x_len,
+         (r_stop - m_stop) / (CASE WHEN s_stop = 0 THEN 1.0 ELSE s_stop END)
+           AS x_stop,
+         (r_div - m_div) / (CASE WHEN s_div = 0 THEN 1.0 ELSE s_div END)
+           AS x_div,
+         (r_len2 - m_len2) / (CASE WHEN s_len2 = 0 THEN 1.0 ELSE s_len2 END)
+           AS x_len2
+  FROM rfeats, mom
+), {_sql_logreg_grad(1, "0.5 - y")},
+{",".join(_sql_logreg_grad(i, _SQL_SIGMOID_Z + " - y")
+          for i in range(2, _LOGREG_ITERS + 1))}
+SELECT doc_id, lang, source
+FROM sfeats, w{_LOGREG_ITERS} pw
+WHERE round({_SQL_SIGMOID_Z}, 6) >= 0.5
+"""
+
+
 @register(
     "llm_corpus_filter_suite",
     survey_ids="L1,L2,L4,J4,P7",
@@ -877,10 +961,12 @@ def llm_near_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 SELECT 'quality' AS leg, * FROM ({_QUALITY_FILTER_ORACLE})
 UNION ALL
 SELECT 'near_dedup_survivor' AS leg, * FROM ({_SURVIVORS_ORACLE})
+UNION ALL
+SELECT 'model_quality' AS leg, * FROM ({_MODEL_FILTER_ORACLE})
 """,
 )
 def llm_corpus_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Union suite of the two corpus-selection primitives (identical
+    """Union suite of the corpus-selection primitives (identical
     (doc_id, lang, source) schemas, tagged by leg):
 
     * ``quality`` — L4/P7 threshold filter on length / lexical
@@ -888,13 +974,29 @@ def llm_corpus_filter_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     * ``near_dedup_survivor`` — L1/L2/J4 deduplicated corpus: drop the
       higher-id member of every exact-Jaccard near-dup pair via
       anti-join (at scale the pair table comes from the MinHash path;
-      the oracle-checked exact pairs prove the anti-join semantics).
+      the oracle-checked exact pairs prove the anti-join semantics);
+    * ``model_quality`` — L4 learned filter: a logistic-regression
+      scorer distilled from the rule filter's own labels (3 full-batch
+      gradient rounds, one agg pass each), then a map-side sigmoid
+      filter with the weights inlined as plan literals. The oracle
+      replays the TRAINING too (unrolled rounds, 9dp-rounded gradient
+      avgs, exact power-of-two-lr updates), so the trained model —
+      not just its inference — is hash-checked.
     """
     tag = lambda df, leg: df.select(  # noqa: E731
         F.lit(leg).alias("leg"), "doc_id", "lang", "source"
     )
-    return tag(llm_quality_filter(spark, sf_dir), "quality").unionByName(
-        tag(llm_near_dedup_survivors(spark, sf_dir), "near_dedup_survivor")
+    return (
+        tag(llm_quality_filter(spark, sf_dir), "quality")
+        .unionByName(
+            tag(llm_near_dedup_survivors(spark, sf_dir), "near_dedup_survivor")
+        )
+        .unionByName(
+            tag(
+                model_quality_filter(load_table(spark, sf_dir, "documents")),
+                "model_quality",
+            )
+        )
     )
 
 

@@ -395,14 +395,26 @@ def _station_observe_leg(spark: SparkSession) -> DataFrame:
     )
     records.count()  # one action; observe metrics ride it map-side
     got = obs.get
-    rows = [
-        ("observe:station_input", int(got["n_input"])),
-        ("observe:station_failed", int(got["n_failed"])),
-        ("observe:station_unresolved", int(got["n_unresolved"])),
-    ]
-    return spark.createDataFrame(rows, "part string, n long").select(
-        "part",
-        "n",
-        F.lit(None).cast("long").alias("exact_users"),
-        F.lit(None).cast("long").alias("approx_ok"),
+    # Literal structs, not createDataFrame: a Python local relation
+    # would put an ExistingRDD/PythonRDD node in the plan and trip the
+    # no-Python-outside-U guard; explode(array(struct...)) stays JVM.
+    legs = F.array(
+        *[
+            F.struct(F.lit(part).alias("part"), F.lit(int(got[key])).alias("n"))
+            for part, key in [
+                ("observe:station_input", "n_input"),
+                ("observe:station_failed", "n_failed"),
+                ("observe:station_unresolved", "n_unresolved"),
+            ]
+        ]
+    )
+    return (
+        spark.range(1)
+        .select(F.explode(legs).alias("kv"))
+        .select(
+            F.col("kv.part").alias("part"),
+            F.col("kv.n").cast("long").alias("n"),
+            F.lit(None).cast("long").alias("exact_users"),
+            F.lit(None).cast("long").alias("approx_ok"),
+        )
     )
