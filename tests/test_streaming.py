@@ -550,3 +550,69 @@ def test_streaming_ivf_assignment_equals_batch(spark, sf_dir, tmp_path):
     )
     got = {r["vec_id"]: r["centroid_id"] for r in got_rows}
     assert got == want
+
+
+def test_streaming_model_scoring_equals_batch(spark, sf_dir, tmp_path):
+    """L4 learned filter on an unbounded stream: the trained model is
+    plain plan literals (moments + weights), so inference is a
+    stateless map-side projection — scoring a documents stream must
+    equal the batch scores exactly, with zero streaming state."""
+    from video_stream_processor_spark.llm.quality_model import (
+        quality_features,
+        score_quality,
+        standardize,
+        train_quality_model,
+    )
+    from video_stream_processor_spark.schemas import DOCUMENTS_SCHEMA
+
+    docs = load_table(spark, sf_dir, "documents")
+    moments, w = train_quality_model(docs, iters=6)
+
+    def scored(df):
+        return score_quality(standardize(quality_features(df), moments), w)
+
+    want = {
+        (r["doc_id"], r["quality_score"])
+        for r in scored(docs).select("doc_id", "quality_score").collect()
+    }
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(table_path(sf_dir, "documents") + "*")
+    )
+    got_rows, _ = run_stream_append(
+        scored(stream).select("doc_id", "quality_score"), tmp_path
+    )
+    got = {(r["doc_id"], r["quality_score"]) for r in got_rows}
+    assert got == want
+
+
+def test_sampled_training_stays_close_to_full(spark, sf_dir):
+    """100 TB path: training on the deterministic 1/2 hash-sample must
+    stay within a few accuracy points of the full-corpus model on the
+    FULL corpus (the inference pass always covers every row)."""
+    from video_stream_processor_spark.llm.quality_model import (
+        quality_features,
+        score_quality,
+        standardize,
+        train_quality_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    def acc(moments, w):
+        scored = score_quality(
+            standardize(quality_features(docs), moments), w
+        )
+        return scored.agg(
+            F.avg(
+                (
+                    (F.col("quality_score") >= 0.5).cast("int")
+                    == F.col("y").cast("int")
+                ).cast("double")
+            )
+        ).first()[0]
+
+    full = acc(*train_quality_model(docs))
+    sampled = acc(*train_quality_model(docs, sample_mod=2))
+    assert sampled >= full - 0.06, (full, sampled)

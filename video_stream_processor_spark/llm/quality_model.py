@@ -178,18 +178,34 @@ def logreg_train(
 
 
 def train_quality_model(
-    docs: DataFrame, iters: int = DEFAULT_ITERS, lr: float = DEFAULT_LR
+    docs: DataFrame,
+    iters: int = DEFAULT_ITERS,
+    lr: float = DEFAULT_LR,
+    sample_mod: int | None = None,
 ) -> tuple[dict[str, float], list[float]]:
     """(moments, weights) for the corpus' own rule labels; memoized per
     (session, params, input plan, input files) like the other trained
-    artifacts, so a resident session trains once."""
+    artifacts, so a resident session trains once.
+
+    ``sample_mod``: train on the deterministic 1/mod hash-sample of
+    doc_ids instead of the full corpus. This is the 100 TB shape: the
+    training loop runs ``iters + 1`` passes, so at scale you pay them
+    over a hash-sample (xxhash64 — reproducible, no sampling state)
+    while the single inference pass still covers every row. The
+    registered oracle query trains on the full (small) fixture corpus;
+    the sampled path is pinned in tests to stay within a few accuracy
+    points of the full-corpus model."""
     from .dedup import _input_fingerprint
 
     feats = quality_features(docs)
+    if sample_mod is not None:
+        feats = feats.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(sample_mod)) == 0
+        )
     try:
         key = (
             id(docs.sparkSession),
-            f"logreg-{iters}-{lr}",
+            f"logreg-{iters}-{lr}-{sample_mod}",
             feats.semanticHash(),
             _input_fingerprint(feats),
         )
