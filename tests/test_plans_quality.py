@@ -247,3 +247,28 @@ def test_bpe_counting_is_map_only(spark, sf_dir):
         "doc_id", bpe_count_col(PRETRAINED_MERGES).alias("n")
     )
     assert "Exchange" not in plan_text(df)
+
+
+def test_model_inference_map_side_only(spark, sf_dir):
+    """L4 learned-filter inference: the trained model is plan literals,
+    so scoring is a single map-side scan — no Exchange, no Python, and
+    the filter itself must reach the scan stage inside codegen."""
+    from video_stream_processor_spark.io import load_table
+    from video_stream_processor_spark.llm.quality_model import (
+        quality_features,
+        score_quality,
+        standardize,
+        train_quality_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    moments, w = train_quality_model(docs, iters=6)
+    scored = score_quality(standardize(quality_features(docs), moments), w)
+    out = scored.filter("quality_score >= 0.5")
+    plan = plan_text(out)
+    assert "Exchange" not in plan
+    assert "Python" not in plan
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("codegen")
+    assert "WholeStageCodegen" in buf.getvalue()
