@@ -1683,3 +1683,37 @@ def test_model_quality_filter_learns(spark, sf_dir):
     majority = max(row["pos_rate"], 1.0 - row["pos_rate"])
     assert row["acc"] >= majority + 0.05, dict(row.asDict())
     assert 0.0 < row["pass_rate"] < 1.0, "model collapsed to a constant"
+
+
+def test_quality_model_artifact_round_trip(spark, sf_dir, tmp_path):
+    """Train-once/serve-elsewhere: a saved+reloaded model must be
+    bit-identical (the determinism contract rests on exact doubles) and
+    must score the corpus identically to the in-session model."""
+    from video_stream_processor_spark.llm.artifacts import (
+        load_quality_model,
+        save_quality_model,
+    )
+    from video_stream_processor_spark.llm.quality_model import (
+        quality_features,
+        score_quality,
+        standardize,
+        train_quality_model,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    moments, w = train_quality_model(docs, iters=6)
+    path = str(tmp_path / "quality_model")
+    save_quality_model(spark, path, moments, w)
+    moments2, w2 = load_quality_model(spark, path)
+    assert w2 == w  # exact, not approx
+    assert moments2 == moments
+
+    def score_set(m, wt):
+        return {
+            (r["doc_id"], r["quality_score"])
+            for r in score_quality(standardize(quality_features(docs), m), wt)
+            .select("doc_id", "quality_score")
+            .collect()
+        }
+
+    assert score_set(moments2, w2) == score_set(moments, w)
