@@ -1,0 +1,43 @@
+"""CLI surface: the reference-parity invocation plus the train/serve
+pair (the reference's own CLI is a single `python video_processor.py`
+run — video_processor.py:394-417; `station` mirrors it, the rest is
+engine surface the reference lacks)."""
+
+from __future__ import annotations
+
+from video_stream_processor_spark.__main__ import main
+
+
+def test_cli_train_then_score_quality(spark, sf_dir, tmp_path, capsys):
+    """train-quality persists an artifact; score-quality serves it in a
+    separate invocation and writes a scored parquet with a keep flag."""
+    model = str(tmp_path / "model")
+    out = str(tmp_path / "scored")
+    assert main([
+        "train-quality", "--sf-dir", sf_dir, "--model-path", model,
+        "--iters", "6",
+    ]) == 0
+    assert main([
+        "score-quality", "--sf-dir", sf_dir, "--model-path", model,
+        "--output", out,
+    ]) == 0
+    scored = spark.read.parquet(out)
+    assert set(scored.columns) == {
+        "doc_id", "lang", "source", "quality_score", "keep"
+    }
+    n = scored.count()
+    assert n > 0
+    n_keep = scored.filter("keep").count()
+    assert 0 < n_keep < n  # the model separates, both classes present
+
+
+def test_cli_list_and_query(capsys):
+    """`list` names every registered query; `query` rejects unknowns."""
+    assert main(["list"]) == 0
+    names = [
+        line.split("\t")[0]
+        for line in capsys.readouterr().out.strip().splitlines()
+    ]
+    assert "q1_pricing_summary" in names
+    assert len(names) == 50
+    assert main(["query", "no_such_query"]) == 1

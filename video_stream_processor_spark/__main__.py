@@ -80,6 +80,54 @@ def cmd_query(args: argparse.Namespace) -> int:
     return 0
 
 
+def cmd_train_quality(args: argparse.Namespace) -> int:
+    """Train the learned quality filter on a corpus and persist the
+    artifact — the scheduled-train half of train-once/serve-elsewhere."""
+    from .io import load_table
+    from .llm.artifacts import save_quality_model
+    from .llm.quality_model import train_quality_model
+
+    spark = _spark(args.cpus)
+    docs = load_table(spark, args.sf_dir, "documents")
+    moments, w = train_quality_model(
+        docs, iters=args.iters, sample_mod=args.sample_mod
+    )
+    save_quality_model(spark, args.model_path, moments, w)
+    print(f"trained {args.iters} rounds; weights {[round(x, 6) for x in w]}")
+    print(f"saved model to {args.model_path}")
+    return 0
+
+
+def cmd_score_quality(args: argparse.Namespace) -> int:
+    """Score a corpus with a persisted quality model — the serving
+    half; inference is one map-side pass, the model rides as literals."""
+    from pyspark.sql import functions as F
+
+    from .io import load_table
+    from .llm.artifacts import load_quality_model
+    from .llm.quality_model import quality_features, score_quality, standardize
+
+    spark = _spark(args.cpus)
+    moments, w = load_quality_model(spark, args.model_path)
+    docs = load_table(spark, args.sf_dir, "documents")
+    scored = score_quality(
+        standardize(quality_features(docs), moments), w
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        "quality_score",
+        (F.col("quality_score") >= F.lit(args.threshold)).alias("keep"),
+    )
+    scored.write.mode("overwrite").parquet(args.output)
+    kept = spark.read.parquet(args.output)
+    n_all = kept.count()
+    n_keep = kept.filter("keep").count()
+    print(f"scored {n_all} docs -> {args.output} ({n_keep} pass "
+          f"threshold {args.threshold})")
+    return 0 if n_all > 0 else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m video_stream_processor_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -100,6 +148,27 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--limit", type=int, default=20)
     pq.add_argument("--explain", action="store_true", help="print the physical plan first")
     pq.set_defaults(fn=cmd_query)
+
+    pt = sub.add_parser(
+        "train-quality",
+        help="train the learned quality filter and persist the artifact",
+    )
+    pt.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    pt.add_argument("--model-path", required=True)
+    pt.add_argument("--iters", type=int, default=32)
+    pt.add_argument("--sample-mod", type=int, default=None,
+                    help="train on the deterministic 1/N doc_id hash-sample")
+    pt.set_defaults(fn=cmd_train_quality)
+
+    pc = sub.add_parser(
+        "score-quality",
+        help="score a corpus with a persisted quality model",
+    )
+    pc.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    pc.add_argument("--model-path", required=True)
+    pc.add_argument("--output", required=True)
+    pc.add_argument("--threshold", type=float, default=0.5)
+    pc.set_defaults(fn=cmd_score_quality)
 
     args = p.parse_args(argv)
     return args.fn(args)
