@@ -119,6 +119,45 @@ OPS = {
         lambda t: tumbling_stats(t["events"], size="1 hour"),
         lambda t: t["events"].count(),
     ),
+    "quality_score": (
+        # Training runs inside build() (untimed, memoized); the timed
+        # write measures INFERENCE only — the per-corpus-pass cost that
+        # dominates at 100 TB once the model is trained.
+        lambda t: _quality_scored(t["documents"]),
+        lambda t: t["documents"].count(),
+    ),
+}
+
+
+def _quality_scored(docs: DataFrame) -> DataFrame:
+    from video_stream_processor_spark.llm.quality_model import (
+        quality_features,
+        score_quality,
+        standardize,
+        train_quality_model,
+    )
+
+    moments, w = train_quality_model(docs)
+    return score_quality(standardize(quality_features(docs), moments), w)
+
+
+# Driver-loop trained ops: the WHOLE training run is the timed unit
+# (iters+1 agg passes; there is no output frame to noop-write). One
+# timed call per point — the artifact memo would make a warm pass
+# meaningless.
+def _quality_train(docs: DataFrame):
+    from video_stream_processor_spark.llm.quality_model import (
+        train_quality_model,
+    )
+
+    return train_quality_model(docs)
+
+
+TRAIN_OPS = {
+    "quality_train_32r": (
+        lambda t: _quality_train(t["documents"]),
+        lambda t: t["documents"].count(),
+    ),
 }
 
 
@@ -149,9 +188,21 @@ def main() -> None:
         ("sf0.1", "/root/testdata/sf0.1", False),
         (f"sf0.1x{COPIES}", "/root/testdata/sf0.1", True),
     ]
-    results: dict[str, dict] = {name: {} for name in OPS}
+    results: dict[str, dict] = {
+        name: {} for name in list(OPS) + list(TRAIN_OPS)
+    }
     for label, sf_dir, multiplied in points:
         t = tables_at(spark, sf_dir, multiplied)
+        for name, (run_training, rows_of) in TRAIN_OPS.items():
+            t0 = time.perf_counter()
+            run_training(t)
+            sec = round(time.perf_counter() - t0, 3)
+            rows = rows_of(t)
+            results[name][label] = {
+                "rows_in": rows,
+                "sec": sec,
+                "sec_per_mrow": round(sec / (rows / 1e6), 3),
+            }
         for name, (build, rows_of) in OPS.items():
             df = build(t)
             df.write.format("noop").mode("overwrite").save()  # warm

@@ -217,8 +217,19 @@ def train_quality_model(
         if hit is not None:
             return dict(hit[0]), list(hit[1])
 
+    from ..session import materialize
+
     moments = feature_moments(feats)
-    w = logreg_train(standardize(feats, moments), iters=iters, lr=lr)
+    # Materialize the standardized 5-column frame ONCE: the GD loop
+    # re-reads it ``iters`` times, and without this every round would
+    # re-scan the corpus and re-run tokenization (observed: the
+    # dominant training cost). At 100 TB: one wide tokenization pass,
+    # then iters narrow numeric passes over ~40 bytes/row.
+    sfeats = materialize(
+        standardize(feats, moments).select(*FEATURE_NAMES, "y"),
+        "quality-logreg-feats",
+    )
+    w = logreg_train(sfeats, iters=iters, lr=lr)
 
     if key is not None:
         with _MODEL_LOCK:
