@@ -6,6 +6,7 @@ engine surface the reference lacks)."""
 from __future__ import annotations
 
 from video_stream_processor_spark.__main__ import main
+from video_stream_processor_spark.io import load_table
 
 
 def test_cli_train_then_score_quality(spark, sf_dir, tmp_path, capsys):
@@ -41,3 +42,22 @@ def test_cli_list_and_query(capsys):
     assert "q1_pricing_summary" in names
     assert len(names) == 50
     assert main(["query", "no_such_query"]) == 1
+
+
+def test_cli_prepare_corpus(spark, sf_dir, tmp_path):
+    """End-to-end shard prep: quality filter -> near-dup survivors ->
+    chunk with text -> hive-partitioned write. The output must be
+    lang-partitioned, every chunk non-empty, and strictly fewer docs
+    than went in (both filters bite on the fixture corpus)."""
+    out = str(tmp_path / "shards")
+    assert main(["prepare-corpus", "--sf-dir", sf_dir, "--output", out]) == 0
+    shards = spark.read.parquet(out)
+    assert "lang" in shards.columns and "chunk_text" in shards.columns
+    n_docs_in = load_table(spark, sf_dir, "documents").count()
+    n_docs_out = shards.select("doc_id").distinct().count()
+    assert 0 < n_docs_out < n_docs_in
+    assert shards.filter("chunk_text = '' OR chunk_tokens = 0").count() == 0
+    # hive partitioning actually materialized on disk
+    import os as _os
+
+    assert any(d.startswith("lang=") for d in _os.listdir(out))

@@ -128,6 +128,73 @@ def cmd_score_quality(args: argparse.Namespace) -> int:
     return 0 if n_all > 0 else 1
 
 
+def cmd_prepare_corpus(args: argparse.Namespace) -> int:
+    """End-to-end training-shard preparation — the composition a
+    training-data pipeline actually runs, each stage the engine's
+    scale-path form:
+
+    1. learned quality filter (trained in-run, or loaded with
+       --model-path): map-side sigmoid, model as plan literals;
+    2. near-dup dedup survivors: MinHash+LSH pair generation, drop the
+       higher-id member of each pair via anti-join;
+    3. token-window chunking WITH text (map-side explode);
+    4. partitioned shard write (hive-partitioned by lang, capped file
+       sizes, doc_id-clustered row groups).
+    """
+    from pyspark.sql import functions as F
+
+    from .io import load_table
+    from .llm.dedup import minhash_near_dup_pairs
+    from .llm.quality_model import (
+        quality_features,
+        score_quality,
+        standardize,
+        train_quality_model,
+    )
+    from .llm.text import chunk_token_windows
+    from .pipeline.sink import write_partitioned
+
+    spark = _spark(args.cpus)
+    docs = load_table(spark, args.sf_dir, "documents")
+    n_in = docs.count()
+
+    if args.model_path:
+        from .llm.artifacts import load_quality_model
+
+        moments, w = load_quality_model(spark, args.model_path)
+    else:
+        moments, w = train_quality_model(docs, sample_mod=args.sample_mod)
+    kept_ids = (
+        score_quality(standardize(quality_features(docs), moments), w)
+        .filter(F.col("quality_score") >= F.lit(args.threshold))
+        .select("doc_id")
+    )
+    kept = docs.join(kept_ids, "doc_id", "left_semi")
+
+    pairs = minhash_near_dup_pairs(kept, threshold=args.minhash_threshold)
+    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    survivors = kept.join(losers, "doc_id", "left_anti")
+
+    chunks = chunk_token_windows(
+        survivors, window=args.window, stride=args.stride, with_text=True
+    )
+    write_partitioned(
+        chunks,
+        args.output,
+        partition_by=["lang"],
+        max_records_per_file=args.max_records_per_file,
+        cluster_by=["doc_id", "chunk_idx"],
+    )
+    out = spark.read.parquet(args.output)
+    n_chunks = out.count()
+    n_docs = out.select("doc_id").distinct().count()
+    print(
+        f"{n_in} docs in -> {n_docs} docs kept -> {n_chunks} chunks "
+        f"written to {args.output} (partitioned by lang)"
+    )
+    return 0 if n_chunks > 0 else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m video_stream_processor_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -169,6 +236,22 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--output", required=True)
     pc.add_argument("--threshold", type=float, default=0.5)
     pc.set_defaults(fn=cmd_score_quality)
+
+    pp = sub.add_parser(
+        "prepare-corpus",
+        help="quality-filter, near-dup-dedup, chunk, and shard a corpus",
+    )
+    pp.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    pp.add_argument("--output", required=True)
+    pp.add_argument("--model-path", default=None,
+                    help="saved quality model; trains in-run if omitted")
+    pp.add_argument("--sample-mod", type=int, default=None)
+    pp.add_argument("--threshold", type=float, default=0.5)
+    pp.add_argument("--minhash-threshold", type=float, default=0.5)
+    pp.add_argument("--window", type=int, default=64)
+    pp.add_argument("--stride", type=int, default=48)
+    pp.add_argument("--max-records-per-file", type=int, default=100_000)
+    pp.set_defaults(fn=cmd_prepare_corpus)
 
     args = p.parse_args(argv)
     return args.fn(args)

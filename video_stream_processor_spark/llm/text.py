@@ -517,3 +517,50 @@ def corpus_report(docs: DataFrame) -> DataFrame:
         "dup_rate",
         F.round(F.try_divide(F.col("n_duplicate_docs"), F.col("n_docs")), 6),
     )
+
+
+def chunk_token_windows(
+    docs: DataFrame,
+    window: int = 64,
+    stride: int = 48,
+    with_text: bool = False,
+) -> DataFrame:
+    """L4: overlapping token-window chunking — the RAG/pretraining
+    chunker. Each doc expands to its stride-spaced windows identified
+    by (doc_id, chunk_idx); ``with_text=False`` carries only an md5
+    digest per chunk (the registered llm_sequence_packing oracle form —
+    nothing wide crosses the explode), ``with_text=True`` carries the
+    chunk text itself (the shard-writing form: replicating the
+    overlapped text IS the output).
+
+    Scale shape: slice/hash/join run INSIDE the per-row transform
+    before the explode — map-side only, no shuffle, no Python; 100 TB
+    chunks in one scan. Empty docs produce no chunks on both engines.
+    """
+    keep = [c for c in docs.columns if c != "text"]
+    tok = tokens()
+    n = F.size(tok)
+    payload = "chunk_text" if with_text else "chunk_md5"
+
+    def body(s):
+        joined = F.concat_ws(" ", F.slice(tok, s, F.lit(window)))
+        return joined if with_text else F.md5(joined)
+
+    chunks = F.transform(
+        F.sequence(F.lit(1), n, F.lit(stride)),
+        lambda s: F.struct(
+            F.floor((s - 1) / stride + 1).cast("int").alias("chunk_idx"),
+            F.size(F.slice(tok, s, F.lit(window))).alias("chunk_tokens"),
+            body(s).alias(payload),
+        ),
+    )
+    return (
+        docs.filter(n >= 1)
+        .select(*keep, F.explode(chunks).alias("c"))
+        .select(
+            *keep,
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.chunk_tokens").alias("chunk_tokens"),
+            F.col(f"c.{payload}").alias(payload),
+        )
+    )

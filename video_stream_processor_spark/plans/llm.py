@@ -1344,29 +1344,10 @@ def llm_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-side only: no shuffle, no Python; 100 TB chunks in one scan.
     Empty docs produce no chunks (nothing to window) on both engines.
     """
-    docs = load_table(spark, sf_dir, "documents")
-    tok = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
-    n = F.size(tok)
-    chunks = F.transform(
-        F.sequence(F.lit(1), n, F.lit(48)),
-        lambda s: F.struct(
-            F.floor((s - 1) / 48 + 1).cast("int").alias("chunk_idx"),
-            F.size(F.slice(tok, s, F.lit(64))).alias("chunk_tokens"),
-            F.md5(F.concat_ws(" ", F.slice(tok, s, F.lit(64)))).alias(
-                "chunk_md5"
-            ),
-        ),
-    )
-    return (
-        docs.filter(n >= 1)
-        .select("doc_id", F.explode(chunks).alias("c"))
-        .select(
-            "doc_id",
-            F.col("c.chunk_idx").alias("chunk_idx"),
-            F.col("c.chunk_tokens").alias("chunk_tokens"),
-            F.col("c.chunk_md5").alias("chunk_md5"),
-        )
-    )
+    from ..llm.text import chunk_token_windows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return chunk_token_windows(docs, window=64, stride=48, with_text=False)
 
 
 def llm_source_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
