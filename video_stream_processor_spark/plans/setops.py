@@ -242,7 +242,11 @@ SELECT
   round(max(c_acctbal), 2) AS top_bal,
   round(quantile_cont(c_acctbal, 0.5), 6) AS median_bal,
   round(quantile_cont(c_acctbal, 0.9), 6) AS p90_bal,
-  round(min(c_acctbal), 2) AS min_bal
+  round(min(c_acctbal), 2) AS min_bal,
+  CAST(abs(approx_quantile(c_acctbal, 0.5) - quantile_cont(c_acctbal, 0.5))
+       <= 0.05 * (max(c_acctbal) - min(c_acctbal)) AS BIGINT) AS approx_p50_ok,
+  CAST(abs(approx_quantile(c_acctbal, 0.9) - quantile_cont(c_acctbal, 0.9))
+       <= 0.05 * (max(c_acctbal) - min(c_acctbal)) AS BIGINT) AS approx_p90_ok
 FROM customer
 GROUP BY 1
 """,
@@ -253,13 +257,32 @@ def agg_percentile_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-pass grouped aggregate per segment. The argmax ranking key
     encodes (acctbal, custkey) into one exact integer so ties break
     identically in both engines (acctbal has 2 decimals; custkey <
-    1e6). At 100 TB swap percentile → percentile_approx (t-digest,
-    mergeable, constant partial state) when error tolerance allows —
-    kept exact here because the oracle is exact."""
+    1e6).
+
+    The approx_p* columns are the 100 TB path made oracle-checkable:
+    exact percentile needs the group's full value set in one place,
+    while a quantile sketch (Spark: Greenwald-Khanna percentile_approx;
+    DuckDB: t-digest approx_quantile) keeps constant-size MERGEABLE
+    partial state. Sketch values are engine-specific, so — as with the
+    HLL column in agg_counts_suite — the portable claim is the error
+    bound: each engine checks its own sketch lands within 5% of the
+    value range of its own exact percentile (1/0 as BIGINT), true on
+    both sides, hence hash-identical."""
     c = _t(spark, sf_dir, "customer")
     rank_key = (F.round(F.col("c_acctbal") * 100) * 1_000_000 + F.col("c_custkey")).cast(
         "long"
     )
+    spread = F.max("c_acctbal") - F.min("c_acctbal")
+
+    def approx_ok(q: float):
+        return (
+            F.abs(
+                F.percentile_approx("c_acctbal", q, 1000)
+                - F.percentile("c_acctbal", q)
+            )
+            <= 0.05 * spread
+        ).cast("long")
+
     return (
         c.groupBy(F.col("c_mktsegment").alias("segment"))
         .agg(
@@ -268,6 +291,8 @@ def agg_percentile_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percentile("c_acctbal", 0.5), 6).alias("median_bal"),
             F.round(F.percentile("c_acctbal", 0.9), 6).alias("p90_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            approx_ok(0.5).alias("approx_p50_ok"),
+            approx_ok(0.9).alias("approx_p90_ok"),
         )
     )
 
