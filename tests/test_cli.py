@@ -61,3 +61,23 @@ def test_cli_prepare_corpus(spark, sf_dir, tmp_path):
     import os as _os
 
     assert any(d.startswith("lang=") for d in _os.listdir(out))
+
+
+def test_cli_prepare_corpus_packed(spark, sf_dir, tmp_path):
+    """--pack-tokens assigns chunks to ~fixed-token training packs: per
+    (lang, pack) the token total stays under budget + one window (only
+    the pack's last chunk may overflow), and pack ids are dense from 0."""
+    out = str(tmp_path / "packed")
+    budget, window = 512, 64
+    assert main([
+        "prepare-corpus", "--sf-dir", sf_dir, "--output", out,
+        "--pack-tokens", str(budget), "--window", str(window),
+    ]) == 0
+    from pyspark.sql import functions as F
+
+    shards = spark.read.parquet(out)
+    per_pack = shards.groupBy("lang", "pack_id").agg(
+        F.sum("chunk_tokens").alias("tok")
+    )
+    assert per_pack.filter(F.col("tok") > budget + window).count() == 0
+    assert per_pack.filter("pack_id = 0").count() > 0

@@ -178,12 +178,34 @@ def cmd_prepare_corpus(args: argparse.Namespace) -> int:
     chunks = chunk_token_windows(
         survivors, window=args.window, stride=args.stride, with_text=True
     )
+    cluster = ["doc_id", "chunk_idx"]
+    if args.pack_tokens:
+        # Pack chunks into ~fixed-token training sequences: running
+        # token count per lang partition (one sort-within-partition
+        # window, single running-sum state — same shape as
+        # llm_sequence_packing), so a trainer reads pack_id-contiguous
+        # row groups as its sequences.
+        from pyspark.sql import Window
+
+        w = (
+            Window.partitionBy("lang")
+            .orderBy("doc_id", "chunk_idx")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        chunks = chunks.withColumn(
+            "pack_id",
+            F.floor(
+                (F.sum("chunk_tokens").over(w) - F.col("chunk_tokens"))
+                / args.pack_tokens
+            ),
+        )
+        cluster = ["pack_id", "doc_id", "chunk_idx"]
     write_partitioned(
         chunks,
         args.output,
         partition_by=["lang"],
         max_records_per_file=args.max_records_per_file,
-        cluster_by=["doc_id", "chunk_idx"],
+        cluster_by=cluster,
     )
     out = spark.read.parquet(args.output)
     n_chunks = out.count()
@@ -251,6 +273,8 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--window", type=int, default=64)
     pp.add_argument("--stride", type=int, default=48)
     pp.add_argument("--max-records-per-file", type=int, default=100_000)
+    pp.add_argument("--pack-tokens", type=int, default=None,
+                    help="also assign chunks to ~N-token training packs")
     pp.set_defaults(fn=cmd_prepare_corpus)
 
     args = p.parse_args(argv)
