@@ -95,6 +95,10 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "tests/test_llm.py::test_minhash_recall_vs_exact (LSH vs exact)",
         "llm/dedup.contamination_overlap (benchmark decontamination; hash==portable pinned)",
         "llm/dedup.streaming_near_dup_flags (stateless stream-static admission filter)",
+        "llm/ingest.prepare_corpus_stream (continuous corpus ingestion: quality gate + "
+        "near-dup admission + chunking + partitioned appends per micro-batch; "
+        "stream==batch pinned)",
+        "tests/test_streaming.py::test_streaming_corpus_ingestion_equals_batch",
         "tests/test_streaming.py::test_streaming_near_dup_flags_equals_batch",
     ],
     "L3": [

@@ -616,3 +616,52 @@ def test_sampled_training_stays_close_to_full(spark, sf_dir):
     full = acc(*train_quality_model(docs))
     sampled = acc(*train_quality_model(docs, sample_mod=2))
     assert sampled >= full - 0.06, (full, sampled)
+
+
+def test_streaming_corpus_ingestion_equals_batch(spark, sf_dir, tmp_path):
+    """Continuous corpus ingestion (quality gate -> near-dup admission
+    vs the reference corpus -> chunk -> append shards) must produce
+    exactly the batch twin's chunk set when the stream drains the same
+    files. The reference corpus is a disjoint half of the fixture so
+    the admission filter actually rejects docs."""
+    from video_stream_processor_spark.llm.ingest import (
+        ingest_batch,
+        prepare_corpus_stream,
+    )
+    from video_stream_processor_spark.llm.quality_model import (
+        train_quality_model,
+    )
+    from video_stream_processor_spark.schemas import DOCUMENTS_SCHEMA
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.filter("doc_id % 2 = 0")
+    moments, w = train_quality_model(docs, iters=6)
+
+    batch_chunks = ingest_batch(docs, corpus, moments, w)
+    want = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in batch_chunks.collect()
+    }
+    assert want, "batch twin admitted nothing"
+    n_docs_admitted = batch_chunks.select("doc_id").distinct().count()
+    assert n_docs_admitted < docs.count(), "admission filter never rejected"
+
+    stream = (
+        spark.readStream.schema(DOCUMENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(table_path(sf_dir, "documents") + "*")
+    )
+    out = str(tmp_path / "shards")
+    q = (
+        prepare_corpus_stream(
+            stream, corpus, moments, w, out, str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["doc_id"], r["chunk_idx"], r["chunk_text"])
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got == want
