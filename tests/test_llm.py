@@ -1717,3 +1717,47 @@ def test_quality_model_artifact_round_trip(spark, sf_dir, tmp_path):
         }
 
     assert score_set(moments2, w2) == score_set(moments, w)
+
+
+def test_chunk_token_windows_matches_python_reference(spark):
+    """Chunker semantics pinned against a plain Python implementation
+    over an adversarial seeded batch (multi-space runs, empties,
+    single tokens, exact-boundary lengths): same chunk count, token
+    counts, and reassembled text per (doc, chunk)."""
+    import random
+
+    from video_stream_processor_spark.llm.text import chunk_token_windows
+
+    rng = random.Random(7)
+    texts = [
+        "",  # no chunks
+        " ",  # no chunks (empty tokens dropped)
+        "one",
+        "a  b   c",  # multi-space runs collapse to 3 tokens
+        " lead trail ",
+        " ".join(f"t{i}" for i in range(48)),  # exactly one stride
+        " ".join(f"t{i}" for i in range(49)),  # stride + 1 -> 2 chunks
+        " ".join(f"t{i}" for i in range(64)),  # exactly one window
+        " ".join(f"t{i}" for i in range(65)),
+    ] + [
+        " ".join(f"w{rng.randrange(20)}" for _ in range(rng.randrange(1, 150)))
+        for _ in range(30)
+    ]
+    df = spark.range(len(texts)).select(
+        F.col("id").alias("doc_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in texts]), (F.col("id") + 1).cast("int")
+        ).alias("text"),
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_tokens"], r["chunk_text"])
+        for r in chunk_token_windows(df, window=64, stride=48, with_text=True).collect()
+    }
+
+    want = {}
+    for doc_id, text in enumerate(texts):
+        toks = [t for t in text.split(" ") if t]
+        for ci, s in enumerate(range(0, len(toks), 48), start=1):
+            piece = toks[s : s + 64]
+            want[(doc_id, ci)] = (len(piece), " ".join(piece))
+    assert got == want
