@@ -73,14 +73,10 @@ def events_stream(spark, sf_dir):
     return load_events_stream(spark, sf_dir)
 
 
-def test_tumbling_stream_equals_batch(spark, sf_dir, events_batch, events_stream, tmp_path):
-    """T5/T6: watermarked tumbling agg over the replayed stream must
-    equal the batch twin (complete mode sees all windows). n_users is
-    approx (HLL++) on the streaming side — compared within rsd."""
-    want = tumbling_stats(events_batch, size="1 hour").collect()
-    got, _ = run_stream(
-        tumbling_stats(events_stream, size="1 hour", watermark="1 hour"), tmp_path
-    )
+def assert_tumbling_close(got, want):
+    """Streaming tumbling_stats vs its batch twin: exact on everything
+    except n_users, which is HLL++ on the streaming side (compared
+    within 3 sigma of the default 5% rsd)."""
 
     def key(r):
         return (r["win_start"], r["win_end"], r["event_type"])
@@ -91,8 +87,18 @@ def test_tumbling_stream_equals_batch(spark, sf_dir, events_batch, events_stream
     for r in got:
         w = want_by_key[key(r)]
         assert [r[c] for c in exact] == [w[c] for c in exact]
-        # HLL++ default rsd = 5%; allow 3 sigma
         assert abs(r["n_users"] - w["n_users"]) <= max(3, 0.15 * w["n_users"])
+
+
+def test_tumbling_stream_equals_batch(spark, sf_dir, events_batch, events_stream, tmp_path):
+    """T5/T6: watermarked tumbling agg over the replayed stream must
+    equal the batch twin (complete mode sees all windows). n_users is
+    approx (HLL++) on the streaming side — compared within rsd."""
+    want = tumbling_stats(events_batch, size="1 hour").collect()
+    got, _ = run_stream(
+        tumbling_stats(events_stream, size="1 hour", watermark="1 hour"), tmp_path
+    )
+    assert_tumbling_close(got, want)
 
 
 def test_sliding_stream_equals_batch(spark, events_batch, events_stream, tmp_path):
@@ -665,3 +671,88 @@ def test_streaming_corpus_ingestion_equals_batch(spark, sf_dir, tmp_path):
         for r in spark.read.parquet(out).collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# T1/T5/T6 + fault tolerance: checkpoint-restart recovery, under both the
+# default HDFS-backed state store and RocksDB (the provider a real cluster
+# runs for large state).
+# ---------------------------------------------------------------------------
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
+def _land_parquet_parts(df, stage_dir, src_dir):
+    """Write ``df`` and move its part files into the live source dir —
+    mimics new files arriving for the streaming file source. Returns the
+    number of files landed."""
+    df.coalesce(1).write.mode("overwrite").parquet(str(stage_dir))
+    parts = sorted(stage_dir.glob("*.parquet"))
+    for p in parts:
+        shutil.copy(p, src_dir / f"{stage_dir.name}_{p.name}")
+    assert parts, f"no parquet parts written under {stage_dir}"
+    return len(parts)
+
+
+@pytest.mark.parametrize("provider", ["hdfs_default", "rocksdb"])
+def test_checkpoint_restart_recovers_state(spark, events_batch, tmp_path, provider):
+    """A stopped query restarted on the same checkpoint must (a) resume
+    from the file-source offsets already committed — reading ONLY files
+    that arrived after the stop — and (b) restore its window state, so
+    the post-restart result equals the batch twin over ALL the data.
+
+    This is the recovery contract a 1000-executor job leans on: driver
+    loss or a planned redeploy must not reprocess the backlog or drop
+    aggregation state. availableNow + stop + restart is the local-mode
+    replay of exactly that lifecycle; parametrized over the state-store
+    provider to pin that the semantics don't depend on it.
+    """
+    if provider == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
+    try:
+        part1 = events_batch.filter(F.col("event_id") % 2 == 0)
+        part2 = events_batch.filter(F.col("event_id") % 2 == 1)
+        src = tmp_path / "src"
+        src.mkdir()
+        _land_parquet_parts(part1, tmp_path / "stage1", src)
+
+        stream = spark.readStream.schema(events_batch.schema).parquet(str(src))
+        agg = tumbling_stats(stream, size="1 hour", watermark="1 hour")
+        name = f"restart_{provider}"
+        ckpt = str(tmp_path / "ckpt_restart")
+
+        def start():
+            # Memory sink supports checkpoint recovery in complete mode
+            # (state, not sink contents, is the recovered artifact).
+            return (
+                agg.writeStream.format("memory")
+                .queryName(name)
+                .outputMode("complete")
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+
+        q1 = start()
+        q1.awaitTermination(180)
+        assert spark.sql(f"SELECT count(*) FROM {name}").collect()[0][0] > 0
+
+        _land_parquet_parts(part2, tmp_path / "stage2", src)
+        q2 = start()
+        q2.awaitTermination(180)
+
+        # (a) restart read only the newly-landed files, not the backlog
+        read_after_restart = sum(p["numInputRows"] for p in q2.recentProgress)
+        assert read_after_restart == part2.count()
+
+        # (b) restored state + new data == batch twin over the full table
+        got = spark.sql(f"SELECT * FROM {name}").collect()
+        want = tumbling_stats(events_batch, size="1 hour").collect()
+        assert_tumbling_close(got, want)
+    finally:
+        if provider == "rocksdb":
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
