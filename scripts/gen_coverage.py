@@ -47,7 +47,7 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "S9": ["io.load_table — every registered query scans parquet"],
     "S10": ["pipeline/sink round-trip read", "tests/test_station.py"],
     "S11": ["io.load_events_stream", "tests/test_streaming.py"],
-    "T1": ["tests/test_station.py::test_station_pipeline_streaming_twin (availableNow)"],
+    "T1": ["tests/test_station.py::test_station_pipeline_streaming_twin (availableNow)", "tests/test_streaming.py::test_checkpoint_restart_recovers_state (checkpoint-restart recovery; default + RocksDB state stores)"],
     "T2": ["io.load_events_stream file source", "tests/test_streaming.py"],
     "T3": ["pipeline/sink.foreach_batch_overwrite", "tests/test_station.py"],
     "T4": ["sources/extractor.py YtDlpExtractor (rate cap + politeness delay params)"],
