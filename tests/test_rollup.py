@@ -1,0 +1,162 @@
+"""Incrementally-maintained rollup table (streaming/rollup.py).
+
+Contract under test, end to end on real parquet dirs:
+* append-mode maintenance materializes a window exactly once, when the
+  watermark closes it — including across a stop/restart on the same
+  checkpoint (file-sink ``_spark_metadata`` exactly-once);
+* batch backfill with dynamic partition overwrite is idempotent and
+  value-identical to the live rows (shared aggregation builder, HLL++
+  in both modes);
+* the serving read unions live ∪ backfill with live winning.
+"""
+
+from __future__ import annotations
+
+import time
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from video_stream_processor_spark.io import _normalize_events
+from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
+from video_stream_processor_spark.streaming import (
+    backfill_rollup,
+    read_rollup,
+    rollup_stats,
+    start_rollup_maintenance,
+)
+from video_stream_processor_spark.streaming.rollup import ROLLUP_KEY
+
+COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+H08 = 1704096000  # 2024-01-01 08:00:00 UTC
+H10 = 1704103200
+H11 = 1704106800
+H12 = 1704110400
+
+FILE_A = [
+    (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+    (2, "2024-01-01 10:30:00", 2, "click", 2.0, "{}"),
+    (3, "2024-01-01 10:40:00", 1, "view", 1.5, "{}"),
+    (4, "2024-01-01 11:15:00", 3, "click", 3.0, "{}"),
+]
+# watermark 30m: landing FILE_B advances wm to 12:00 → closes the
+# 10:00 and 11:00 windows; FILE_C advances it to 13:15 → closes 12:00.
+FILE_B = [(5, "2024-01-01 12:30:00", 1, "click", 1.0, "{}")]
+FILE_C = [(6, "2024-01-01 13:45:00", 2, "view", 2.5, "{}")]
+
+
+def _land(src_dir, name, rows):
+    """Write one raw events file; sleep first so the file source's
+    mtime ordering matches landing order."""
+    time.sleep(1.1)
+    pdf = pd.DataFrame(rows, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    pdf.to_parquet(src_dir / name)
+
+
+def _events_stream(spark, src_dir):
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    return _normalize_events(raw)
+
+
+def _batch_rollup_rows(spark, rows, keys):
+    """Expected table content: the batch twin of the SAME aggregation
+    over all landed events, restricted to the closed-window keys."""
+    pdf = pd.DataFrame(rows, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    out = rollup_stats(ev).filter(F.col("win_start").isin(*keys))
+    return sorted(map(tuple, out.select(*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx").collect()))
+
+
+def _table_rows(spark, table_dir):
+    df = spark.read.parquet(str(table_dir)).withColumn(
+        "win_start", F.col("win_start").cast("long")
+    )
+    return sorted(
+        map(tuple, df.select(*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx").collect())
+    )
+
+
+def test_rollup_maintenance_exactly_once_with_restart(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    table = tmp_path / "rollup_live"
+    ckpt = str(tmp_path / "ckpt")
+
+    def run():
+        q = start_rollup_maintenance(
+            _events_stream(spark, src), str(table), ckpt, watermark="30 minutes"
+        )
+        q.awaitTermination(180)
+        return q
+
+    _land(src, "a.parquet", FILE_A)
+    _land(src, "b.parquet", FILE_B)
+    run()
+    got1 = _table_rows(spark, table)
+    # only the watermark-closed windows are materialized, value-equal
+    # to the batch twin over everything landed so far
+    assert {r[0] for r in got1} == {H10, H11}
+    assert got1 == _batch_rollup_rows(spark, FILE_A + FILE_B, [H10, H11])
+
+    # land more data, RESTART on the same checkpoint: the 12:00 window
+    # closes and appends; previously-written windows are not re-emitted
+    # (no duplicate keys) and not recomputed (offsets resumed)
+    _land(src, "c.parquet", FILE_C)
+    q2 = run()
+    assert sum(p["numInputRows"] for p in q2.recentProgress) == len(FILE_C)
+    got2 = _table_rows(spark, table)
+    assert {r[0] for r in got2} == {H10, H11, H12}
+    assert len({r[:3] for r in got2}) == len(got2), "duplicate rollup keys"
+    assert got2 == _batch_rollup_rows(spark, FILE_A + FILE_B + FILE_C, [H10, H11, H12])
+
+
+def test_backfill_idempotent_and_serving_read(spark, tmp_path):
+    src = tmp_path / "src"
+    src.mkdir()
+    live = tmp_path / "rollup_live"
+    bf = tmp_path / "rollup_backfill"
+
+    _land(src, "a.parquet", FILE_A)
+    _land(src, "b.parquet", FILE_B)
+    _land(src, "c.parquet", FILE_C)
+    q = start_rollup_maintenance(
+        _events_stream(spark, src), str(live), str(tmp_path / "ckpt"), watermark="30 minutes"
+    )
+    q.awaitTermination(180)
+    live_rows = _table_rows(spark, live)
+    assert {r[0] for r in live_rows} == {H10, H11, H12}
+
+    # backfill includes pre-stream history (08:00) plus the live range;
+    # running it twice must converge (dynamic partition overwrite)
+    history = [(100, "2024-01-01 08:05:00", 9, "click", 4.0, "{}")]
+    all_rows = history + FILE_A + FILE_B + FILE_C
+    pdf = pd.DataFrame(all_rows, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    backfill_rollup(ev, str(bf), upto_epoch=H12 + 3600)
+    once = _table_rows(spark, bf)
+    backfill_rollup(ev, str(bf), upto_epoch=H12 + 3600)
+    assert _table_rows(spark, bf) == once
+    assert {r[0] for r in once} == {H08, H10, H11, H12}
+
+    # serving read: live ∪ backfill, live wins on collision — the
+    # shared builder makes overlapping rows value-identical anyway
+    served = read_rollup(spark, str(live), str(bf))
+    got = sorted(
+        map(
+            tuple,
+            served.select(*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx").collect(),
+        )
+    )
+    assert {r[0] for r in got} == {H08, H10, H11, H12}
+    assert len({r[:3] for r in got}) == len(got)
+    overlapping = [r for r in got if r[0] != H08]
+    assert overlapping == live_rows

@@ -17,6 +17,12 @@ from .analytics import (  # noqa: F401
     tumbling_stats,
     windowed_to_flat,
 )
+from .rollup import (  # noqa: F401
+    backfill_rollup,
+    read_rollup,
+    rollup_stats,
+    start_rollup_maintenance,
+)
 from .stateful import (  # noqa: F401
     closed_sessions_batch,
     closed_user_sessions,
