@@ -81,3 +81,24 @@ def test_cli_prepare_corpus_packed(spark, sf_dir, tmp_path):
     )
     assert per_pack.filter(F.col("tok") > budget + window).count() == 0
     assert per_pack.filter("pack_id = 0").count() > 0
+
+
+def test_cli_rollup_maintain_backfill_read(spark, sf_dir, tmp_path, capsys):
+    """The rollup lifecycle as three invocations: one availableNow
+    maintenance pass (cron-able), an idempotent backfill, and the
+    serving read over live ∪ backfill."""
+    live = str(tmp_path / "live")
+    bf = str(tmp_path / "bf")
+    assert main(["rollup", "--sf-dir", sf_dir, "--table-dir", live]) == 0
+    assert "maintenance pass complete" in capsys.readouterr().out
+    assert main(["rollup", "--sf-dir", sf_dir, "--table-dir", bf, "--backfill"]) == 0
+    assert main(
+        ["rollup", "--table-dir", live, "--read", "--backfill-dir", bf, "--limit", "3"]
+    ) == 0
+    out = capsys.readouterr().out
+    assert "rollup rows served" in out
+    # served view must cover at least the backfill's window count (the
+    # backfill sees every window; live lacks only the open tail)
+    n_live = spark.read.parquet(live).count()
+    n_bf = spark.read.parquet(bf).count()
+    assert 0 < n_live <= n_bf

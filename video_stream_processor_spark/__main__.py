@@ -217,6 +217,51 @@ def cmd_prepare_corpus(args: argparse.Namespace) -> int:
     return 0 if n_chunks > 0 else 1
 
 
+def cmd_rollup(args: argparse.Namespace) -> int:
+    """Incrementally-maintained rollup table (streaming/rollup.py) as a
+    CLI: the incremental replacement for the reference's 2-hour-cron
+    full recompute (update-streams.yml:4-10). Default action runs ONE
+    availableNow maintenance pass (cron-able: each pass resumes from
+    the checkpoint and appends only newly-closed windows); --backfill
+    writes history idempotently; --read serves live ∪ backfill."""
+    from .streaming.rollup import (
+        backfill_rollup,
+        read_rollup,
+        start_rollup_maintenance,
+    )
+
+    spark = _spark(args.cpus)
+    if args.read:
+        df = read_rollup(spark, args.table_dir, args.backfill_dir)
+        n = df.count()
+        df.orderBy("win_start", "event_type").show(args.limit, truncate=False)
+        print(f"{n} rollup rows served from {args.table_dir}")
+        return 0 if n > 0 else 1
+    if args.backfill:
+        from .io import load_table
+
+        ev = load_table(spark, args.sf_dir, "events")
+        backfill_rollup(
+            ev, args.table_dir, size=args.size, upto_epoch=args.upto_epoch
+        )
+        n = spark.read.parquet(args.table_dir).count()
+        print(f"backfilled {n} rollup rows to {args.table_dir}")
+        return 0 if n > 0 else 1
+    from .io import load_events_stream
+
+    q = start_rollup_maintenance(
+        load_events_stream(spark, args.sf_dir),
+        args.table_dir,
+        args.checkpoint or f"{args.table_dir.rstrip('/')}_ckpt",
+        size=args.size,
+        watermark=args.watermark,
+    )
+    q.awaitTermination(600)
+    n = spark.read.parquet(args.table_dir).count()
+    print(f"maintenance pass complete: {n} closed-window rows in {args.table_dir}")
+    return 0 if n > 0 else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m video_stream_processor_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -276,6 +321,27 @@ def main(argv: list[str] | None = None) -> int:
     pp.add_argument("--pack-tokens", type=int, default=None,
                     help="also assign chunks to ~N-token training packs")
     pp.set_defaults(fn=cmd_prepare_corpus)
+
+    pr = sub.add_parser(
+        "rollup",
+        help="incrementally-maintained hourly rollup table: one "
+        "maintenance pass (default, cron-able), --backfill, or --read",
+    )
+    pr.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    pr.add_argument("--table-dir", required=True)
+    pr.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir (default: <table-dir>_ckpt)")
+    pr.add_argument("--size", default="1 hour")
+    pr.add_argument("--watermark", default="30 minutes")
+    pr.add_argument("--backfill", action="store_true",
+                    help="idempotent batch backfill instead of maintenance")
+    pr.add_argument("--upto-epoch", type=int, default=None,
+                    help="backfill only windows ending at/before this epoch")
+    pr.add_argument("--read", action="store_true",
+                    help="serve live ∪ backfill instead of writing")
+    pr.add_argument("--backfill-dir", default=None)
+    pr.add_argument("--limit", type=int, default=10)
+    pr.set_defaults(fn=cmd_rollup)
 
     args = p.parse_args(argv)
     return args.fn(args)
