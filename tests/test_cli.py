@@ -102,3 +102,9 @@ def test_cli_rollup_maintain_backfill_read(spark, sf_dir, tmp_path, capsys):
     n_live = spark.read.parquet(live).count()
     n_bf = spark.read.parquet(bf).count()
     assert 0 < n_live <= n_bf
+    # an empty result is exit code 1, not a traceback: --upto-epoch 0
+    # filters every window out of the backfill
+    empty = str(tmp_path / "bf_empty")
+    assert main(
+        ["rollup", "--sf-dir", sf_dir, "--table-dir", empty, "--backfill", "--upto-epoch", "0"]
+    ) == 1

@@ -30,6 +30,11 @@ from video_stream_processor_spark.streaming.rollup import ROLLUP_KEY
 
 COLS = ["event_id", "ts", "user_id", "event_type", "value", "props"]
 
+
+def _sk(t):
+    """Row sort key total-ordered under a NULL event_type."""
+    return (t[0], t[1], t[2] is not None, t[2] or "")
+
 H08 = 1704096000  # 2024-01-01 08:00:00 UTC
 H10 = 1704103200
 H11 = 1704106800
@@ -39,6 +44,9 @@ FILE_A = [
     (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
     (2, "2024-01-01 10:30:00", 2, "click", 2.0, "{}"),
     (3, "2024-01-01 10:40:00", 1, "view", 1.5, "{}"),
+    # NULL event_type is a legitimate group: it must survive the rollup
+    # as its own key AND dedupe null-safely in the serving read
+    (7, "2024-01-01 10:50:00", 4, None, 0.5, "{}"),
     (4, "2024-01-01 11:15:00", 3, "click", 3.0, "{}"),
 ]
 # watermark 30m: landing FILE_B advances wm to 12:00 → closes the
@@ -72,7 +80,10 @@ def _batch_rollup_rows(spark, rows, keys):
     pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
     ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
     out = rollup_stats(ev).filter(F.col("win_start").isin(*keys))
-    return sorted(map(tuple, out.select(*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx").collect()))
+    return sorted(
+        map(tuple, out.select(*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx").collect()),
+        key=_sk,
+    )
 
 
 def _table_rows(spark, table_dir):
@@ -80,7 +91,8 @@ def _table_rows(spark, table_dir):
         "win_start", F.col("win_start").cast("long")
     )
     return sorted(
-        map(tuple, df.select(*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx").collect())
+        map(tuple, df.select(*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx").collect()),
+        key=_sk,
     )
 
 
@@ -154,9 +166,13 @@ def test_backfill_idempotent_and_serving_read(spark, tmp_path):
         map(
             tuple,
             served.select(*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx").collect(),
-        )
+        ),
+        key=_sk,
     )
     assert {r[0] for r in got} == {H08, H10, H11, H12}
     assert len({r[:3] for r in got}) == len(got)
     overlapping = [r for r in got if r[0] != H08]
     assert overlapping == live_rows
+    # the NULL-key row exists exactly once in the served view (null-safe
+    # anti-join — a plain equi-join would have kept the backfill twin too)
+    assert sum(1 for r in got if r[0] == H10 and r[2] is None) == 1

@@ -231,10 +231,24 @@ def cmd_rollup(args: argparse.Namespace) -> int:
     )
 
     spark = _spark(args.cpus)
+
+    def count_table(path: str) -> int:
+        # a pass that closed zero windows leaves a sink with metadata
+        # but no data files — that's "0 rows", not a traceback
+        from pyspark.errors import AnalysisException
+
+        try:
+            return spark.read.parquet(path).count()
+        except AnalysisException:
+            return 0
+
     if args.read:
-        df = read_rollup(spark, args.table_dir, args.backfill_dir)
-        n = df.count()
-        df.orderBy("win_start", "event_type").show(args.limit, truncate=False)
+        df = read_rollup(spark, args.table_dir, args.backfill_dir).cache()
+        try:
+            n = df.count()
+            df.orderBy("win_start", "event_type").show(args.limit, truncate=False)
+        finally:
+            df.unpersist()
         print(f"{n} rollup rows served from {args.table_dir}")
         return 0 if n > 0 else 1
     if args.backfill:
@@ -244,7 +258,7 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         backfill_rollup(
             ev, args.table_dir, size=args.size, upto_epoch=args.upto_epoch
         )
-        n = spark.read.parquet(args.table_dir).count()
+        n = count_table(args.table_dir)
         print(f"backfilled {n} rollup rows to {args.table_dir}")
         return 0 if n > 0 else 1
     from .io import load_events_stream
@@ -256,8 +270,15 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         size=args.size,
         watermark=args.watermark,
     )
-    q.awaitTermination(600)
-    n = spark.read.parquet(args.table_dir).count()
+    if not q.awaitTermination(args.timeout):
+        q.stop()
+        print(
+            f"maintenance pass exceeded --timeout {args.timeout}s and was "
+            "stopped; the checkpoint makes the next pass resume safely",
+            file=sys.stderr,
+        )
+        return 1
+    n = count_table(args.table_dir)
     print(f"maintenance pass complete: {n} closed-window rows in {args.table_dir}")
     return 0 if n > 0 else 1
 
@@ -341,6 +362,9 @@ def main(argv: list[str] | None = None) -> int:
                     help="serve live ∪ backfill instead of writing")
     pr.add_argument("--backfill-dir", default=None)
     pr.add_argument("--limit", type=int, default=10)
+    pr.add_argument("--timeout", type=int, default=600,
+                    help="max seconds for one maintenance pass; exceeding "
+                    "it stops the query and exits 1 (checkpoint-resumable)")
     pr.set_defaults(fn=cmd_rollup)
 
     args = p.parse_args(argv)

@@ -100,12 +100,20 @@ def backfill_rollup(
     table_dir: str,
     size: str = "1 hour",
     upto_epoch: int | None = None,
+    replace_all: bool = False,
 ) -> None:
     """Batch backfill of the rollup: same aggregation, written with
     DYNAMIC partition overwrite — only the ``win_start`` partitions
     this run produces are replaced, everything else is untouched, so
     re-running a backfill (after an upstream fix, or because the
     previous run died halfway) converges instead of duplicating.
+
+    One retraction caveat dynamic overwrite cannot cover: if a
+    correction removes EVERY event in a window, the recompute produces
+    no row for it and the stale partition stays on disk. When
+    retractions like that are possible, pass ``replace_all=True`` —
+    a static overwrite that rewrites the whole table (or re-run with
+    the full history, which produces every surviving partition).
 
     ``upto_epoch`` bounds the backfill to windows that end at or
     before it — the handoff point to the live maintainer.
@@ -115,7 +123,9 @@ def backfill_rollup(
         roll = roll.filter(F.col("win_end") <= F.lit(upto_epoch))
     (
         roll.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
+        .option(
+            "partitionOverwriteMode", "static" if replace_all else "dynamic"
+        )
         .partitionBy("win_start")
         .parquet(table_dir)
     )
@@ -140,7 +150,13 @@ def read_rollup(
     if backfill_dir is None:
         return live
     backfill = _read_table(spark, backfill_dir)
-    only_backfill = backfill.join(
-        live.select(*ROLLUP_KEY), on=ROLLUP_KEY, how="left_anti"
-    )
+    live_keys = live.select(*ROLLUP_KEY)
+    # eqNullSafe, not a key-list join: event_type is nullable and a
+    # NULL group is a legitimate rollup row — a plain equi-anti-join
+    # would keep the backfill's NULL-key row next to the live one
+    cond = None
+    for k in ROLLUP_KEY:
+        c = backfill[k].eqNullSafe(live_keys[k])
+        cond = c if cond is None else (cond & c)
+    only_backfill = backfill.join(live_keys, on=cond, how="left_anti")
     return live.unionByName(only_backfill)
