@@ -75,8 +75,11 @@ def events_stream(spark, sf_dir):
 
 def assert_tumbling_close(got, want):
     """Streaming tumbling_stats vs its batch twin: exact on everything
-    except n_users, which is HLL++ on the streaming side (compared
-    within 3 sigma of the default 5% rsd)."""
+    except n_users, which is HLL++ (rsd 5%) on the streaming side.
+    Over thousands of windows a few rows legitimately land past 3
+    sigma, so the per-row cap is generous (6 sigma) and the real
+    accuracy assertion is on the population: mean relative error must
+    stay within the sketch's rsd."""
 
     def key(r):
         return (r["win_start"], r["win_end"], r["event_type"])
@@ -84,10 +87,14 @@ def assert_tumbling_close(got, want):
     exact = ["n_events", "sum_value", "avg_value"]
     want_by_key = {key(r): r for r in want}
     assert {key(r) for r in got} == set(want_by_key)
+    rel_errs = []
     for r in got:
         w = want_by_key[key(r)]
         assert [r[c] for c in exact] == [w[c] for c in exact]
-        assert abs(r["n_users"] - w["n_users"]) <= max(3, 0.15 * w["n_users"])
+        err = abs(r["n_users"] - w["n_users"])
+        assert err <= max(5, 0.3 * w["n_users"])
+        rel_errs.append(err / max(w["n_users"], 1))
+    assert sum(rel_errs) / len(rel_errs) <= 0.05
 
 
 def test_tumbling_stream_equals_batch(spark, sf_dir, events_batch, events_stream, tmp_path):

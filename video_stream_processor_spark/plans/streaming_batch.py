@@ -59,8 +59,9 @@ SELECT 'tumbling_1h' AS kind,
        CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) + 3600 AS win_end,
        event_type,
        count(*) AS n_events,
-       round(sum(value), 2) AS sum_value,
-       round(avg(value), 6) AS avg_value,
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+       ((sum(CAST(round(value * 100) AS BIGINT)) * 20000 + count(*))
+         // (2 * count(*))) / 1000000.0 AS avg_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 2, 3, 4

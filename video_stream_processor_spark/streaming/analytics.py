@@ -92,13 +92,32 @@ def tumbling_stats(
         else F.count_distinct("user_id")
     )
     w = _maybe_watermark(events, watermark)
+    # value is money (2 decimals): aggregate EXACT integer cents, not
+    # doubles. Float sums depend on addition order (micro-batches vs
+    # one batch) and engines disagree on round() ties — avg over a
+    # power-of-2 count of 2-decimal values lands exactly on x.xxxxxx5,
+    # where Spark's BigDecimal HALF_UP and DuckDB's double math split
+    # (caught by the sf0.1 rehearsal, 30/10083 rows). Integer cents
+    # sum identically in any order; the 6-dp half-up average is BIGINT
+    # math ((20000*c + n) div 2n, values non-negative), so streaming,
+    # batch, and the DuckDB oracle are bit-identical by construction.
+    cents = F.round(F.col("value") * 100).cast("long")
     agg = w.groupBy(F.window("ts", size), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 6).alias("avg_value"),
+        F.sum(cents).alias("_cents"),
         distinct_users.alias("n_users"),
     )
-    return windowed_to_flat(agg)
+    return windowed_to_flat(agg).select(
+        "win_start",
+        "win_end",
+        "event_type",
+        "n_events",
+        (F.col("_cents") / 100.0).alias("sum_value"),
+        (
+            F.expr("(_cents * 20000 + n_events) div (2 * n_events)") / 1e6
+        ).alias("avg_value"),
+        "n_users",
+    )
 
 
 def sliding_counts(
