@@ -763,3 +763,31 @@ def test_checkpoint_restart_recovers_state(spark, events_batch, tmp_path, provid
     finally:
         if provider == "rocksdb":
             spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+
+
+def test_tumbling_avg_half_up_on_exact_tie(spark):
+    """The 6-dp average is integer-derived and HALF-UP by contract: 32
+    two-decimal values summing to 1114.23 put the true average exactly
+    on the 6th-decimal boundary (34.8196875) — the case where double
+    math is engine- and order-dependent (the sf0.1 rehearsal failure).
+    Pinned against Python Decimal ROUND_HALF_UP."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from video_stream_processor_spark.io import _normalize_events
+    from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
+
+    rows = [
+        (i, f"2024-01-01 10:{i % 60:02d}:00", i, "x", 34.82 if i else 34.81, "{}")
+        for i in range(32)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    out = tumbling_stats(ev, size="1 hour").collect()
+    assert len(out) == 1
+    want = (Decimal("1114.23") / 32).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    assert Decimal("1114.23") / 32 == Decimal("34.8196875")  # true tie
+    assert out[0]["sum_value"] == 1114.23
+    assert out[0]["avg_value"] == float(want) == 34.819688
