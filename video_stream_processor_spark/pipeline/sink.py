@@ -71,6 +71,8 @@ def write_partitioned(
     partition_by: list[str] | None = None,
     max_records_per_file: int | None = None,
     cluster_by: list[str] | None = None,
+    zorder_by: list[str] | None = None,
+    zorder_files: int | None = None,
 ) -> None:
     """The 100 TB sink: distributed writer, optional hive partitioning.
 
@@ -80,7 +82,18 @@ def write_partitioned(
     within partitions before writing — rows with equal/near keys land
     in the same row groups, so parquet min/max statistics actually
     prune and run-length/dictionary encodings compress (the cheap
-    two-thirds of a Z-order without the shuffle)."""
+    two-thirds of a Z-order without the shuffle). ``zorder_by`` pays
+    that shuffle: range-repartition + sort along the Morton curve of
+    the named numeric columns (operators/zorder.py), so min/max stats
+    prune scans filtering on ANY of the listed dimensions, not just
+    the leading sort key. Mutually exclusive with ``cluster_by``."""
+    if cluster_by and zorder_by:
+        raise ValueError("cluster_by and zorder_by are mutually exclusive")
+    if zorder_by:
+        from ..operators.zorder import minmax_bucket, zorder_layout
+
+        buckets = [minmax_bucket(df, c) for c in zorder_by]
+        df = zorder_layout(df, buckets, num_files=zorder_files)
     if cluster_by:
         df = df.sortWithinPartitions(*cluster_by)
     writer = df.write.mode("overwrite")
