@@ -41,7 +41,7 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "S6": ["pipeline/sink.write_json_array", "tests/test_station.py::test_station_pipeline_batch"],
     "S7": [
         "pipeline/sink.foreach_batch_overwrite (checkpointed overwrite-by-batch)",
-        "pipeline/sink.write_partitioned (maxRecordsPerFile sizing + cluster_by, tests/test_scale_paths.py)",
+        "pipeline/sink.write_partitioned (maxRecordsPerFile sizing + cluster_by, tests/test_scale_paths.py; zorder_by Morton layout for multi-dim stats pruning, operators/zorder.py + tests/test_zorder.py)",
     ],
     "S8": ["pipeline/sink (exceptAll change detection)", "set_ops_suite query (O7 form)"],
     "S9": ["io.load_table — every registered query scans parquet"],
