@@ -176,3 +176,64 @@ def test_backfill_idempotent_and_serving_read(spark, tmp_path):
     # the NULL-key row exists exactly once in the served view (null-safe
     # anti-join — a plain equi-join would have kept the backfill twin too)
     assert sum(1 for r in got if r[0] == H10 and r[2] is None) == 1
+
+
+def test_tiered_compaction_incremental_and_equivalent(spark, tmp_path):
+    """compact_rollup fixes the small-files problem without touching
+    the live sink: after compaction the tiered read equals the plain
+    live read; a later maintenance pass lands in the live TAIL only;
+    re-compaction is incremental (already-compacted partitions' files
+    are untouched) and converges."""
+    import glob
+
+    from video_stream_processor_spark.streaming import (
+        compact_rollup,
+        read_rollup_tiered,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    live = str(tmp_path / "live")
+    ckpt = str(tmp_path / "ckpt")
+    base = str(tmp_path / "base")
+
+    def maintain():
+        q = start_rollup_maintenance(
+            _events_stream(spark, src), live, ckpt, watermark="30 minutes"
+        )
+        q.awaitTermination(180)
+
+    def tiered_rows():
+        df = read_rollup_tiered(spark, live, base)
+        return sorted(
+            map(
+                tuple,
+                df.select(*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx").collect(),
+            ),
+            key=_sk,
+        )
+
+    _land(src, "a.parquet", FILE_A)
+    _land(src, "b.parquet", FILE_B)
+    maintain()
+    hwm1 = compact_rollup(spark, live, base)
+    assert hwm1 == H11
+    assert tiered_rows() == _table_rows(spark, live)
+    h10_files_before = set(glob.glob(f"{base}/win_start={H10}/*.parquet"))
+    assert h10_files_before
+
+    # new window closes in live; the tiered read serves it from the
+    # tail before any re-compaction happens
+    _land(src, "c.parquet", FILE_C)
+    maintain()
+    assert tiered_rows() == _table_rows(spark, live)
+    assert {r[0] for r in tiered_rows()} == {H10, H11, H12}
+
+    # incremental re-compaction: advances the mark, rewrites ONLY the
+    # new partition, and stays equivalent; a repeat pass is a no-op
+    hwm2 = compact_rollup(spark, live, base)
+    assert hwm2 == H12
+    assert set(glob.glob(f"{base}/win_start={H10}/*.parquet")) == h10_files_before
+    assert tiered_rows() == _table_rows(spark, live)
+    assert compact_rollup(spark, live, base) == H12
+    assert tiered_rows() == _table_rows(spark, live)

@@ -19,7 +19,9 @@ from .analytics import (  # noqa: F401
 )
 from .rollup import (  # noqa: F401
     backfill_rollup,
+    compact_rollup,
     read_rollup,
+    read_rollup_tiered,
     rollup_stats,
     start_rollup_maintenance,
 )

@@ -131,6 +131,87 @@ def backfill_rollup(
     )
 
 
+def compact_rollup(
+    spark: SparkSession,
+    live_dir: str,
+    base_dir: str,
+    max_records_per_file: int = 1_000_000,
+) -> int | None:
+    """Tiered compaction — the operational answer to the streaming
+    sink's small-files problem (every trigger appends a file per
+    partition; a month of 5-minute triggers is ~8k files per window).
+
+    Copies live windows ABOVE the previous high-water mark into
+    ``base_dir`` (dynamic partition overwrite, capped file sizes — so
+    each pass is incremental and a crashed/repeated pass converges),
+    then advances the mark. Live files are never touched: the sink's
+    ``_spark_metadata`` log stays intact and the maintainer keeps
+    appending. Readers use `read_rollup_tiered` (compacted base +
+    live tail above the mark).
+
+    The mark is a tiny JSON manifest written atomically next to the
+    base table — the local stand-in for a table-format snapshot
+    pointer (Iceberg/Delta) on a real cluster. Returns the new mark,
+    or the old one when nothing new was compacted.
+    """
+    prev = _read_hwm(base_dir)
+    live = _read_table(spark, live_dir)
+    if prev is not None:
+        live = live.filter(F.col("win_start") > prev)
+    hwm = live.agg(F.max("win_start")).first()[0]
+    if hwm is None:
+        return prev
+    (
+        live.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .partitionBy("win_start")
+        .parquet(base_dir)
+    )
+    _write_hwm(base_dir, int(hwm))
+    return int(hwm)
+
+
+def read_rollup_tiered(
+    spark: SparkSession, live_dir: str, base_dir: str
+) -> DataFrame:
+    """Serving read over a compacted table: the base holds everything
+    up to the high-water mark in few, large, partition-pruned files;
+    only the post-mark tail is read from the maintainer's small live
+    files."""
+    hwm = _read_hwm(base_dir)
+    if hwm is None:
+        return _read_table(spark, live_dir)
+    base = _read_table(spark, base_dir)
+    tail = _read_table(spark, live_dir).filter(F.col("win_start") > hwm)
+    return base.unionByName(tail)
+
+
+_HWM_FILE = "_rollup_hwm.json"  # leading underscore: invisible to scans
+
+
+def _write_hwm(base_dir: str, hwm: int) -> None:
+    import json
+    import os
+
+    os.makedirs(base_dir, exist_ok=True)
+    tmp = os.path.join(base_dir, f".{_HWM_FILE}.tmp")
+    with open(tmp, "w") as f:
+        json.dump({"win_start_hwm": hwm}, f)
+    os.replace(tmp, os.path.join(base_dir, _HWM_FILE))
+
+
+def _read_hwm(base_dir: str) -> int | None:
+    import json
+    import os
+
+    p = os.path.join(base_dir, _HWM_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return int(json.load(f)["win_start_hwm"])
+
+
 def _read_table(spark: SparkSession, path: str) -> DataFrame:
     # partition-dir values infer as int; normalize to long so live and
     # backfill frames union/join without implicit casts
