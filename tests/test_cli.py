@@ -108,3 +108,12 @@ def test_cli_rollup_maintain_backfill_read(spark, sf_dir, tmp_path, capsys):
     assert main(
         ["rollup", "--sf-dir", sf_dir, "--table-dir", empty, "--backfill", "--upto-epoch", "0"]
     ) == 1
+    # compaction + tiered read close the lifecycle
+    base = str(tmp_path / "base")
+    assert main(["rollup", "--table-dir", live, "--compact", "--base-dir", base]) == 0
+    assert main(
+        ["rollup", "--table-dir", live, "--read", "--base-dir", base, "--limit", "2"]
+    ) == 0
+    n_tiered = spark.read.parquet(base).count()
+    assert n_tiered == n_live
+    assert main(["rollup", "--table-dir", live, "--compact"]) == 1  # missing --base-dir

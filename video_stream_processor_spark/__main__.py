@@ -226,7 +226,9 @@ def cmd_rollup(args: argparse.Namespace) -> int:
     writes history idempotently; --read serves live ∪ backfill."""
     from .streaming.rollup import (
         backfill_rollup,
+        compact_rollup,
         read_rollup,
+        read_rollup_tiered,
         start_rollup_maintenance,
     )
 
@@ -242,8 +244,18 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         except AnalysisException:
             return 0
 
+    if args.compact:
+        if not args.base_dir:
+            print("--compact requires --base-dir", file=sys.stderr)
+            return 1
+        hwm = compact_rollup(spark, args.table_dir, args.base_dir)
+        print(f"compacted {args.table_dir} into {args.base_dir}, hwm={hwm}")
+        return 0 if hwm is not None else 1
     if args.read:
-        df = read_rollup(spark, args.table_dir, args.backfill_dir).cache()
+        if args.base_dir:
+            df = read_rollup_tiered(spark, args.table_dir, args.base_dir).cache()
+        else:
+            df = read_rollup(spark, args.table_dir, args.backfill_dir).cache()
         try:
             n = df.count()
             df.orderBy("win_start", "event_type").show(args.limit, truncate=False)
@@ -361,6 +373,12 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--read", action="store_true",
                     help="serve live ∪ backfill instead of writing")
     pr.add_argument("--backfill-dir", default=None)
+    pr.add_argument("--compact", action="store_true",
+                    help="compact closed live windows into --base-dir "
+                    "(incremental; live files untouched)")
+    pr.add_argument("--base-dir", default=None,
+                    help="compacted base table; with --read, serves "
+                    "base + live tail instead of live + backfill")
     pr.add_argument("--limit", type=int, default=10)
     pr.add_argument("--timeout", type=int, default=600,
                     help="max seconds for one maintenance pass; exceeding "
