@@ -791,3 +791,45 @@ def test_tumbling_avg_half_up_on_exact_tie(spark):
     assert Decimal("1114.23") / 32 == Decimal("34.8196875")  # true tie
     assert out[0]["sum_value"] == 1114.23
     assert out[0]["avg_value"] == float(want) == 34.819688
+
+def test_tumbling_avg_null_and_negative_semantics(spark):
+    """avg_value keeps SQL AVG semantics (NULLs excluded, not
+    zero-treated) and rounds negatives half-AWAY-FROM-ZERO on integer
+    magnitude — the one negative-rounding convention Spark's `div`
+    (truncate toward zero) and DuckDB's `//` (floor) agree on once the
+    operands are abs()'d. Pinned against Python Decimal on both a
+    mixed-NULL group and an all-refund (negative) group."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from video_stream_processor_spark.io import _normalize_events
+    from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
+
+    rows = [
+        # 10:00 window: two real values + one NULL → avg over 2, not 3
+        (1, "2024-01-01 10:00:00", 1, "a", 10.01, "{}"),
+        (2, "2024-01-01 10:01:00", 2, "a", 20.02, "{}"),
+        (3, "2024-01-01 10:02:00", 3, "a", None, "{}"),
+        # 11:00 window: all NULL → sum NULL, avg NULL (never div-by-0)
+        (4, "2024-01-01 11:00:00", 1, "a", None, "{}"),
+        # 12:00 window: negative sum landing on an exact 6-dp tie:
+        # -1114.23 / 32 = -34.8196875 → half-away-from-zero -34.819688
+        *[
+            (10 + i, f"2024-01-01 12:{i % 60:02d}:00", i, "a",
+             -34.82 if i else -34.81, "{}")
+            for i in range(32)
+        ],
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    out = {r["win_start"]: r for r in tumbling_stats(ev, size="1 hour").collect()}
+    h10, h11, h12 = 1704103200, 1704106800, 1704110400
+    assert out[h10]["n_events"] == 3
+    assert out[h10]["sum_value"] == 30.03
+    assert out[h10]["avg_value"] == 15.015  # /2 non-null, not /3
+    assert out[h11]["sum_value"] is None
+    assert out[h11]["avg_value"] is None
+    want = -(Decimal("1114.23") / 32).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+    assert out[h12]["avg_value"] == float(want) == -34.819688

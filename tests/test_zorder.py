@@ -107,3 +107,73 @@ def test_write_partitioned_zorder_by_roundtrip_and_prunes(grid, spark, tmp_path)
     assert z_h <= z_n // 2
     with pytest.raises(ValueError):
         write_partitioned(grid, out, cluster_by=["u"], zorder_by=["h"])
+
+def _jobs_run(spark, group: str, fn) -> int:
+    """Run fn under a job group and count the Spark jobs it launched."""
+    sc = spark.sparkContext
+    sc.setJobGroup(group, group)
+    try:
+        fn()
+    finally:
+        sc.setJobGroup("", "")
+    return len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_minmax_buckets_single_stats_pass(grid, spark):
+    """The stats cost of a d-column Z-order layout is ONE min/max scan,
+    not d (the N+1 shape ADVICE r4 flagged): bucketizing 2 columns
+    launches exactly as many jobs as bucketizing 1, and precomputed
+    ranges launch none."""
+    from video_stream_processor_spark.operators.zorder import (
+        minmax_bucket,
+        minmax_buckets,
+    )
+
+    j1 = _jobs_run(spark, "z1", lambda: minmax_bucket(grid, "u"))
+    j2 = _jobs_run(spark, "z2", lambda: minmax_buckets(grid, ["u", "h"]))
+    assert j1 >= 1  # the scan actually happened
+    assert j2 == j1  # ...and adding columns doesn't add scans
+    j0 = _jobs_run(
+        spark,
+        "z0",
+        lambda: minmax_buckets(
+            grid, ["u", "h"], ranges={"u": (0, 255), "h": (0, 255)}
+        ),
+    )
+    assert j0 == 0  # table-format-metadata path: no data access
+
+
+def test_zorder_beats_cluster_by_on_second_dim_real_table(spark, sf_dir, tmp_path):
+    """End-to-end on the real lineitem table, through the sink API both
+    times: a predicate on the SECOND clustered dimension must scan
+    fewer row groups under zorder_by than under the linear cluster_by
+    layout (which only ever prunes its leading column). Pruning is
+    measured from the written parquet footers — the min/max statistics
+    a pruning reader actually consults."""
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    )
+    lo, hi = li.agg(F.min("l_suppkey"), F.max("l_suppkey")).first()
+    span = max(hi - lo, 1)
+    plo, phi = lo + int(span * 0.45), lo + int(span * 0.50)
+
+    lin_dir = str(tmp_path / "lin")
+    z_dir = str(tmp_path / "zord")
+    # comparable layouts: same file count, same sink entry point
+    write_partitioned(
+        li.repartitionByRange(16, "l_partkey"),
+        lin_dir,
+        cluster_by=["l_partkey", "l_suppkey"],
+    )
+    write_partitioned(
+        li, z_dir, zorder_by=["l_partkey", "l_suppkey"], zorder_files=16
+    )
+
+    lin_c, lin_n = _rg_candidates(lin_dir, "l_suppkey", plo, phi)
+    z_c, z_n = _rg_candidates(z_dir, "l_suppkey", plo, phi)
+    # linear: every file spans ~the full suppkey range -> no pruning
+    assert lin_c / lin_n >= 0.9
+    # z-order: the same predicate skips a real share of the row groups
+    assert z_c / z_n <= 0.75
+    assert z_c / z_n < lin_c / lin_n

@@ -42,18 +42,49 @@ def interleave_bits(cols: list[Column], bits: int = 16) -> Column:
     return key
 
 
-def minmax_bucket(df: DataFrame, col: str, bits: int = 16) -> Column:
-    """Scale a numeric column into ``[0, 2**bits)`` using its actual
-    min/max — one 1-row aggregate on the driver (the same stats a
-    table format keeps in metadata; at cluster scale read them there
-    instead of rescanning)."""
-    lo, hi = df.agg(F.min(col), F.max(col)).first()
+def bucket_expr(
+    col: str, lo: float, hi: float, bits: int = 16
+) -> Column:
+    """Scale a numeric column into ``[0, 2**bits)`` given its range —
+    a pure Column expression, no data access. Values outside [lo, hi]
+    clamp to the edge buckets (correctness-safe for stale ranges: a
+    too-narrow range only weakens pruning at the extremes)."""
     lo_f, hi_f = float(lo), float(hi)
     n = (1 << bits) - 1
     if hi_f <= lo_f:
         return F.lit(0).cast("long")
     scaled = (F.col(col).cast("double") - F.lit(lo_f)) / F.lit(hi_f - lo_f) * n
     return F.least(F.greatest(F.floor(scaled), F.lit(0)), F.lit(n)).cast("long")
+
+
+def minmax_buckets(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    ranges: dict[str, tuple[float, float]] | None = None,
+) -> list[Column]:
+    """Bucket expressions for every clustered column from ONE stats
+    pass: a single ``agg(min(c1), max(c1), min(c2), ...)`` scan covers
+    all d columns (d separate scans of a possibly-expensive
+    unmaterialized plan was the N+1 shape this replaces). Pass
+    ``ranges={col: (lo, hi)}`` to skip the scan entirely — at cluster
+    scale these are the min/max a table format (Iceberg/Delta) already
+    keeps in metadata."""
+    missing = [c for c in cols if ranges is None or c not in ranges]
+    found: dict[str, tuple[float, float]] = dict(ranges or {})
+    if missing:
+        row = df.agg(
+            *[f for c in missing for f in (F.min(c), F.max(c))]
+        ).first()
+        for i, c in enumerate(missing):
+            found[c] = (row[2 * i], row[2 * i + 1])
+    return [bucket_expr(c, *found[c], bits=bits) for c in cols]
+
+
+def minmax_bucket(df: DataFrame, col: str, bits: int = 16) -> Column:
+    """Single-column form of `minmax_buckets` (one stats scan for this
+    column; prefer the plural form when clustering several)."""
+    return minmax_buckets(df, [col], bits=bits)[0]
 
 
 def zorder_layout(

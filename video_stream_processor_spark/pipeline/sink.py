@@ -90,9 +90,10 @@ def write_partitioned(
     if cluster_by and zorder_by:
         raise ValueError("cluster_by and zorder_by are mutually exclusive")
     if zorder_by:
-        from ..operators.zorder import minmax_bucket, zorder_layout
+        from ..operators.zorder import minmax_buckets, zorder_layout
 
-        buckets = [minmax_bucket(df, c) for c in zorder_by]
+        # one stats scan for ALL clustered columns, not one per column
+        buckets = minmax_buckets(df, zorder_by)
         df = zorder_layout(df, buckets, num_files=zorder_files)
     if cluster_by:
         df = df.sortWithinPartitions(*cluster_by)

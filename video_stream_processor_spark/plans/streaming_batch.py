@@ -60,8 +60,13 @@ SELECT 'tumbling_1h' AS kind,
        event_type,
        count(*) AS n_events,
        sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
-       ((sum(CAST(round(value * 100) AS BIGINT)) * 20000 + count(*))
-         // (2 * count(*))) / 1000000.0 AS avg_value,
+       CASE WHEN count(value) = 0 THEN NULL
+            ELSE (CASE WHEN sum(CAST(round(value * 100) AS BIGINT)) < 0
+                       THEN -1 ELSE 1 END)
+               * ((abs(sum(CAST(round(value * 100) AS BIGINT))) * 20000
+                    + count(value))
+                  // (2 * count(value))) / 1000000.0
+       END AS avg_value,
        count(DISTINCT user_id) AS n_users
 FROM events
 GROUP BY 2, 3, 4

@@ -98,14 +98,36 @@ def tumbling_stats(
     # power-of-2 count of 2-decimal values lands exactly on x.xxxxxx5,
     # where Spark's BigDecimal HALF_UP and DuckDB's double math split
     # (caught by the sf0.1 rehearsal, 30/10083 rows). Integer cents
-    # sum identically in any order; the 6-dp half-up average is BIGINT
-    # math ((20000*c + n) div 2n, values non-negative), so streaming,
-    # batch, and the DuckDB oracle are bit-identical by construction.
+    # sum identically in any order; the 6-dp average is BIGINT math,
+    # so streaming, batch, and the DuckDB oracle are bit-identical by
+    # construction. Three hazards the formula handles explicitly:
+    # * NULL values: sum() and count("value") both skip NULLs, so the
+    #   average keeps SQL AVG semantics (dividing by count(*) would
+    #   silently treat NULLs as zeros);
+    # * negative money (refunds): `div` truncates toward zero in Spark
+    #   but `//` floors in DuckDB — they disagree on negatives, so the
+    #   rounding runs on abs() (half-away-from-zero, engine-identical)
+    #   and the sign is re-applied;
+    # * overflow: |cents| * 20000 wraps a LONG silently (ANSI off)
+    #   past ~4.6e14 cents (~$4.6e12 per group). The guard is a
+    #   post-aggregation check on the handful of group rows, not a
+    #   per-event cost; past it, fail loudly instead of emitting a
+    #   wrapped average.
     cents = F.round(F.col("value") * 100).cast("long")
     agg = w.groupBy(F.window("ts", size), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
         F.sum(cents).alias("_cents"),
+        F.count("value").alias("_n_vals"),
         distinct_users.alias("n_users"),
+    )
+    avg_6dp = F.expr(
+        "CASE WHEN _n_vals = 0 THEN CAST(NULL AS DOUBLE)"
+        " WHEN abs(_cents) > 461000000000000 THEN"
+        "  raise_error('tumbling_stats: |cents sum| exceeds avg overflow"
+        " headroom (~4.6e14); aggregate at a finer grain')"
+        " ELSE (CASE WHEN _cents < 0 THEN -1 ELSE 1 END)"
+        "  * ((abs(_cents) * 20000 + _n_vals) div (2 * _n_vals)) / 1e6 "
+        "END"
     )
     return windowed_to_flat(agg).select(
         "win_start",
@@ -113,9 +135,7 @@ def tumbling_stats(
         "event_type",
         "n_events",
         (F.col("_cents") / 100.0).alias("sum_value"),
-        (
-            F.expr("(_cents * 20000 + n_events) div (2 * n_events)") / 1e6
-        ).alias("avg_value"),
+        avg_6dp.alias("avg_value"),
         "n_users",
     )
 

@@ -54,13 +54,30 @@ def rollup_stats(events: DataFrame, size: str = "1 hour") -> DataFrame:
     streaming maintainer and by the batch backfill must be
     value-identical, or a backfilled partition would disagree with the
     live partition beside it.
+
+    ``sum_value`` aggregates EXACT integer cents for the same reason
+    (and the same reason ``tumbling_stats`` does): double summation is
+    order-dependent, and the maintainer sums in micro-batch arrival
+    order while the backfill sums in one batch — at large per-group
+    row counts the accumulated float error exceeds any rounding
+    margin. Integer cents sum identically in any order, so live and
+    backfilled partitions are value-identical by construction (HLL
+    register merge is likewise commutative).
     """
+    cents = F.round(F.col("value") * 100).cast("long")
     agg = events.groupBy(F.window("ts", size), "event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.sum(cents).alias("_cents"),
         F.approx_count_distinct("user_id").alias("n_users_approx"),
     )
-    return windowed_to_flat(agg)
+    return windowed_to_flat(agg).select(
+        "win_start",
+        "win_end",
+        "event_type",
+        "n_events",
+        (F.col("_cents") / 100.0).alias("sum_value"),
+        "n_users_approx",
+    )
 
 
 def start_rollup_maintenance(
