@@ -17,7 +17,13 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import load_table
-from ..streaming.analytics import session_stats, sliding_counts, tumbling_stats
+from ..streaming.analytics import (
+    session_stats,
+    sliding_counts,
+    tumbling_stats,
+    windowed_to_flat,
+)
+from ..streaming.rollup import rollup_stats
 from .base import register
 
 EVENT_CATEGORIES = [
@@ -31,7 +37,7 @@ EVENT_CATEGORIES = [
 
 @register(
     "stream_window_counts",
-    survey_ids="T6,T5,T10,A3,F17",
+    survey_ids="T6,T5,T10,T3,A3,A5,F17",
     oracle="""
 WITH bucketed AS (
   SELECT value, CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 AS b
@@ -90,6 +96,17 @@ SELECT 'tumbling_1h_wm10m',
        CAST(sum(1 - kept) AS BIGINT)
 FROM tagged
 GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'rollup_1h',
+       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT),
+       CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) + 3600,
+       event_type,
+       count(*),
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0,
+       NULL::DOUBLE,
+       1::BIGINT
+FROM events
+GROUP BY 2, 3, 4
 """,
 )
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -106,7 +123,17 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       events that SURVIVE a 10-minute watermark under a deterministic
       jittered arrival order; in this leg the generic ``n_users``
       column carries the per-window count of late-DROPPED rows (typed
-      slot reuse, labeled by ``kind``).
+      slot reuse, labeled by ``kind``);
+    * 'rollup_1h': the incrementally-maintained rollup table's
+      aggregation (``streaming.rollup.rollup_stats`` — the exact
+      builder both the streaming maintainer and the batch backfill
+      write through), driver-oracle-evidenced here in batch form.
+      n_events and the exact-cents sum_value check value-for-value;
+      the HLL++ ``n_users_approx`` is engine-specific, so — as in
+      ``agg_counts_suite`` — the ``n_users`` slot carries the ERROR
+      BOUND claim instead (1 iff the sketch lands within ±10% of the
+      exact per-group distinct count; the oracle claims 1). The
+      live==backfill equality itself is pinned in tests/test_rollup.py.
     """
     ev = load_table(spark, sf_dir, "events")
     tum = tumbling_stats(ev, size="1 hour").select(
@@ -139,7 +166,42 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_value"),
         F.col("n_late_dropped").alias("n_users"),
     )
-    return tum.unionByName(sli).unionByName(wm)
+    # rollup_1h: routed through the rollup table's own builder, with
+    # the HLL estimate checked against an exact-distinct twin (null-safe
+    # key join: a NULL event_type group is a legitimate rollup row)
+    roll = rollup_stats(ev, size="1 hour")
+    exact = windowed_to_flat(
+        ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
+            F.count_distinct("user_id").alias("_exact_users")
+        )
+    ).select(
+        F.col("win_start").alias("_e_ws"),
+        F.col("win_end").alias("_e_we"),
+        F.col("event_type").alias("_e_et"),
+        "_exact_users",
+    )
+    cond = (
+        roll["win_start"].eqNullSafe(exact["_e_ws"])
+        & roll["win_end"].eqNullSafe(exact["_e_we"])
+        & roll["event_type"].eqNullSafe(exact["_e_et"])
+    )
+    rol = roll.join(exact, cond, "inner").select(
+        F.lit("rollup_1h").alias("kind"),
+        "win_start",
+        "win_end",
+        "event_type",
+        "n_events",
+        "sum_value",
+        F.lit(None).cast("double").alias("avg_value"),
+        F.col("n_users_approx")
+        .between(
+            F.floor(F.col("_exact_users") * 0.9).cast("long"),
+            F.ceil(F.col("_exact_users") * 1.1).cast("long"),
+        )
+        .cast("long")
+        .alias("n_users"),
+    )
+    return tum.unionByName(sli).unionByName(wm).unionByName(rol)
 
 
 @register(
