@@ -1761,3 +1761,42 @@ def test_chunk_token_windows_matches_python_reference(spark):
             piece = toks[s : s + 64]
             want[(doc_id, ci)] = (len(piece), " ".join(piece))
     assert got == want
+
+
+def test_bpe_vocab_collect_is_capped(docs):
+    """The driver collect in bpe_train is bounded BEFORE collection
+    (ADVICE r4): the frequency floor and top-N cap apply on the
+    DataFrame side, the cap is deterministic under count ties (word
+    asc), and a capped-vocab training run still yields a valid,
+    deterministic merge table. The default cap must not perturb the
+    frozen PRETRAINED_MERGES fixture (pinned by
+    test_bpe_train_matches_python_reference, whose reference collects
+    everything)."""
+    from video_stream_processor_spark.llm.text import (
+        bpe_train,
+        bpe_word_frequencies,
+    )
+
+    full = bpe_word_frequencies(docs)
+    n_full = full.count()
+    assert n_full > 20
+    # the cap bounds the collected rows...
+    capped = bpe_word_frequencies(docs, max_vocab=10)
+    rows = capped.collect()
+    assert len(rows) == 10
+    # ...keeps the MOST FREQUENT words, deterministically tie-broken
+    want = sorted(
+        ((int(r["count"]), r["w"]) for r in full.collect()),
+        key=lambda t: (-t[0], t[1]),
+    )[:10]
+    assert sorted(((int(r["count"]), r["w"]) for r in rows),
+                  key=lambda t: (-t[0], t[1])) == want
+    # frequency floor: never yields sub-floor rows (the sf0.001 corpus
+    # happens to have no hapax words, so <= rather than <)
+    floored = bpe_word_frequencies(docs, min_word_count=2)
+    assert floored.count() <= n_full
+    assert floored.filter(F.col("count") < 2).count() == 0
+    # training on a capped vocab is reproducible
+    m1 = bpe_train(docs, n_merges=8, max_vocab=50)
+    m2 = bpe_train(docs, n_merges=8, max_vocab=50)
+    assert m1 == m2 and len(m1) > 0

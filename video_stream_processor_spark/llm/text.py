@@ -131,30 +131,20 @@ def langid_confusion(docs: DataFrame) -> DataFrame:
     )
 
 
-def bpe_train(
+def bpe_word_frequencies(
     docs: DataFrame,
-    n_merges: int = 48,
-    min_pair_count: int = 2,
     text_col: str = "text",
-) -> list[tuple[str, str]]:
-    """L4: learn a BPE merge table from a corpus (real subword
-    tokenization, not just the pre-tokenizer regex).
-
-    Scale shape — the two standard phases:
-    1. distributed: pre-token *word frequencies* (one explode + hash
-       agg). BPE trains on the word-frequency dict, never the raw
-       corpus, so the collect below is bounded by |vocab|, not corpus
-       size; at 100 TB you additionally sample documents and/or drop
-       hapax words before collecting (standard practice — in-memory
-       trainers work the same way).
-    2. driver: classic pair-merge loop over the vocab. Deterministic
-       regardless of collect order: the best pair is chosen by
-       (max count, then lexicographically smallest pair).
-
-    Application is engine-portable: replaying the returned merges in
-    order, each exhaustively left-to-right (plain string replace),
-    reproduces the training segmentation exactly.
-    """
+    min_word_count: int = 1,
+    max_vocab: int | None = 500_000,
+) -> DataFrame:
+    """Distributed phase of BPE training: pre-token word frequencies,
+    BOUNDED before any driver collect. ``min_word_count`` drops rare
+    words (hapax legomena dominate a web-scale vocab but contribute
+    almost nothing to pair counts); ``max_vocab`` keeps the top-N by
+    (count desc, word asc — deterministic tie-break), executed as a
+    TakeOrdered (per-partition top-N then merge), not a global sort.
+    Together they make the driver collect O(max_vocab) regardless of
+    corpus size."""
     wc = (
         docs.select(
             F.explode(
@@ -165,8 +155,49 @@ def bpe_train(
         )
         .groupBy("w")
         .count()
-        .collect()
     )
+    if min_word_count > 1:
+        wc = wc.filter(F.col("count") >= min_word_count)
+    if max_vocab is not None:
+        wc = wc.orderBy(F.col("count").desc(), F.col("w").asc()).limit(
+            max_vocab
+        )
+    return wc
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int = 48,
+    min_pair_count: int = 2,
+    text_col: str = "text",
+    min_word_count: int = 1,
+    max_vocab: int | None = 500_000,
+) -> list[tuple[str, str]]:
+    """L4: learn a BPE merge table from a corpus (real subword
+    tokenization, not just the pre-tokenizer regex).
+
+    Scale shape — the two standard phases:
+    1. distributed: pre-token *word frequencies* (one explode + hash
+       agg), CAPPED before collection: ``min_word_count`` floors the
+       frequency and ``max_vocab`` (default 500k, always on) truncates
+       to the most frequent words, so the driver collect is bounded by
+       max_vocab even on a 100 TB corpus — the same vocab pruning
+       in-memory BPE trainers apply. BPE trains on the word-frequency
+       dict, never the raw corpus.
+    2. driver: classic pair-merge loop over the vocab. Deterministic
+       regardless of collect order: the best pair is chosen by
+       (max count, then lexicographically smallest pair).
+
+    Application is engine-portable: replaying the returned merges in
+    order, each exhaustively left-to-right (plain string replace),
+    reproduces the training segmentation exactly.
+    """
+    wc = bpe_word_frequencies(
+        docs,
+        text_col=text_col,
+        min_word_count=min_word_count,
+        max_vocab=max_vocab,
+    ).collect()
     vocab = {r["w"]: int(r["count"]) for r in wc}
     syms: dict[str, tuple[str, ...]] = {w: tuple(w) for w in vocab}
     merges: list[tuple[str, str]] = []
