@@ -18,7 +18,9 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
+import tempfile
 import time
 
 _REPO = os.path.dirname(os.path.abspath(__file__))
@@ -129,7 +131,96 @@ EXTRA_BUILDERS = {
     # table is memo-materialized (at scale it is a WRITTEN table), so
     # this times the ADC shortlist + exact re-rank — the per-query cost
     "llm_pq_rerank": lambda s, d: _pq_rerank_served(s, d),
+    # r5: round-4 surfaces enter the bench mix (VERDICT r4 task 2)
+    "rollup_maintain_serve": lambda s, d: _rollup_maintain_serve(s, d),
+    "zorder_write_pruned_read": lambda s, d: _zorder_write_pruned_read(s, d),
 }
+
+
+_ROLLUP_SRC: dict[str, str] = {}
+
+
+def _rollup_events_src(s, d: str) -> str:
+    """Stage events as a multi-file parquet dir once per (session, sf):
+    the streaming file source replays one file per trigger, so the
+    watermark advances across micro-batches and append-mode windows
+    actually close (a single-file source would emit nothing). At scale
+    events already land as a multi-file table — the staging is fixture
+    adaptation, not part of the measured pipeline, hence memoized
+    outside the timed region (the warm passes populate it)."""
+    if d not in _ROLLUP_SRC:
+        src = os.path.join(
+            tempfile.gettempdir(), f"vsp_bench_rollup_src_{os.path.basename(d.rstrip('/'))}"
+        )
+        shutil.rmtree(src, ignore_errors=True)
+        # 4 time-ranged files → 4 triggers: enough watermark advances
+        # to close and append most windows, without paying 8+ rounds of
+        # state-store commit overhead in every bench pass
+        load_table(s, d, "events").repartitionByRange(4, "ts").write.parquet(src)
+        _ROLLUP_SRC[d] = src
+    return _ROLLUP_SRC[d]
+
+
+def _rollup_maintain_serve(s, d):
+    """The incremental-rollup lifecycle end to end: streaming
+    maintenance (availableNow, watermark-closed appends) into the live
+    table, tiered compaction into the base, then the serving read
+    (compacted base + live tail) — the timed unit is everything a
+    refresh cycle costs. Fresh output dirs per call so warm and timed
+    passes do identical work."""
+    from video_stream_processor_spark.streaming.rollup import (
+        compact_rollup,
+        read_rollup_tiered,
+        start_rollup_maintenance,
+    )
+
+    src = _rollup_events_src(s, d)
+    out = os.path.join(tempfile.gettempdir(), "vsp_bench_rollup_out")
+    shutil.rmtree(out, ignore_errors=True)
+    live, base, ckpt = (os.path.join(out, x) for x in ("live", "base", "ckpt"))
+    stream = (
+        s.readStream.schema(s.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    # Daily windows, not hourly: the fixture's 150-day span at sf0.1
+    # would mean ~3600 hourly partition DIRS for ~1M events (~300 rows
+    # each) — at that ratio the timing measures local-FS directory
+    # churn, not the operator. Daily keeps per-partition volume
+    # representative of what an hourly partition holds at cluster
+    # scale; the aggregation/compaction/serving plans are identical.
+    q = start_rollup_maintenance(
+        stream, live, ckpt, size="1 day", watermark="30 minutes"
+    )
+    q.awaitTermination()
+    compact_rollup(s, live, base)
+    return read_rollup_tiered(s, live, base)
+
+
+def _zorder_write_pruned_read(s, d):
+    """write_partitioned(zorder_by=...) of lineitem + a pruned
+    read-back filtering on the SECOND clustered dimension — times the
+    Morton layout's full cost (one stats scan, range shuffle, sorted
+    write) plus the scan it exists to accelerate. The filter range is
+    derived from footer-served min/max (aggregatePushdown), so the
+    leg is meaningful at any SF."""
+    from video_stream_processor_spark.pipeline.sink import write_partitioned
+
+    out = os.path.join(tempfile.gettempdir(), "vsp_bench_zorder")
+    shutil.rmtree(out, ignore_errors=True)
+    li = load_table(s, d, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
+    )
+    write_partitioned(li, out, zorder_by=["l_partkey", "l_suppkey"], zorder_files=32)
+    back = s.read.parquet(out)
+    lo, hi = back.agg(F.min("l_suppkey"), F.max("l_suppkey")).first()
+    span = max(hi - lo, 1)
+    plo, phi = lo + int(span * 0.45), lo + int(span * 0.50)
+    return back.filter(F.col("l_suppkey").between(plo, phi)).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
 
 
 def _pq_rerank_served(s, d):
@@ -162,6 +253,9 @@ HEADLINE = [
     "llm_cosine_topk_batch",
     # New-in-r4 (no pin; first number sets the bar):
     "llm_pq_rerank",
+    # New-in-r5 (no pin; first number sets the bar):
+    "rollup_maintain_serve",
+    "zorder_write_pruned_read",
 ]
 
 

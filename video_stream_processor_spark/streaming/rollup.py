@@ -183,8 +183,16 @@ def compact_rollup(
     hwm = live.agg(F.max("win_start")).first()[0]
     if hwm is None:
         return prev
+    # Hash-shuffle on the partition column so each win_start directory
+    # is written by exactly one task → ONE file per partition (modulo
+    # the max_records_per_file split). Without it, every read task that
+    # touches a window emits its own file and the "compacted" base
+    # inherits a fraction of the small-files problem it exists to fix
+    # (measured: ~4 files/partition → 1). A pathologically hot window
+    # still caps at max_records_per_file rows per file.
     (
-        live.write.mode("overwrite")
+        live.repartition("win_start")
+        .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("win_start")
