@@ -41,7 +41,7 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "S6": ["pipeline/sink.write_json_array", "tests/test_station.py::test_station_pipeline_batch"],
     "S7": [
         "pipeline/sink.foreach_batch_overwrite (checkpointed overwrite-by-batch)",
-        "pipeline/sink.write_partitioned (maxRecordsPerFile sizing + cluster_by, tests/test_scale_paths.py; zorder_by Morton layout for multi-dim stats pruning, operators/zorder.py + tests/test_zorder.py)",
+        "pipeline/sink.write_partitioned (maxRecordsPerFile sizing + cluster_by, tests/test_scale_paths.py; zorder_by Morton layout for multi-dim stats pruning — one stats pass for all columns, operators/zorder.py + tests/test_zorder.py incl. the sf0.1 cluster_by-vs-zorder row-group pruning comparison; benched as zorder_write_pruned_read)",
     ],
     "S8": ["pipeline/sink (exceptAll change detection)", "set_ops_suite query (O7 form)"],
     "S9": ["io.load_table — every registered query scans parquet"],
@@ -49,14 +49,14 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "S11": ["io.load_events_stream", "tests/test_streaming.py"],
     "T1": ["tests/test_station.py::test_station_pipeline_streaming_twin (availableNow)", "tests/test_streaming.py::test_checkpoint_restart_recovers_state (checkpoint-restart recovery; default + RocksDB state stores)"],
     "T2": ["io.load_events_stream file source", "tests/test_streaming.py"],
-    "T3": ["pipeline/sink.foreach_batch_overwrite", "tests/test_station.py", "streaming/rollup.py incremental maintenance + idempotent backfill (tests/test_rollup.py; CLI `rollup`)"],
+    "T3": ["pipeline/sink.foreach_batch_overwrite", "tests/test_station.py", "streaming/rollup.py incremental maintenance + idempotent backfill + tiered compaction (tests/test_rollup.py; CLI `rollup`; driver-oracle evidence: stream_window_counts rollup_1h leg routes through rollup_stats; benched as rollup_maintain_serve)"],
     "T4": ["sources/extractor.py YtDlpExtractor (rate cap + politeness delay params)"],
     "T5": ["streaming/analytics._maybe_watermark", "tests/test_streaming.py::test_watermark_drops_late_data"],
     "T8": ["streaming/analytics.stream_dedup", "tests/test_streaming.py::test_stream_dedup_within_watermark"],
     "T9": [
         "streaming/stateful.running_user_totals (+ Spark-4 transformWithStateInPandas twin; "
         "the TWS twin needs the public `protobuf` package for Spark's state-server protocol — "
-        "absent here and installs are disallowed in this environment, so its test importorskips; "
+        "absent here and installs are disallowed in this environment (re-checked round 5, 2026-08-14: still absent), so its test importorskips; "
         "the applyInPandasWithState twin runs and pins identical semantics)",
         "streaming/stateful.closed_user_sessions (EventTimeTimeout session closer)",
         "tests/test_streaming.py::test_stateful_running_totals",

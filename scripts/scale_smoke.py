@@ -94,6 +94,37 @@ def revenue_join(tables):
     )
 
 
+def custkey_join_aqe(tables):
+    """orders ⋈ customer on the (possibly hot) custkey, leaving skew
+    handling to AQE's skew-join split — the default path."""
+    o, c = tables["orders"], tables["customer"]
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+def custkey_join_salted(tables):
+    """The same join through operators.salt.salted_join — the explicit
+    pre-plan skew fix for keys too hot for AQE's split."""
+    from video_stream_processor_spark.operators.salt import salted_join
+
+    o = tables["orders"].withColumnRenamed("o_custkey", "custkey")
+    c = tables["customer"].withColumnRenamed("c_custkey", "custkey")
+    return (
+        salted_join(o, c, on="custkey", buckets=16)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )
+
+
 OPS = {
     "q1_scan_agg": (
         q1,
@@ -118,6 +149,14 @@ OPS = {
     "tumbling_1h": (
         lambda t: tumbling_stats(t["events"], size="1 hour"),
         lambda t: t["events"].count(),
+    ),
+    "custkey_join_aqe": (
+        custkey_join_aqe,
+        lambda t: t["orders"].count(),
+    ),
+    "custkey_join_salted": (
+        custkey_join_salted,
+        lambda t: t["orders"].count(),
     ),
     "quality_score": (
         # Training runs inside build() (untimed, memoized); the timed
@@ -161,15 +200,49 @@ TRAIN_OPS = {
 }
 
 
-def tables_at(spark, sf_dir: str, multiplied: bool) -> dict[str, DataFrame]:
+def _skew_remap(t: dict[str, DataFrame]) -> dict[str, DataFrame]:
+    """Inject pathological key skew into the multiplied corpus (the
+    uniform x8 remap cannot surface a hotspot — SCALE.md's own caveat):
+
+    * orders: 40% of all orders collapse onto ONE o_custkey — a
+      power-law hot customer. Hits every shuffle join on custkey.
+    * events: 40% of events collapse onto ONE user_id, and 20% of all
+      events collapse into ONE hour — a hot group key for the windowed
+      aggregation.
+
+    Deterministic (modulo of the row id, not rand()) so repeated runs
+    measure the same data.
+    """
+    out = dict(t)
+    out["orders"] = t["orders"].withColumn(
+        "o_custkey",
+        F.when(F.col("o_orderkey") % 5 < 2, F.lit(1)).otherwise(
+            F.col("o_custkey")
+        ),
+    )
+    ev = t["events"].withColumn(
+        "user_id",
+        F.when(F.col("event_id") % 5 < 2, F.lit(1)).otherwise(F.col("user_id")),
+    )
+    out["events"] = ev.withColumn(
+        "ts",
+        F.when(
+            F.col("event_id") % 5 == 4,
+            F.to_timestamp(F.lit("2024-03-01 12:30:00")),
+        ).otherwise(F.col("ts")),
+    )
+    return out
+
+
+def tables_at(spark, sf_dir: str, mode: str | None) -> dict[str, DataFrame]:
     t = {
         name: load_table(spark, sf_dir, name)
         for name in ("lineitem", "orders", "customer", "nation",
                      "documents", "embeddings", "events")
     }
-    if not multiplied:
+    if mode is None:
         return t
-    return {
+    t = {
         "lineitem": _multiply(t["lineitem"], ["l_orderkey"]),
         "orders": _multiply(t["orders"], ["o_orderkey", "o_custkey"]),
         "customer": _multiply(t["customer"], ["c_custkey"]),
@@ -178,22 +251,33 @@ def tables_at(spark, sf_dir: str, multiplied: bool) -> dict[str, DataFrame]:
         "embeddings": _multiply(t["embeddings"], ["vec_id"]),
         "events": _multiply(t["events"], ["event_id", "user_id"]),
     }
+    if mode == "x8skew":
+        t = _skew_remap(t)
+    return t
 
 
 def main() -> None:
     spark = get_spark(app_name="vsp-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     points = [
-        ("sf0.01", "/root/testdata/sf0.01", False),
-        ("sf0.1", "/root/testdata/sf0.1", False),
-        (f"sf0.1x{COPIES}", "/root/testdata/sf0.1", True),
+        ("sf0.01", "/root/testdata/sf0.01", None),
+        ("sf0.1", "/root/testdata/sf0.1", None),
+        (f"sf0.1x{COPIES}", "/root/testdata/sf0.1", "x8"),
+        # same x8 corpus with pathological key skew injected — only the
+        # skew-sensitive ops run here (documents/embeddings unchanged)
+        (f"sf0.1x{COPIES}skew", "/root/testdata/sf0.1", "x8skew"),
     ]
+    skew_ops = {
+        "revenue_join", "tumbling_1h", "custkey_join_aqe", "custkey_join_salted"
+    }
     results: dict[str, dict] = {
         name: {} for name in list(OPS) + list(TRAIN_OPS)
     }
-    for label, sf_dir, multiplied in points:
-        t = tables_at(spark, sf_dir, multiplied)
+    for label, sf_dir, mode in points:
+        t = tables_at(spark, sf_dir, mode)
         for name, (run_training, rows_of) in TRAIN_OPS.items():
+            if mode == "x8skew":
+                continue
             t0 = time.perf_counter()
             run_training(t)
             sec = round(time.perf_counter() - t0, 3)
@@ -204,6 +288,8 @@ def main() -> None:
                 "sec_per_mrow": round(sec / (rows / 1e6), 3),
             }
         for name, (build, rows_of) in OPS.items():
+            if mode == "x8skew" and name not in skew_ops:
+                continue
             df = build(t)
             df.write.format("noop").mode("overwrite").save()  # warm
             t0 = time.perf_counter()
