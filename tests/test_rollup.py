@@ -221,6 +221,10 @@ def test_tiered_compaction_incremental_and_equivalent(spark, tmp_path):
     assert tiered_rows() == _table_rows(spark, live)
     h10_files_before = set(glob.glob(f"{base}/win_start={H10}/*.parquet"))
     assert h10_files_before
+    # compaction actually compacts: each partition is written by one
+    # task -> exactly one file here (rows per window << the file cap)
+    for d in glob.glob(f"{base}/win_start=*"):
+        assert len(glob.glob(f"{d}/*.parquet")) == 1, d
 
     # new window closes in live; the tiered read serves it from the
     # tail before any re-compaction happens
