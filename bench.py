@@ -192,7 +192,11 @@ def _rollup_maintain_serve(s, d):
     q = start_rollup_maintenance(
         stream, live, ckpt, size="1 day", watermark="30 minutes"
     )
-    q.awaitTermination()
+    # bounded wait: a hung stream must not cost the round its bench
+    # artifact (availableNow drains in seconds here; 600 s is headroom)
+    if not q.awaitTermination(600):
+        q.stop()
+        raise RuntimeError("rollup maintenance did not drain within 600s")
     compact_rollup(s, live, base)
     return read_rollup_tiered(s, live, base)
 
