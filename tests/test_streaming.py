@@ -833,3 +833,103 @@ def test_tumbling_avg_null_and_negative_semantics(spark):
     assert out[h11]["avg_value"] is None
     want = -(Decimal("1114.23") / 32).quantize(Decimal("0.000001"), ROUND_HALF_UP)
     assert out[h12]["avg_value"] == float(want) == -34.819688
+
+def test_tumbling_avg_random_groups_match_decimal_reference(spark):
+    """Property pin for the integer-cents average, ONE Spark job over
+    200 random groups (per-example jobs would be minutes): for random
+    mixes of positive/negative/NULL 2-decimal values, avg_value equals
+    Python Decimal's 6-dp ROUND_HALF_UP (= ties away from zero — the
+    convention the abs()+sign formula implements identically in Spark
+    and DuckDB), averaged over NON-NULL values only; sum_value is the
+    exact cents sum; all-NULL groups yield NULL for both."""
+    from decimal import ROUND_HALF_UP, Decimal
+    import random
+
+    from video_stream_processor_spark.io import _normalize_events
+    from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
+
+    rng = random.Random(20260814)
+    rows, want = [], {}
+    base = 1704067200  # 2024-01-01 00:00 UTC
+    eid = 0
+    for g in range(200):
+        h = base + g * 3600
+        vals = [
+            None if rng.random() < 0.15 else round(rng.uniform(-500, 500), 2)
+            for _ in range(rng.randint(1, 40))
+        ]
+        for v in vals:
+            ts = pd.Timestamp(h * 1_000_000_000 + rng.randint(0, 3599) * 1_000_000_000)
+            rows.append((eid, ts, eid % 7, "x", v, "{}"))
+            eid += 1
+        nn = [Decimal(str(v)) for v in vals if v is not None]
+        if nn:
+            s = sum(nn)
+            avg = (s / len(nn)).quantize(Decimal("0.000001"), ROUND_HALF_UP)
+            want[h] = (len(vals), float(s), float(avg))
+        else:
+            want[h] = (len(vals), None, None)
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    got = {
+        r["win_start"]: (r["n_events"], r["sum_value"], r["avg_value"])
+        for r in tumbling_stats(ev, size="1 hour").collect()
+    }
+    assert got == want
+
+def test_tumbling_avg_oracle_formula_matches_on_hostile_values(spark):
+    """Engine-parity pin for the ORACLE's avg/sum expressions on data
+    the parquet fixtures don't contain (negative money, NULLs, exact
+    ties): run the stream_window_counts tumbling-leg arithmetic in
+    DuckDB over the same random frame and require cell-identical
+    results against tumbling_stats — the divergence class ADVICE r4
+    flagged (Spark div truncates, DuckDB // floors) cannot re-enter
+    unnoticed."""
+    import random
+
+    import duckdb
+
+    from video_stream_processor_spark.io import _normalize_events
+    from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
+
+    rng = random.Random(97)
+    rows = []
+    base = 1704067200
+    for g in range(60):
+        h = base + g * 3600
+        for i in range(rng.randint(1, 32)):
+            v = None if rng.random() < 0.2 else round(rng.uniform(-400, 400), 2)
+            ts = pd.Timestamp(h * 1_000_000_000 + i * 1_000_000_000)
+            rows.append((g * 100 + i, ts, i, "x", v, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pdf["ts"].astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    got = {
+        r["win_start"]: (r["n_events"], r["sum_value"], r["avg_value"])
+        for r in tumbling_stats(ev, size="1 hour").collect()
+    }
+    con = duckdb.connect()
+    con.register("ev", pdf[["ts", "value"]])
+    duck = con.execute(
+        """
+        SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS ws,
+               count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS s,
+               CASE WHEN count(value) = 0 THEN NULL
+                    ELSE (CASE WHEN sum(CAST(round(value * 100) AS BIGINT)) < 0
+                               THEN -1 ELSE 1 END)
+                       * ((abs(sum(CAST(round(value * 100) AS BIGINT))) * 20000
+                            + count(value))
+                          // (2 * count(value))) / 1000000.0
+               END AS a
+        FROM ev GROUP BY 1
+        """
+    ).fetchall()
+    con.close()
+    want = {ws: (n, s, a) for ws, n, s, a in duck}
+    assert got == want
