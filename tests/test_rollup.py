@@ -241,3 +241,38 @@ def test_tiered_compaction_incremental_and_equivalent(spark, tmp_path):
     assert tiered_rows() == _table_rows(spark, live)
     assert compact_rollup(spark, live, base) == H12
     assert tiered_rows() == _table_rows(spark, live)
+
+
+def test_tiered_read_time_predicate_prunes_partitions(spark, tmp_path):
+    """The serving claim 'a reader's time-range predicate prunes
+    partitions at the source': a win_start filter over the tiered read
+    must land in the PartitionFilters of BOTH scans (base and live
+    tail) — asserted from the formatted plan, not prose."""
+    import contextlib
+    import io as _io
+
+    from video_stream_processor_spark.streaming import (
+        backfill_rollup,
+        compact_rollup,
+        read_rollup_tiered,
+    )
+
+    pdf = pd.DataFrame(FILE_A + FILE_B + FILE_C, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    live = str(tmp_path / "live")
+    base = str(tmp_path / "base")
+    backfill_rollup(ev, live)
+    compact_rollup(spark, live, base)
+
+    df = read_rollup_tiered(spark, live, base).filter(F.col("win_start") >= H11)
+    buf = _io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert len(pf) >= 2, plan  # one per tier
+    for ln in pf:
+        assert "win_start" in ln, ln
+    # and the predicate actually reduces what is read
+    assert df.count() < read_rollup_tiered(spark, live, base).count()
