@@ -177,3 +177,13 @@ def test_zorder_beats_cluster_by_on_second_dim_real_table(spark, sf_dir, tmp_pat
     # z-order: the same predicate skips a real share of the row groups
     assert z_c / z_n <= 0.75
     assert z_c / z_n < lin_c / lin_n
+
+
+def test_minmax_buckets_all_null_column_fails_loudly(spark):
+    from video_stream_processor_spark.operators.zorder import minmax_buckets
+
+    df = spark.range(10).select(
+        F.col("id"), F.lit(None).cast("long").alias("n")
+    )
+    with pytest.raises(ValueError, match="no non-null values"):
+        minmax_buckets(df, ["id", "n"])

@@ -77,7 +77,13 @@ def minmax_buckets(
             *[f for c in missing for f in (F.min(c), F.max(c))]
         ).first()
         for i, c in enumerate(missing):
-            found[c] = (row[2 * i], row[2 * i + 1])
+            lo, hi = row[2 * i], row[2 * i + 1]
+            if lo is None or hi is None:
+                raise ValueError(
+                    f"z-order column {c!r} has no non-null values — "
+                    "cannot derive a bucket range"
+                )
+            found[c] = (lo, hi)
     return [bucket_expr(c, *found[c], bits=bits) for c in cols]
 
 
