@@ -117,3 +117,27 @@ def test_cli_rollup_maintain_backfill_read(spark, sf_dir, tmp_path, capsys):
     n_tiered = spark.read.parquet(base).count()
     assert n_tiered == n_live
     assert main(["rollup", "--table-dir", live, "--compact"]) == 1  # missing --base-dir
+
+
+def test_cli_layout_zorder_roundtrip(spark, sf_dir, tmp_path, capsys):
+    """layout --zorder-by rewrites a fixture table losslessly through
+    the sink's Morton path; bad flag combinations exit 1 with a
+    message instead of a traceback."""
+    out = str(tmp_path / "zlaid")
+    assert main([
+        "layout", "--table", "lineitem", "--sf-dir", sf_dir,
+        "--output", out, "--zorder-by", "l_partkey", "l_suppkey",
+        "--zorder-files", "8",
+    ]) == 0
+    src = load_table(spark, sf_dir, "lineitem")
+    back = spark.read.parquet(out)
+    assert back.count() == src.count()
+    assert set(back.columns) == set(src.columns)
+    # exactly one of --input/--table
+    assert main(["layout", "--output", out]) == 1
+    # mutually exclusive layouts fail loudly, exit-code not traceback
+    assert main([
+        "layout", "--table", "lineitem", "--sf-dir", sf_dir,
+        "--output", out, "--cluster-by", "l_partkey",
+        "--zorder-by", "l_suppkey",
+    ]) == 1

@@ -295,6 +295,45 @@ def cmd_rollup(args: argparse.Namespace) -> int:
     return 0 if n > 0 else 1
 
 
+def cmd_layout(args: argparse.Namespace) -> int:
+    """Rewrite a parquet table with a physical layout tuned for its
+    read pattern (pipeline/sink.write_partitioned): hive partitioning
+    (--partition-by), linear in-file clustering (--cluster-by), or
+    multi-dimensional Z-order (--zorder-by, operators/zorder.py) —
+    the one-shot ops tool behind the layout story SCALE.md measures.
+    Input is either an arbitrary parquet path (--input) or a fixture
+    table (--table + --sf-dir)."""
+    if bool(args.input) == bool(args.table):
+        print("layout needs exactly one of --input or --table", file=sys.stderr)
+        return 1
+    from .pipeline.sink import write_partitioned
+
+    spark = _spark(args.cpus)
+    if args.table:
+        from .io import load_table
+
+        df = load_table(spark, args.sf_dir, args.table)
+    else:
+        df = spark.read.parquet(args.input)
+    try:
+        write_partitioned(
+            df,
+            args.output,
+            fmt=args.format,
+            partition_by=args.partition_by,
+            max_records_per_file=args.max_records_per_file,
+            cluster_by=args.cluster_by,
+            zorder_by=args.zorder_by,
+            zorder_files=args.zorder_files,
+        )
+    except ValueError as exc:  # e.g. cluster_by+zorder_by, all-null col
+        print(f"layout failed: {exc}", file=sys.stderr)
+        return 1
+    n = spark.read.format(args.format).load(args.output).count()
+    print(f"wrote {n} rows to {args.output}")
+    return 0 if n > 0 else 1
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="python -m video_stream_processor_spark")
     p.add_argument("--cpus", type=int, default=None)
@@ -384,6 +423,23 @@ def main(argv: list[str] | None = None) -> int:
                     help="max seconds for one maintenance pass; exceeding "
                     "it stops the query and exits 1 (checkpoint-resumable)")
     pr.set_defaults(fn=cmd_rollup)
+
+    pz = sub.add_parser(
+        "layout",
+        help="rewrite a parquet table with hive partitioning, linear "
+        "clustering, or multi-dimensional Z-order",
+    )
+    pz.add_argument("--input", default=None, help="input parquet path")
+    pz.add_argument("--table", default=None, help="fixture table name")
+    pz.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01"))
+    pz.add_argument("--output", required=True)
+    pz.add_argument("--format", default="parquet")
+    pz.add_argument("--partition-by", nargs="+", default=None)
+    pz.add_argument("--cluster-by", nargs="+", default=None)
+    pz.add_argument("--zorder-by", nargs="+", default=None)
+    pz.add_argument("--zorder-files", type=int, default=None)
+    pz.add_argument("--max-records-per-file", type=int, default=None)
+    pz.set_defaults(fn=cmd_layout)
 
     args = p.parse_args(argv)
     return args.fn(args)
