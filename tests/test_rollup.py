@@ -276,3 +276,62 @@ def test_tiered_read_time_predicate_prunes_partitions(spark, tmp_path):
         assert "win_start" in ln, ln
     # and the predicate actually reduces what is read
     assert df.count() < read_rollup_tiered(spark, live, base).count()
+
+
+def test_rollup_rows_equal_batch_twin_under_incremental_replay(spark, sf_dir, tmp_path):
+    """The exact-cents equivalence on REAL fixture data under
+    incremental micro-batching (the ADVICE-r4 hazard: float sums are
+    order-dependent, so a streaming-maintained partition could disagree
+    with its batch backfill twin at realistic row counts): replay the
+    whole events fixture as 5 time-banded files, one per trigger, and
+    require every window the maintainer materializes to be
+    cell-identical to the ONE-BATCH rollup of the full table. The
+    streaming side accumulates each window's sum across trigger-local
+    partials in state; the batch side sums in one pass in a different
+    order — integer-cents sums and HLL register merges are both
+    order-independent, so equality is exact, not approximate."""
+    from pyspark.sql import Window as W
+
+    from video_stream_processor_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # 5 contiguous time bands; land them oldest-first so arrival order
+    # is non-decreasing and the 30-min watermark never drops data
+    banded = ev.select(
+        *COLS, F.ntile(5).over(W.orderBy("ts", "event_id")).alias("_band")
+    ).toPandas()
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in sorted(banded["_band"].unique()):
+        time.sleep(1.1)  # mtime ordering = landing order for the source
+        banded[banded["_band"] == i].drop(columns="_band").to_parquet(
+            src / f"band{i}.parquet"
+        )
+
+    schema = spark.read.parquet(str(src)).schema
+    raw = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    live = str(tmp_path / "live")
+    q = start_rollup_maintenance(
+        _normalize_events(raw), live, str(tmp_path / "ckpt"),
+        watermark="30 minutes",
+    )
+    assert q.awaitTermination(300)
+
+    got = _table_rows(spark, live)
+    assert len(got) > 50, "too few windows closed — fixture/watermark drifted"
+    keys = {r[0] for r in got}
+    want = sorted(
+        map(
+            tuple,
+            rollup_stats(ev)
+            .filter(F.col("win_start").isin(*keys))
+            .select(*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx")
+            .collect(),
+        ),
+        key=_sk,
+    )
+    assert got == want
