@@ -243,6 +243,117 @@ def test_tiered_compaction_incremental_and_equivalent(spark, tmp_path):
     assert tiered_rows() == _table_rows(spark, live)
 
 
+def test_tiered_read_self_heals_when_compaction_dies_before_hwm(
+    spark, tmp_path, monkeypatch
+):
+    """Crash injection for the r5-verdict hazard: compact_rollup's base
+    overwrite lands but the process dies BEFORE the manifest advance.
+    The manifest then lags windows already present in base; a tiered
+    read trusting it would serve those windows from both tiers. The
+    read must instead derive the effective mark from base content and
+    stay value-identical to the live table through the crash window,
+    and a subsequent (retried) compaction must converge."""
+    from video_stream_processor_spark.streaming import (
+        compact_rollup,
+        read_rollup_tiered,
+    )
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    src = tmp_path / "src"
+    src.mkdir()
+    live = str(tmp_path / "live")
+    ckpt = str(tmp_path / "ckpt")
+    base = str(tmp_path / "base")
+
+    def maintain():
+        q = start_rollup_maintenance(
+            _events_stream(spark, src), live, ckpt, watermark="30 minutes"
+        )
+        q.awaitTermination(180)
+
+    def tiered_rows():
+        df = read_rollup_tiered(spark, live, base)
+        return sorted(
+            map(
+                tuple,
+                df.select(
+                    *ROLLUP_KEY, "n_events", "sum_value", "n_users_approx"
+                ).collect(),
+            ),
+            key=_sk,
+        )
+
+    _land(src, "a.parquet", FILE_A)
+    _land(src, "b.parquet", FILE_B)
+    maintain()
+    assert compact_rollup(spark, live, base) == H11  # healthy pass, mark=H11
+
+    # new window closes in live, then compaction CRASHES between its
+    # two steps: the base overwrite runs, the mark advance does not
+    _land(src, "c.parquet", FILE_C)
+    maintain()
+    monkeypatch.setattr(rollup_mod, "_write_hwm", lambda *_: None)
+    compact_rollup(spark, live, base)
+    monkeypatch.undo()
+    assert rollup_mod._read_hwm(base) == H11, "crash injection misfired"
+    base_keys = {
+        r[0]
+        for r in spark.read.parquet(base)
+        .select(F.col("win_start").cast("long"))
+        .collect()
+    }
+    assert H12 in base_keys, "crash injection misfired: base missing H12"
+
+    # the serving read heals: no duplicate keys, value-equal to live
+    got = tiered_rows()
+    assert len({r[:3] for r in got}) == len(got), "double-served windows"
+    assert got == _table_rows(spark, live)
+
+    # the retried compaction converges and the read stays equivalent
+    assert compact_rollup(spark, live, base) == H12
+    assert tiered_rows() == _table_rows(spark, live)
+
+
+def test_backfill_retraction_requires_replace_all(spark, tmp_path):
+    """The retraction caveat in backfill_rollup's contract, proven both
+    ways: when a correction removes EVERY event in a window, the
+    dynamic-overwrite re-run produces no row for that partition and
+    demonstrably leaves the stale directory behind (the documented
+    trap), while ``replace_all=True`` rewrites the table and the stale
+    window is gone."""
+    bf = str(tmp_path / "bf")
+
+    def events_of(rows):
+        pdf = pd.DataFrame(rows, columns=COLS)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        return _normalize_events(
+            spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA)
+        )
+
+    history = [(100, "2024-01-01 08:05:00", 9, "click", 4.0, "{}")]
+    backfill_rollup(events_of(history + FILE_A + FILE_B), bf)
+    assert {r[0] for r in _table_rows(spark, bf)} == {H08, H10, H11, H12}
+
+    # upstream correction deletes the ONLY 08:00 event → the recompute
+    # emits no H08 row; dynamic overwrite cannot retract the partition
+    corrected = events_of(FILE_A + FILE_B)
+    backfill_rollup(corrected, bf)
+    assert {r[0] for r in _table_rows(spark, bf)} == {H08, H10, H11, H12}, (
+        "dynamic overwrite unexpectedly retracted an empty window — "
+        "update the backfill_rollup docstring if Spark semantics changed"
+    )
+
+    # replace_all: static overwrite, the stale partition is gone and
+    # the surviving windows are untouched value-for-value
+    want = sorted(
+        (r for r in _table_rows(spark, bf) if r[0] != H08), key=_sk
+    )
+    backfill_rollup(corrected, bf, replace_all=True)
+    got = _table_rows(spark, bf)
+    assert {r[0] for r in got} == {H10, H11, H12}
+    assert got == want
+
+
 def test_tiered_read_time_predicate_prunes_partitions(spark, tmp_path):
     """The serving claim 'a reader's time-range predicate prunes
     partitions at the source': a win_start filter over the tiered read

@@ -28,6 +28,21 @@ change semantics with execution mode — so live and backfilled
 partitions are value-identical and the equivalence is testable as
 exact equality (HLL register merge is commutative: same data, same
 sketch, any order).
+
+**Version boundary (upgrading from the pre-exact-cents format):**
+round 5 changed the persisted aggregation (``sum_value`` is now
+derived from an exact integer-cents sum; ``n_users_approx`` tightened
+from the 5% default rsd to 2%). A maintainer restarted on an OLD
+checkpoint would hit streaming state-schema incompatibility, and
+partitions written by the old code differ (float-sum rounding, wider
+HLL error) from new backfills — silently breaking the documented
+live==backfill exact-equality invariant across the boundary. The
+upgrade procedure is therefore: start the new maintainer on a FRESH
+checkpoint into a fresh live dir, and run one full-history
+``backfill_rollup(..., replace_all=True)`` over every existing rollup
+table so all persisted rows carry the new semantics. (A real
+deployment would version the table format in a snapshot property;
+here the boundary is documented and the procedure is total.)
 """
 
 from __future__ import annotations
@@ -172,9 +187,14 @@ def compact_rollup(
     live tail above the mark).
 
     The mark is a tiny JSON manifest written atomically next to the
-    base table — the local stand-in for a table-format snapshot
-    pointer (Iceberg/Delta) on a real cluster. Returns the new mark,
-    or the old one when nothing new was compacted.
+    base table — ADVISORY only: `read_rollup_tiered` derives the
+    effective mark from base CONTENT, so a crash (or a concurrent
+    reader) between the base overwrite and the manifest advance can
+    never double-serve a window. The manifest is the local stand-in
+    for a table-format snapshot pointer (Iceberg/Delta) on a real
+    cluster; here it marks that a base tier exists and gives the next
+    compaction its incremental lower bound. Returns the new mark, or
+    the old one when nothing new was compacted.
     """
     prev = _read_hwm(base_dir)
     live = _read_table(spark, live_dir)
@@ -183,6 +203,14 @@ def compact_rollup(
     hwm = live.agg(F.max("win_start")).first()[0]
     if hwm is None:
         return prev
+    # Cap the written rows at the hwm SNAPSHOT: the write action below
+    # re-lists the live dir, so if the maintainer commits a newly
+    # closed window between the two actions, an uncapped write would
+    # compact it into base while the recorded mark stays below it —
+    # the same double-serve hazard the content-derived mark guards
+    # against, closed here at the source so base never outruns the
+    # value this pass returns.
+    live = live.filter(F.col("win_start") <= F.lit(int(hwm)))
     # Hash-shuffle on the partition column so each win_start directory
     # is written by exactly one task → ONE file per partition (modulo
     # the max_records_per_file split). Without it, every read task that
@@ -208,11 +236,28 @@ def read_rollup_tiered(
     """Serving read over a compacted table: the base holds everything
     up to the high-water mark in few, large, partition-pruned files;
     only the post-mark tail is read from the maintainer's small live
-    files."""
+    files.
+
+    Self-healing against a lagging manifest: if compaction crashed
+    between the base overwrite and the mark advance (or this read
+    races a running compaction), base already holds windows above the
+    manifest mark — serving the live tail from the stale mark would
+    return those windows twice, in the exact component whose contract
+    is replay-safety. The effective mark is therefore derived from
+    base CONTENT — ``max(manifest, max(base.win_start))`` — one tiny
+    aggregation over the partition column of the few large compacted
+    files (column-pruned to zero data columns), after which the live
+    tail is provably disjoint from base. The manifest alone decides
+    only whether a base tier exists at all (when it is absent, live is
+    the complete table: compaction never deletes live files, so base
+    is always a subset of live)."""
     hwm = _read_hwm(base_dir)
     if hwm is None:
         return _read_table(spark, live_dir)
     base = _read_table(spark, base_dir)
+    base_max = base.agg(F.max("win_start")).first()[0]
+    if base_max is not None and int(base_max) > hwm:
+        hwm = int(base_max)
     tail = _read_table(spark, live_dir).filter(F.col("win_start") > hwm)
     return base.unionByName(tail)
 
