@@ -169,28 +169,54 @@ def join_cross_theta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "join_range_events",
-    survey_ids="J6,A3",
+    survey_ids="J6,J8,A3",
     oracle="""
-SELECT
-  a.event_id AS event_id,
-  count(b.event_id) AS n_follow
+SELECT 'range' AS part,
+       a.event_id AS event_id,
+       NULL::BIGINT AS other_id,
+       count(b.event_id) AS n_follow,
+       NULL::BIGINT AS latency_ns,
+       NULL::DOUBLE AS val
 FROM events a
 LEFT JOIN events b
   ON a.user_id = b.user_id
  AND epoch_ns(b.ts) > epoch_ns(a.ts)
  AND epoch_ns(b.ts) <= epoch_ns(a.ts) + 3600000000000
 WHERE a.event_type = 'error'
-GROUP BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'attrib',
+       s.event_id,
+       p.event_id,
+       NULL::BIGINT,
+       epoch_ns(p.ts) - epoch_ns(s.ts),
+       round(p.value, 2)
+FROM events s
+JOIN events p
+  ON s.user_id = p.user_id
+ AND epoch_ns(p.ts) > epoch_ns(s.ts)
+ AND epoch_ns(p.ts) <= epoch_ns(s.ts) + 3600000000000
+WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
 """,
 )
 def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Range/interval join: events within 1h after each error event of
-    the same user. Equi-join on user_id carries the shuffle; the time
-    range is a post-join filter — pairs explode only within a user, so
-    cost is bounded by per-user activity, not table size. (Streaming
-    twin: stream-stream join with watermark + time-range condition.)
-    Comparisons use raw nanos (ts_ns) so sub-microsecond ordering
-    matches the nanosecond-precision oracle exactly."""
+    """Range/interval joins, two labeled legs in one result:
+
+    * ``range``: events within 1h after each error event of the same
+      user. Equi-join on user_id carries the shuffle; the time range
+      is a post-join filter — pairs explode only within a user, so
+      cost is bounded by per-user activity, not table size.
+      Comparisons use raw nanos (ts_ns) so sub-microsecond ordering
+      matches the nanosecond-precision oracle exactly.
+    * ``attrib``: the stream-stream interval join's batch twin (J8),
+      routed through the SAME builder the streaming query runs —
+      ``streaming.analytics.signup_purchase_attribution`` on batch
+      relations — so the oracle hash-checks the exact code path whose
+      streaming form `tests/test_streaming.py` pins equal to batch.
+      One row per (signup, purchase-within-1h) pair per user.
+    """
+    from ..streaming.analytics import signup_purchase_attribution
+
     ev = _t(spark, sf_dir, "events")
     a = ev.filter(F.col("event_type") == "error").select(
         F.col("event_id").alias("a_id"), F.col("user_id").alias("a_user"),
@@ -201,7 +227,7 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts_ns").alias("b_ns"),
     )
     hour_ns = 3_600_000_000_000
-    return (
+    range_leg = (
         a.join(
             b,
             (F.col("a_user") == F.col("b_user"))
@@ -211,7 +237,29 @@ def join_range_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a_id").alias("event_id"))
         .agg(F.count("b_id").alias("n_follow"))
+        .select(
+            F.lit("range").alias("part"),
+            "event_id",
+            F.lit(None).cast("long").alias("other_id"),
+            "n_follow",
+            F.lit(None).cast("long").alias("latency_ns"),
+            F.lit(None).cast("double").alias("val"),
+        )
     )
+    attrib = signup_purchase_attribution(
+        ev.filter(F.col("event_type") == "signup"),
+        ev.filter(F.col("event_type") == "purchase"),
+        horizon="1 hour",
+    )
+    attrib_leg = attrib.select(
+        F.lit("attrib").alias("part"),
+        F.col("signup_id").alias("event_id"),
+        F.col("purchase_id").alias("other_id"),
+        F.lit(None).cast("long").alias("n_follow"),
+        "latency_ns",
+        F.col("purchase_value").alias("val"),
+    )
+    return range_leg.unionByName(attrib_leg)
 
 
 @register(
