@@ -138,6 +138,21 @@ EXTRA_BUILDERS = {
 
 
 _ROLLUP_SRC: dict[str, str] = {}
+_TMP_ROOT: list[str] = []
+
+
+def _tmp_root() -> str:
+    """Per-PROCESS private scratch root (mkdtemp): two concurrent bench
+    invocations — or a stale dir owned by another process — must not
+    rmtree each other's staging/checkpoint dirs mid-run. Removed at
+    exit; the per-session source memo lives inside it."""
+    if not _TMP_ROOT:
+        import atexit
+
+        root = tempfile.mkdtemp(prefix="vsp_bench_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _TMP_ROOT.append(root)
+    return _TMP_ROOT[0]
 
 
 def _rollup_events_src(s, d: str) -> str:
@@ -150,7 +165,7 @@ def _rollup_events_src(s, d: str) -> str:
     outside the timed region (the warm passes populate it)."""
     if d not in _ROLLUP_SRC:
         src = os.path.join(
-            tempfile.gettempdir(), f"vsp_bench_rollup_src_{os.path.basename(d.rstrip('/'))}"
+            _tmp_root(), f"rollup_src_{os.path.basename(d.rstrip('/'))}"
         )
         shutil.rmtree(src, ignore_errors=True)
         # 4 time-ranged files → 4 triggers: enough watermark advances
@@ -175,7 +190,7 @@ def _rollup_maintain_serve(s, d):
     )
 
     src = _rollup_events_src(s, d)
-    out = os.path.join(tempfile.gettempdir(), "vsp_bench_rollup_out")
+    out = os.path.join(_tmp_root(), "rollup_out")
     shutil.rmtree(out, ignore_errors=True)
     live, base, ckpt = (os.path.join(out, x) for x in ("live", "base", "ckpt"))
     stream = (
@@ -210,7 +225,7 @@ def _zorder_write_pruned_read(s, d):
     leg is meaningful at any SF."""
     from video_stream_processor_spark.pipeline.sink import write_partitioned
 
-    out = os.path.join(tempfile.gettempdir(), "vsp_bench_zorder")
+    out = os.path.join(_tmp_root(), "zorder")
     shutil.rmtree(out, ignore_errors=True)
     li = load_table(s, d, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice"
