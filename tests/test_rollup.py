@@ -354,6 +354,39 @@ def test_backfill_retraction_requires_replace_all(spark, tmp_path):
     assert got == want
 
 
+def test_manifest_format_version_guard(tmp_path):
+    """The version boundary in the module docstring, enforced in code:
+    a base-tier manifest written by other-version code (including the
+    pre-round-5 format, which has no version key) must fail loudly on
+    read instead of letting tiered serving / compaction silently mix
+    aggregation semantics across the boundary."""
+    import json
+
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    base = tmp_path / "base"
+
+    # current-format round trip
+    rollup_mod._write_hwm(str(base), 12345)
+    assert rollup_mod._read_hwm(str(base)) == 12345
+    manifest = json.loads((base / rollup_mod._HWM_FILE).read_text())
+    assert manifest["format_version"] == rollup_mod.ROLLUP_FORMAT_VERSION
+
+    # pre-round-5 manifest: no version key → implicit version 1
+    (base / rollup_mod._HWM_FILE).write_text(
+        json.dumps({"win_start_hwm": 99})
+    )
+    with pytest.raises(ValueError, match="format.*version 1"):
+        rollup_mod._read_hwm(str(base))
+
+    # future-format manifest: refuse equally loudly
+    (base / rollup_mod._HWM_FILE).write_text(
+        json.dumps({"win_start_hwm": 99, "format_version": 999})
+    )
+    with pytest.raises(ValueError, match="version 999"):
+        rollup_mod._read_hwm(str(base))
+
+
 def test_tiered_read_time_predicate_prunes_partitions(spark, tmp_path):
     """The serving claim 'a reader's time-range predicate prunes
     partitions at the source': a win_start filter over the tiered read

@@ -42,7 +42,9 @@ checkpoint into a fresh live dir, and run one full-history
 ``backfill_rollup(..., replace_all=True)`` over every existing rollup
 table so all persisted rows carry the new semantics. (A real
 deployment would version the table format in a snapshot property;
-here the boundary is documented and the procedure is total.)
+here the compaction manifest carries ``format_version`` =
+`ROLLUP_FORMAT_VERSION` and `_read_hwm` refuses a mismatched base
+tier loudly instead of serving mixed-semantics rows.)
 """
 
 from __future__ import annotations
@@ -264,6 +266,15 @@ def read_rollup_tiered(
 
 _HWM_FILE = "_rollup_hwm.json"  # leading underscore: invisible to scans
 
+#: Persisted-row semantics version (module docstring, "Version
+#: boundary"). 2 = exact-integer-cents sums + 2%-rsd HLL (round 5);
+#: 1 = the pre-round-5 float-sum / 5%-rsd format, which has no
+#: manifest version key at all. Bump whenever the aggregation that
+#: lands in parquet changes meaning, so a reader on a base tier
+#: written by other-version code fails loudly instead of silently
+#: mixing semantics across the boundary.
+ROLLUP_FORMAT_VERSION = 2
+
 
 def _write_hwm(base_dir: str, hwm: int) -> None:
     import json
@@ -272,7 +283,9 @@ def _write_hwm(base_dir: str, hwm: int) -> None:
     os.makedirs(base_dir, exist_ok=True)
     tmp = os.path.join(base_dir, f".{_HWM_FILE}.tmp")
     with open(tmp, "w") as f:
-        json.dump({"win_start_hwm": hwm}, f)
+        json.dump(
+            {"win_start_hwm": hwm, "format_version": ROLLUP_FORMAT_VERSION}, f
+        )
     os.replace(tmp, os.path.join(base_dir, _HWM_FILE))
 
 
@@ -284,7 +297,19 @@ def _read_hwm(base_dir: str) -> int | None:
     if not os.path.exists(p):
         return None
     with open(p) as f:
-        return int(json.load(f)["win_start_hwm"])
+        manifest = json.load(f)
+    found = manifest.get("format_version", 1)
+    if found != ROLLUP_FORMAT_VERSION:
+        raise ValueError(
+            f"rollup base tier at {base_dir} was written with format "
+            f"version {found}, this code reads/writes version "
+            f"{ROLLUP_FORMAT_VERSION}; serving or compacting across the "
+            "boundary would mix aggregation semantics. Upgrade: fresh "
+            "maintainer checkpoint + full-history backfill_rollup("
+            "replace_all=True), then delete the old base tier (see the "
+            "module docstring, 'Version boundary')."
+        )
+    return int(manifest["win_start_hwm"])
 
 
 def _read_table(spark: SparkSession, path: str) -> DataFrame:
