@@ -14,7 +14,18 @@ Scale notes (100 TB):
   one row per (window, key) per input partition, not per event.
 * ``session_window`` state is per key; skewed users are the hazard —
   AQE skew handling covers the batch twin, and the watermark caps the
-  streaming state lifetime.
+  streaming state lifetime. Partial aggregation still applies (gap
+  merging is associative), so a hot user costs one merged row per
+  input partition on the shuffle wire, not one per event — measured
+  flat-or-falling under a 40%-of-events hot user (SCALE.md x8skew).
+  A user hot enough to overwhelm the single reducer that merges their
+  partials cannot be salted (all of a user's rows must meet to merge
+  gaps); the escape is pre-slicing the timeline — sessionize within
+  coarse (user, time-slice) groups, then stitch the few
+  slice-boundary sessions whose gap spans a cut in a second, tiny
+  pass. Not wired here: at that severity one user exceeds an
+  executor's share of a 100 TB day, which is a data-quality signal
+  (bot traffic) before it is a partitioning problem.
 """
 
 from __future__ import annotations
