@@ -123,6 +123,107 @@ def test_session_stream_equals_batch(spark, events_batch, events_stream, tmp_pat
     assert_same_rows(got, want)
 
 
+def _assert_sessions_equal(got, want):
+    """Exact on bounds/user/count; sum_value via cent-rounding (the
+    sliced path sums exact integer cents, the plain path rounds a
+    float sum — identical after rounding to cents)."""
+
+    def norm(rows):
+        return sorted(
+            (
+                r["sess_start"],
+                r["sess_end"],
+                r["user_id"],
+                r["n_events"],
+                None if r["sum_value"] is None else round(r["sum_value"], 2),
+            )
+            for r in rows
+        )
+
+    assert norm(got) == norm(want)
+
+
+def test_session_sliced_equals_plain_on_fixture(spark, events_batch):
+    """T7 hot-user escape: slice-and-stitch must reproduce plain
+    sessionization exactly on the fixture corpus."""
+    from video_stream_processor_spark.streaming import session_stats_sliced
+
+    want = session_stats(events_batch, gap="30 minutes").collect()
+    got = session_stats_sliced(
+        events_batch, gap="30 minutes", time_slice="6 hours"
+    ).collect()
+    assert len(want) > 0
+    _assert_sessions_equal(got, want)
+
+
+def test_session_sliced_hot_user_and_boundaries(spark):
+    """The corpus the escape exists for: one bot user holding >40% of
+    events in a single multi-day always-on session (every slice cut
+    lands inside it -> maximal stitch pressure), plus engineered
+    boundary cases: a gap of exactly `gap` across a slice cut (must
+    MERGE — session_window merges at <= gap, probe-verified; only a
+    strictly-larger gap splits), a gap of gap+1µs across a cut (must
+    SPLIT), and an event exactly ON a cut."""
+    import datetime as dt
+
+    from video_stream_processor_spark.streaming import session_stats_sliced
+
+    base = dt.datetime(2024, 3, 1, 0, 0, 0)
+    rows = []
+    # bot user 1: one event every 10 min for 48h -> ONE session spanning
+    # eight 6h slices; 289 events.
+    for i in range(289):
+        rows.append((1, base + dt.timedelta(minutes=10 * i), 1.25))
+    # user 2: two events 30m + 1µs apart straddling the 06:00 slice
+    # cut -> gap strictly exceeds the session gap, two sessions.
+    rows.append((2, base + dt.timedelta(hours=5, minutes=45), 2.0))
+    rows.append(
+        (2, base + dt.timedelta(hours=6, minutes=15, microseconds=1), 3.0)
+    )
+    # user 3: two events EXACTLY 30m apart straddling the 12:00 cut
+    # -> still one session (merge at <= gap).
+    rows.append((3, base + dt.timedelta(hours=11, minutes=45), 4.0))
+    rows.append((3, base + dt.timedelta(hours=12, minutes=15), 5.0))
+    # user 4: single event exactly ON the 18:00 cut (first µs of a slice).
+    rows.append((4, base + dt.timedelta(hours=18), 6.0))
+    # filler users so the bot is ~41% of events: 420 events over 100 users
+    for i in range(420):
+        rows.append((100 + i % 100, base + dt.timedelta(minutes=7 * i), 0.5))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    n_bot = 289
+    assert n_bot / len(rows) > 0.40
+
+    want = session_stats(df, gap="30 minutes").collect()
+    got = session_stats_sliced(df, gap="30 minutes", time_slice="6 hours").collect()
+    _assert_sessions_equal(got, want)
+    by_user = {}
+    for r in got:
+        by_user.setdefault(r["user_id"], []).append(r)
+    assert len(by_user[1]) == 1 and by_user[1][0]["n_events"] == n_bot
+    assert len(by_user[2]) == 2
+    assert len(by_user[3]) == 1 and by_user[3][0]["n_events"] == 2
+    assert len(by_user[4]) == 1
+
+    # the escape's reason to exist: the per-reducer key in pass 1 is
+    # (user, slice) — the bot's events spread over all 8 slices instead
+    # of meeting at one reducer
+    slices = {
+        r["_slice"]
+        for r in df.filter(F.col("user_id") == 1)
+        .select(F.expr("unix_micros(ts) div 21600000000").alias("_slice"))
+        .distinct()
+        .collect()
+    }
+    assert len(slices) >= 8
+
+
+def test_session_sliced_rejects_slice_below_gap(spark, events_batch):
+    from video_stream_processor_spark.streaming import session_stats_sliced
+
+    with pytest.raises(ValueError, match="must be >= gap"):
+        session_stats_sliced(events_batch, gap="30 minutes", time_slice="10 minutes")
+
+
 def test_stream_dedup_within_watermark(spark, sf_dir, events_batch, tmp_path):
     """T8: duplicated input (same file twice = every event_id twice)
     collapses back to the batch distinct count."""

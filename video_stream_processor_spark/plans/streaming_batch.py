@@ -206,12 +206,12 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_30m",
-    survey_ids="T7,W3",
+    survey_ids="T7,T9,W3",
     oracle="""
 WITH flagged AS (
   SELECT user_id, ts, value,
          CASE WHEN lag(ts) OVER w IS NULL
-                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
               THEN 1 ELSE 0 END AS new_sess
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -222,22 +222,88 @@ WITH flagged AS (
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
          ) AS sess
   FROM flagged
+), islands AS (
+  SELECT user_id, sess,
+         epoch_us(min(ts)) AS start_us,
+         epoch_us(max(ts)) AS last_us,
+         count(*) AS n_events,
+         round(sum(value), 2) AS sum_value,
+         sum(CAST(round(value * 100) AS BIGINT)) AS cents
+  FROM numbered
+  GROUP BY user_id, sess
 )
-SELECT CAST(floor(epoch(min(ts))) AS BIGINT) AS sess_start,
-       CAST(floor(epoch(max(ts))) AS BIGINT) + 1800 AS sess_end,
-       user_id,
-       count(*) AS n_events,
-       round(sum(value), 2) AS sum_value
-FROM numbered
-GROUP BY user_id, sess
+SELECT 'session' AS part,
+       start_us // 1000000 AS sess_start,
+       (last_us + 1800000000) // 1000000 AS sess_end,
+       user_id, n_events, sum_value
+FROM islands
+UNION ALL
+SELECT 'sliced',
+       start_us // 1000000,
+       (last_us + 1800000000) // 1000000,
+       user_id, n_events, cents / 100.0
+FROM islands
+UNION ALL
+SELECT 'closed', start_us, last_us + 1800000000, user_id, n_events,
+       NULL::DOUBLE
+FROM islands
 """,
 )
 def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T7 session windows (30m gap) per user. Session = maximal run of
-    a user's events with consecutive gaps < 30m; window = [first_ts,
-    last_ts + gap). Oracle = classic gaps-and-islands (lag + running
-    sum), proving the semantics rather than restating the API."""
-    return session_stats(load_table(spark, sf_dir, "events"), gap="30 minutes")
+    """T7/T9 session windows (30m gap) per user, three labeled legs
+    through three independent execution strategies that must agree:
+
+    * 'session': `session_stats` — the `F.session_window` aggregation
+      whose streaming form tests pin stream==batch; epoch-second
+      bounds [first_ts, last_ts + gap).
+    * 'sliced': `session_stats_sliced` — the time-slice-and-stitch
+      hot-user escape (sessionize per (user, 6h-slice), stitch
+      boundary sessions in a second pass over session summaries).
+      Identical values by the equivalence argument in its docstring;
+      hashing it against the same oracle proves the decomposition.
+    * 'closed': `closed_sessions_batch` — the batch twin the T9
+      arbitrary-stateful tests (`closed_user_sessions`,
+      applyInPandasWithState) pin exact equality against; routed
+      through that exact builder so the oracle evidences the
+      semantics the stateful operator converges to. Epoch-µs bounds
+      (the stateful path's native precision), no value sum.
+
+    Oracle = classic gaps-and-islands (lag + running sum), proving
+    the semantics rather than restating the API. The island split is
+    `gap > 30m` (NOT >=): session_window merges an event landing
+    exactly gap after the last one — probe-verified, pinned by the
+    exact-gap case in tests/test_streaming.py."""
+    from ..streaming.analytics import session_stats_sliced
+    from ..streaming.stateful import closed_sessions_batch
+
+    ev = load_table(spark, sf_dir, "events")
+    base = session_stats(ev, gap="30 minutes").select(
+        F.lit("session").alias("part"),
+        "sess_start",
+        "sess_end",
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+    sliced = session_stats_sliced(
+        ev, gap="30 minutes", time_slice="6 hours"
+    ).select(
+        F.lit("sliced").alias("part"),
+        "sess_start",
+        "sess_end",
+        "user_id",
+        "n_events",
+        "sum_value",
+    )
+    closed = closed_sessions_batch(ev, gap="30 minutes").select(
+        F.lit("closed").alias("part"),
+        F.unix_micros("session_start").alias("sess_start"),
+        F.unix_micros("session_end").alias("sess_end"),
+        "user_id",
+        "n_events",
+        F.lit(None).cast("double").alias("sum_value"),
+    )
+    return base.unionByName(sliced).unionByName(closed)
 
 
 @register(

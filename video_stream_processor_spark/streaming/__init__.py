@@ -11,6 +11,7 @@ file source and assert identical results.
 
 from .analytics import (  # noqa: F401
     session_stats,
+    session_stats_sliced,
     signup_purchase_attribution,
     sliding_counts,
     stream_dedup,

@@ -23,14 +23,16 @@ Scale notes (100 TB):
   gaps); the escape is pre-slicing the timeline — sessionize within
   coarse (user, time-slice) groups, then stitch the few
   slice-boundary sessions whose gap spans a cut in a second, tiny
-  pass. Not wired here: at that severity one user exceeds an
-  executor's share of a 100 TB day, which is a data-quality signal
-  (bot traffic) before it is a partitioning problem.
+  pass: `session_stats_sliced`, equivalence-pinned against
+  `session_stats` including a 40%-hot-user corpus
+  (tests/test_streaming.py). At that severity one user exceeding an
+  executor's share of a 100 TB day is also a data-quality signal
+  (bot traffic) — but the engine no longer falls over on it.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -175,8 +177,11 @@ def session_stats(
     """T7 session windows: per-user activity bursts separated by ≥gap.
 
     Semantics (must match the batch/SQL twin): a session is a maximal
-    run of a user's events where each consecutive pair is < gap apart;
-    window = [first_ts, last_ts + gap).
+    run of a user's events where each consecutive pair is <= gap apart
+    (probe-verified: an event landing EXACTLY gap after the last one
+    still merges; only a strictly-larger gap splits — matching the
+    stateful twin's `> gap_us` close rule); window = [first_ts,
+    last_ts + gap).
     """
     w = _maybe_watermark(events, watermark)
     agg = w.groupBy(F.session_window("ts", gap), "user_id").agg(
@@ -189,6 +194,106 @@ def session_stats(
         "user_id",
         "n_events",
         "sum_value",
+    )
+
+
+def session_stats_sliced(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    time_slice: str = "6 hours",
+) -> DataFrame:
+    """T7 at hostile skew — the time-slice-and-stitch escape for a user
+    too hot for one reducer (batch form; same output contract as
+    `session_stats`).
+
+    Plain sessionization shuffles ALL of a user's rows to the single
+    reducer that merges their gap state; salting cannot apply (every
+    row of a user must meet to merge gaps), so one bot/sentinel user
+    holding a material fraction of a 100 TB day serializes the stage.
+    The escape decomposes the merge:
+
+    1. **Slice** — sessionize within coarse ``(user_id, time-slice)``
+       groups: the shuffle key gains the slice, so a hot user's rows
+       spread over ``#slices`` reducers and per-task work is bounded
+       by one user-slice, not one user. Slicing is exact-arithmetic
+       (``unix_micros(ts) div slice_us``), so every event lands in
+       exactly one slice.
+    2. **Stitch** — a second, tiny pass over the LOCAL SESSION
+       summaries (not events): per user ordered by start, a local
+       session merges into its predecessor iff the boundary gap is
+       <= ``gap`` — exactly the merge rule sessionization applies to
+       consecutive events, so the composition is equivalent to global
+       sessionization (splits happen at real >gap gaps and nowhere
+       else). Rows here are O(sessions); a continuously-active hot
+       user contributes ≤ one row per slice, so the window sort that
+       was the scale-killer now runs on thousands of rows, not
+       billions.
+
+    ``sum_value`` aggregates exact integer cents (order-independent —
+    the two-pass addition order differs from the one-pass twin's;
+    float sums would drift, cents cannot).
+
+    Local sessions never interleave across slices (a slice-k session's
+    last event precedes every slice-k+1 event), so plain ``lag`` over
+    start order sees the true predecessor — no running-max needed.
+    """
+    gap_us = interval_ns(gap) // 1000
+    slice_us = interval_ns(time_slice) // 1000
+    if slice_us < gap_us:
+        raise ValueError(
+            f"time_slice {time_slice!r} must be >= gap {gap!r}: slices "
+            "narrower than the gap make every session a stitch case"
+        )
+    cents = F.round(F.col("value") * 100).cast("long")
+    local = (
+        events.withColumn(
+            "_slice", F.expr(f"unix_micros(ts) div {slice_us}")
+        )
+        .groupBy("user_id", "_slice", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum(cents).alias("_cents"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("session_window.start")).alias("_start_us"),
+            # session_window.end = last event + gap (half-open); recover
+            # the last-event instant for the boundary-gap test.
+            (F.unix_micros(F.col("session_window.end")) - gap_us).alias(
+                "_last_us"
+            ),
+            "n_events",
+            "_cents",
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("_start_us", "_last_us")
+    chained = local.withColumn(
+        "_new",
+        # merge iff boundary gap <= gap: session_window merges an event
+        # landing EXACTLY gap after the last one (probe-verified: the
+        # window is [start, last+gap] inclusive at merge time; only a
+        # strictly-larger gap splits) — the stateful twin's `> gap_us`
+        # close rule says the same thing
+        F.when(
+            F.col("_start_us") - F.lag("_last_us").over(w) <= F.lit(gap_us),
+            F.lit(0),
+        ).otherwise(F.lit(1)),  # lag NULL (first session) starts a chain
+    ).withColumn(
+        "_chain",
+        F.sum("_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        chained.groupBy("user_id", "_chain")
+        .agg(
+            F.min("_start_us").alias("_s"),
+            F.max("_last_us").alias("_l"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("_cents").alias("_c"),
+        )
+        .select(
+            F.expr("_s div 1000000").alias("sess_start"),
+            F.expr(f"(_l + {gap_us}) div 1000000").alias("sess_end"),
+            "user_id",
+            "n_events",
+            (F.col("_c") / 100.0).alias("sum_value"),
+        )
     )
 
 
@@ -266,17 +371,30 @@ def signup_purchase_attribution(
         F.col("ts_ns").alias("p_ts_ns"),
         F.col("value").alias("purchase_value"),
     )
+    # The join's time bounds run on the µs-truncated ``ts`` (what the
+    # streaming state manager evicts on); BOTH bounds of the pair
+    # predicate re-run on raw nanos below. The lower bound is >= (not
+    # >): a purchase in the SAME microsecond as the signup but with a
+    # later raw-nano timestamp is a qualifying pair at ns precision —
+    # a strict µs-level > would drop it while the ns-precision oracle
+    # counts it. ``latency_ns > 0`` then restores strictness exactly
+    # where it belongs. Still watermark/state-eviction compatible:
+    # both bounds remain on the watermarked ``ts`` columns.
     joined = s.join(
         p,
         (F.col("s_user") == F.col("p_user"))
-        & (F.col("p_ts") > F.col("s_ts"))
+        & (F.col("p_ts") >= F.col("s_ts"))
         & (F.col("p_ts") <= F.col("s_ts") + F.expr(f"INTERVAL {horizon}")),
         "inner",
     )
-    return joined.select(
-        F.col("s_user").alias("user_id"),
-        "signup_id",
-        "purchase_id",
-        (F.col("p_ts_ns") - F.col("s_ts_ns")).alias("latency_ns"),
-        F.round("purchase_value", 2).alias("purchase_value"),
-    ).filter(F.col("latency_ns") <= F.lit(horizon_ns))
+    return (
+        joined.select(
+            F.col("s_user").alias("user_id"),
+            "signup_id",
+            "purchase_id",
+            (F.col("p_ts_ns") - F.col("s_ts_ns")).alias("latency_ns"),
+            F.round("purchase_value", 2).alias("purchase_value"),
+        )
+        .filter(F.col("latency_ns") > 0)
+        .filter(F.col("latency_ns") <= F.lit(horizon_ns))
+    )
