@@ -1,0 +1,117 @@
+"""Deterministic mergeable HLL sketch (operators/hll.py).
+
+The property the module exists for — and that hll_sketch_agg
+(Datasketches) was probe-measured to lack — is that the register
+array is a pure function of the key SET: byte-identical across
+partitionings, merge orders, and derivation paths. These tests pin
+that, plus estimate accuracy against exact counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from video_stream_processor_spark.operators import hll
+
+
+def _sketch(df, key="u", group=None):
+    g = [group] if group else []
+    s1 = (
+        df.withColumn("_b", hll.bucket_col(key))
+        .withColumn("_r", hll.rho_col(key))
+        .groupBy(*g, "_b")
+        .agg(F.max("_r").alias("_r"))
+    )
+    s2 = s1.groupBy(*g).agg(hll.register_map_agg("_b", "_r").alias("_mp"))
+    return s2.select(
+        *g,
+        hll.map_to_registers("_mp").alias("regs"),
+        hll.estimate_col(hll.map_to_registers("_mp")).alias("est"),
+    )
+
+
+def test_registers_deterministic_across_partitionings(spark):
+    """Same key set -> byte-identical registers under 1, 7, and 32
+    partitions (the invariant Datasketches sparse mode breaks)."""
+    df = spark.range(5000).select(F.col("id").alias("u"))
+    a = _sketch(df.coalesce(1)).first()
+    b = _sketch(df.repartition(7)).first()
+    c = _sketch(df.repartition(32)).first()
+    assert a["regs"] == b["regs"] == c["regs"]
+    assert a["est"] == b["est"] == c["est"]
+
+
+def test_merge_equals_direct_exactly(spark):
+    """Element-wise max merge of per-part sketches == the sketch of
+    the union, byte for byte — the re-aggregability contract."""
+    df = spark.range(20000).select(
+        F.col("id").alias("u"), (F.col("id") % 5).alias("part")
+    )
+    parts = _sketch(df, group="part")
+    merged = parts.agg(hll.merge_registers_agg("regs").alias("regs")).select(
+        F.col("regs"), hll.estimate_col("regs").alias("est")
+    ).first()
+    direct = _sketch(df).first()
+    assert merged["regs"] == direct["regs"]
+    assert merged["est"] == direct["est"]
+    # idempotent: merging a sketch with itself changes nothing
+    twice = (
+        parts.unionByName(parts)
+        .agg(hll.merge_registers_agg("regs").alias("regs"))
+        .first()
+    )
+    assert twice["regs"] == direct["regs"]
+
+
+def test_null_keys_ignored(spark):
+    """NULL keys contribute nothing — count_distinct semantics."""
+    df = spark.createDataFrame([(1,), (2,), (None,), (None,)], "u long")
+    r = _sketch(df).first()
+    assert r["est"] == 2
+    only_null = _sketch(df.filter(F.col("u").isNull())).first()
+    assert only_null["est"] == 0
+    assert all(v == 0 for v in only_null["regs"])
+
+
+def test_estimate_accuracy_200_groups_one_pass(spark):
+    """Property test, fleet-style (one DataFrame, one collect): 200
+    groups with exact cardinalities from 3 to ~4000 — every estimate
+    within the ±10% serving bound, and within ±2% outside the
+    documented transition valley (est <= 2.5m)."""
+    m = 1 << hll.DEFAULT_P
+    df = spark.range(200_000).select(
+        F.pmod(F.col("id"), F.lit(200)).alias("g"),
+        F.col("id").alias("raw"),
+    )
+    # group g sees min(rows_g, 3*(g+1) + g*17) distinct users
+    df = df.withColumn(
+        "u", F.pmod(F.col("raw"), (F.col("g") + 1) * 3 + F.col("g") * 17)
+    )
+    exact = df.groupBy("g").agg(F.count_distinct("u").alias("exact"))
+    est = _sketch(df, group="g").select("g", "est")
+    rows = exact.join(est, "g").collect()
+    assert len(rows) == 200
+    errs = []
+    for r in rows:
+        diff = abs(r["est"] - r["exact"])
+        err = diff / max(r["exact"], 1)
+        assert err <= 0.10, (r["g"], r["exact"], r["est"])
+        if r["exact"] <= 2.5 * m:
+            # linear-counting region: ~1% rse — cap the max at ~3.5
+            # sigma (a 2% bound on a 200-group max is a coin flip) and
+            # allow one bucket collision absolute on tiny groups
+            assert err <= 0.04 or diff <= 2, (r["g"], r["exact"], r["est"])
+            errs.append(err)
+    # the real accuracy claim is the population, not the max
+    assert sum(errs) / len(errs) <= 0.015
+
+
+def test_small_cardinalities_exact(spark):
+    """Linear counting is exact-up-to-bucket-collisions for tiny sets
+    — the serving table's most common case (small per-window groups).
+    With 4096 buckets a collision first appears around n~=64
+    (birthday bound); below that the count is exact."""
+    for n in (1, 2, 5, 17, 64):
+        df = spark.range(n).select(F.col("id").alias("u"))
+        est = _sketch(df).first()["est"]
+        assert abs(est - n) <= (1 if n >= 64 else 0), (n, est)

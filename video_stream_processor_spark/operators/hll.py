@@ -1,0 +1,141 @@
+"""Deterministic, mergeable HLL sketch as a composition of built-in
+DataFrame ops — the re-aggregable distinct-count column for persisted
+rollup tiers (A5 at serving scale).
+
+Why not ``hll_sketch_agg`` (Datasketches, Spark >= 3.5)? Probe-measured
+on this build: its low-cardinality (sparse-mode) estimates depend on
+HOW the data was partitioned/merged — 500 distinct items estimated 500
+directly, 496 via a two-way union, 495 under repartition(13). A rollup
+table's core invariant is that live (streaming, micro-batch merge
+order) and backfilled (batch) partitions are VALUE-IDENTICAL, and that
+a coarser tier derived by merging sketches equals the tier computed
+directly from facts; Datasketches breaks both at exactly the group
+sizes a fixture exercises. This module instead keeps the classic HLL
+register array (Flajolet et al. 2007) explicit:
+
+* register index = low ``p`` bits of xxhash64(key);
+* register value = max over the group of rho(remaining 64-p bits)
+  (position of the first 1-bit, i.e. leading zeros + 1);
+* merge = element-wise max.
+
+Max is commutative, associative, and idempotent, so the register array
+is a pure function of the SET of keys — byte-identical regardless of
+partitioning, micro-batch boundaries, merge tree shape, or repeated
+merges. Estimates are then a deterministic function of the registers
+(raw HLL with linear counting for the small range — no bias tables;
+the +-10%-of-exact serving bound is held with >5 sigma at p=12).
+
+Scale shape: the sketch build is a two-phase aggregation —
+``groupBy(*keys, bucket)`` max-rho partials, then ``groupBy(*keys)``
+array assembly. Map-side partial aggregation caps the wire at
+min(distinct keys in the partition, 2^p) rows per (group, partition):
+the same shuffle shape as Spark's own exact count_distinct expansion,
+with a hard 2^p cap the exact form lacks. All expressions are
+JVM-side (whole-stage codegen); rho uses the exact integer path
+``bitlength = length(bin(w))`` — no float log2 edge cases.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default precision: m = 2^12 = 4096 registers, relative standard
+#: error 1.04/sqrt(m) ~= 1.6%. Max register value = 64 - 12 + 1 = 53,
+#: so registers fit a tinyint and a sketch is a 4 KiB array row —
+#: serving-table weight, not fact-table weight.
+DEFAULT_P = 12
+
+
+def bucket_col(key: Column | str, p: int = DEFAULT_P) -> Column:
+    """Register index: low p bits of xxhash64(key); NULL keys stay
+    NULL (distinct-count semantics ignore NULLs, like
+    count_distinct / approx_count_distinct)."""
+    key = F.col(key) if isinstance(key, str) else key
+    return F.when(
+        key.isNotNull(), F.xxhash64(key).bitwiseAND(F.lit((1 << p) - 1))
+    ).cast("int")
+
+
+def rho_col(key: Column | str, p: int = DEFAULT_P) -> Column:
+    """rho = 1 + leading zeros of the top 64-p hash bits. Exact
+    integer path: ``bin(w)`` renders w without leading zeros, so
+    bitlength(w) = length(bin(w)) and rho = (64-p) - bitlength + 1;
+    w = 0 (all 64-p bits zero) gets the sentinel 64-p+1."""
+    key = F.col(key) if isinstance(key, str) else key
+    w = F.shiftrightunsigned(F.xxhash64(key), p)
+    width = 64 - p
+    rho = F.when(w == 0, F.lit(width + 1)).otherwise(
+        F.lit(width + 1) - F.length(F.bin(w))
+    )
+    return F.when(key.isNotNull(), rho).cast("int")
+
+
+def register_map_agg(
+    bucket: str = "_hll_bucket", rho: str = "_hll_rho"
+) -> Column:
+    """Final-grain aggregation expression collecting the per-(group,
+    bucket) max-rho rows (the stage-1 output of the two-phase build)
+    into a bucket->rho map. Keys are unique per group by construction,
+    so collect_list's nondeterministic order cannot affect the map;
+    NULL buckets (NULL keys) are dropped. Convert to the canonical
+    array with `map_to_registers` in the post-aggregation select (a
+    lambda cannot wrap an aggregate, so assembly is split in two)."""
+    pairs = F.filter(
+        F.collect_list(F.struct(F.col(bucket).alias("b"), F.col(rho).alias("r"))),
+        lambda s: s.getField("b").isNotNull(),
+    )
+    return F.map_from_entries(pairs)
+
+
+def map_to_registers(mp: Column | str, p: int = DEFAULT_P) -> Column:
+    """bucket->rho map to the canonical fixed-order register array
+    (absent buckets = 0). Fixed iteration order makes the bytes a pure
+    function of the map contents."""
+    mp = F.col(mp) if isinstance(mp, str) else mp
+    m = 1 << p
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda i: F.coalesce(mp[i], F.lit(0)).cast("tinyint"),
+    )
+
+
+def merge_registers_agg(regs: str, p: int = DEFAULT_P) -> Column:
+    """Aggregation expression merging register arrays (element-wise
+    max) — how a coarser rollup tier derives its sketch from a finer
+    one without rescanning facts. Idempotent and order-independent,
+    so re-running a derivation converges byte-identically."""
+    m = 1 << p
+    return F.aggregate(
+        F.collect_list(regs),
+        F.expr(f"array_repeat(cast(0 as tinyint), {m})"),
+        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+    )
+
+
+def estimate_col(regs: Column | str, p: int = DEFAULT_P) -> Column:
+    """Distinct-count estimate from a register array — deterministic
+    given the registers, hence identical across execution modes and
+    derivation paths.
+
+    Estimator: ``min(linear counting, raw HLL)`` while any register is
+    zero, raw HLL (alpha_m * m^2 / sum(2^-M_j)) after. Both estimators
+    are positively biased through the 2.5m-6m transition (measured at
+    p=12: raw peaks at +15% low / +5.5% mid, LC at +14% past 5m), so
+    the min dominates either alone and needs no empirical bias tables;
+    worst measured error across the 0-500k sweep is +5.5% (n ~= 6m),
+    <=1% outside the transition — the +-10% serving bound holds with
+    ~2x margin everywhere."""
+    regs = F.col(regs) if isinstance(regs, str) else regs
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    inv_sum = F.aggregate(
+        regs,
+        F.lit(0.0),
+        lambda acc, x: acc + F.pow(F.lit(2.0), -x.cast("double")),
+    )
+    zeros = F.size(F.filter(regs, lambda x: x == 0))
+    raw = F.lit(alpha * m * m) / inv_sum
+    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+    est = F.when(zeros > 0, F.least(lc, raw)).otherwise(raw)
+    return F.round(est).cast("long")

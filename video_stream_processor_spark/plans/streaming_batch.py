@@ -107,6 +107,17 @@ SELECT 'rollup_1h',
        1::BIGINT
 FROM events
 GROUP BY 2, 3, 4
+UNION ALL
+SELECT 'rollup_1d_derived',
+       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT),
+       CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) + 86400,
+       event_type,
+       count(*),
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0,
+       NULL::DOUBLE,
+       1::BIGINT
+FROM events
+GROUP BY 2, 3, 4
 """,
 )
 def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -129,11 +140,16 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       builder both the streaming maintainer and the batch backfill
       write through), driver-oracle-evidenced here in batch form.
       n_events and the exact-cents sum_value check value-for-value;
-      the HLL++ ``n_users_approx`` is engine-specific, so — as in
+      ``n_users_approx`` (since r7 the deterministic register-sketch
+      estimate, operators/hll.py) is engine-specific, so — as in
       ``agg_counts_suite`` — the ``n_users`` slot carries the ERROR
       BOUND claim instead (1 iff the sketch lands within ±10% of the
       exact per-group distinct count; the oracle claims 1). The
-      live==backfill equality itself is pinned in tests/test_rollup.py.
+      live==backfill equality itself is pinned in tests/test_rollup.py;
+    * 'rollup_1d_derived': the day tier derived from the hour tier's
+      persisted mergeable sketches (``coarsen_rollup``) — sums of sums
+      exact vs the oracle's direct day recompute, merged-sketch
+      estimate bound-checked against the true day distinct count.
     """
     ev = load_table(spark, sf_dir, "events")
     tum = tumbling_stats(ev, size="1 hour").select(
@@ -201,7 +217,53 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_users"),
     )
-    return tum.unionByName(sli).unionByName(wm).unionByName(rol)
+    # rollup_1d_derived: the day tier DERIVED from the hour tier's
+    # mergeable sketches (streaming.rollup.coarsen_rollup) — no fact
+    # rescan on the Spark side; the oracle recomputes the day grain
+    # directly from events, so a hash match proves sums-of-sums
+    # exactness AND (via the same ±10%-bound slot) that the MERGED
+    # sketch's estimate tracks the true day-level distinct count.
+    # Derived==direct byte equality is pinned in tests/test_rollup.py.
+    from ..streaming.rollup import coarsen_rollup
+
+    day = coarsen_rollup(roll, "1 day")
+    exact_day = windowed_to_flat(
+        ev.groupBy(F.window("ts", "1 day"), "event_type").agg(
+            F.count_distinct("user_id").alias("_exact_users")
+        )
+    ).select(
+        F.col("win_start").alias("_e_ws"),
+        F.col("win_end").alias("_e_we"),
+        F.col("event_type").alias("_e_et"),
+        "_exact_users",
+    )
+    cond_day = (
+        day["win_start"].eqNullSafe(exact_day["_e_ws"])
+        & day["win_end"].eqNullSafe(exact_day["_e_we"])
+        & day["event_type"].eqNullSafe(exact_day["_e_et"])
+    )
+    rol_day = day.join(exact_day, cond_day, "inner").select(
+        F.lit("rollup_1d_derived").alias("kind"),
+        "win_start",
+        "win_end",
+        "event_type",
+        "n_events",
+        "sum_value",
+        F.lit(None).cast("double").alias("avg_value"),
+        F.col("n_users_approx")
+        .between(
+            F.floor(F.col("_exact_users") * 0.9).cast("long"),
+            F.ceil(F.col("_exact_users") * 1.1).cast("long"),
+        )
+        .cast("long")
+        .alias("n_users"),
+    )
+    return (
+        tum.unionByName(sli)
+        .unionByName(wm)
+        .unionByName(rol)
+        .unionByName(rol_day)
+    )
 
 
 @register(

@@ -20,7 +20,9 @@ from .analytics import (  # noqa: F401
 )
 from .rollup import (  # noqa: F401
     backfill_rollup,
+    coarsen_rollup,
     compact_rollup,
+    migrate_rollup,
     read_rollup,
     read_rollup_tiered,
     rollup_stats,

@@ -63,42 +63,137 @@ ROLLUP_KEY = ["win_start", "win_end", "event_type"]
 
 def rollup_stats(events: DataFrame, size: str = "1 hour") -> DataFrame:
     """Mode-agnostic rollup aggregation: per (tumbling window,
-    event_type) counts, value sum, and HLL++ distinct users.
+    event_type) counts, value sum, and a MERGEABLE deterministic HLL
+    distinct-users sketch (operators/hll.py) with its estimate.
 
-    Unlike ``tumbling_stats`` (whose batch twin uses exact
-    count_distinct for oracle checking), this deliberately uses
-    ``approx_count_distinct`` in BOTH modes: rows written by the
-    streaming maintainer and by the batch backfill must be
-    value-identical, or a backfilled partition would disagree with the
-    live partition beside it.
+    Every persisted value must be identical whether a partition was
+    written by the streaming maintainer (micro-batch merge order) or
+    the batch backfill — and, since round 7, whether a tier was
+    computed from facts or derived from a finer tier
+    (`coarsen_rollup`). That rules out two tempting built-ins:
 
-    ``sum_value`` aggregates EXACT integer cents for the same reason
-    (and the same reason ``tumbling_stats`` does): double summation is
-    order-dependent, and the maintainer sums in micro-batch arrival
-    order while the backfill sums in one batch — at large per-group
-    row counts the accumulated float error exceeds any rounding
-    margin. Integer cents sum identically in any order, so live and
-    backfilled partitions are value-identical by construction (HLL
-    register merge is likewise commutative).
+    * ``approx_count_distinct`` persists only the ESTIMATE — distinct
+      counts don't sum, so an hour tier could never derive a day tier
+      without rescanning the fact table (the recompute this module
+      exists to avoid);
+    * ``hll_sketch_agg`` (Datasketches) persists a mergeable sketch,
+      but probe-measured on this build its sparse-mode estimates
+      depend on how the data was partitioned/merged (500 distinct ->
+      500 direct, 496 via union, 495 under repartition(13)) — silently
+      breaking the live==backfill exact-equality invariant at exactly
+      the group sizes fixtures exercise.
+
+    The register-array sketch is a pure function of the user SET
+    (element-wise max merge: commutative, associative, idempotent), so
+    live, backfilled, and derived rows are byte-identical by
+    construction, and ``n_users_approx`` is derived FROM the persisted
+    registers (deterministic estimate, measured <=±5.5% worst-case,
+    well inside the ±10% serving bound).
+
+    ``sum_value`` aggregates EXACT integer cents for the same reason:
+    double summation is order-dependent; integer cents sum identically
+    in any order.
+
+    Scale shape: two-phase aggregation — (window, event_type, bucket)
+    max-rho partials, then (window, event_type) assembly. Map-side
+    partial aggregation caps the first shuffle at min(distinct users
+    in partition, 4096) rows per group per partition — the same wire
+    shape as exact count_distinct's expansion with a hard 4096 cap it
+    lacks; the second shuffle carries <=4096 rows per group total. In
+    streaming mode this is a chained stateful aggregation (append
+    mode, Spark >= 3.4 multi-stateful-operator support — probe-run on
+    this build before adoption).
     """
+    from ..operators import hll
+
     cents = F.round(F.col("value") * 100).cast("long")
-    agg = events.groupBy(F.window("ts", size), "event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.sum(cents).alias("_cents"),
-        # rsd=2% (not the 5% default): a serving table's distinct
-        # counts should be tight, and ±10% then bounds the estimate at
-        # 5 standard deviations — stable enough to claim as an oracle
-        # error bound at every fixture scale (5% rsd put 4/3600 sf0.1
-        # groups outside ±10%).
-        F.approx_count_distinct("user_id", 0.02).alias("n_users_approx"),
+    stage1 = (
+        events.withColumn("_b", hll.bucket_col("user_id"))
+        .withColumn("_r", hll.rho_col("user_id"))
+        .groupBy(F.window("ts", size), "event_type", "_b")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.sum(cents).alias("_c"),
+            F.max("_r").alias("_r"),
+        )
     )
-    return windowed_to_flat(agg).select(
+    agg = stage1.groupBy("window", "event_type").agg(
+        F.sum("_n").alias("n_events"),
+        F.sum("_c").alias("_cents"),
+        hll.register_map_agg("_b", "_r").alias("_mp"),
+    )
+    flat = windowed_to_flat(agg).withColumn(
+        "n_users_sketch", hll.map_to_registers("_mp")
+    )
+    return flat.select(
         "win_start",
         "win_end",
         "event_type",
         "n_events",
         (F.col("_cents") / 100.0).alias("sum_value"),
-        "n_users_approx",
+        hll.estimate_col("n_users_sketch").alias("n_users_approx"),
+        "n_users_sketch",
+    )
+
+
+def coarsen_rollup(finer: DataFrame, to_size: str = "1 day") -> DataFrame:
+    """Derive a coarser rollup tier from a finer one WITHOUT rescanning
+    the fact table — the reason the persisted sketch is mergeable.
+
+    ``n_events``/cents are exact sums of sums; the user sketch merges
+    by element-wise register max, so the derived sketch (and therefore
+    the derived ``n_users_approx``) is byte-identical to computing the
+    coarse tier directly from facts — pinned as exact equality in
+    tests, not an error bound.
+
+    Every fine window must nest inside one coarse window; a straddling
+    window cannot be split from summaries, so the bucketing expression
+    raises loudly instead of mis-assigning it. Bucketing uses
+    pmod-floor (not `div`) so pre-epoch win_starts floor correctly.
+
+    Scale shape: one shuffle on (coarse window, event_type); groups
+    merge <=(to_size/from_size) register arrays each via collect_list
+    — bounded driver-free work (a day coarsens 24 hour-rows)."""
+    from ..operators import hll
+    from .analytics import interval_ns
+
+    to_secs = interval_ns(to_size) // 1_000_000_000
+    bucket = F.col("win_start") - F.pmod(F.col("win_start"), F.lit(to_secs))
+    end_bucket = (F.col("win_end") - 1) - F.pmod(
+        F.col("win_end") - 1, F.lit(to_secs)
+    )
+    safe_bucket = F.when(bucket == end_bucket, bucket).otherwise(
+        F.expr(
+            f"raise_error(concat('coarsen_rollup: fine window [', win_start,"
+            f" ', ', win_end, ') straddles a {to_secs}s boundary — it cannot"
+            f" be split from summaries; coarsen only to multiples of the"
+            f" fine window size'))"
+        ).cast("long")
+    )
+    cents = F.round(F.col("sum_value") * 100).cast("long")
+    agg = (
+        finer.select(
+            safe_bucket.alias("win_start"),
+            "event_type",
+            "n_events",
+            cents.alias("_c"),
+            "n_users_sketch",
+        )
+        .groupBy("win_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("_c").alias("_cents"),
+            hll.merge_registers_agg("n_users_sketch").alias("n_users_sketch"),
+        )
+    )
+    return agg.select(
+        "win_start",
+        (F.col("win_start") + to_secs).alias("win_end"),
+        "event_type",
+        "n_events",
+        (F.col("_cents") / 100.0).alias("sum_value"),
+        hll.estimate_col("n_users_sketch").alias("n_users_approx"),
+        "n_users_sketch",
     )
 
 
@@ -175,6 +270,7 @@ def compact_rollup(
     live_dir: str,
     base_dir: str,
     max_records_per_file: int = 1_000_000,
+    writers_per_window: int = 1,
 ) -> int | None:
     """Tiered compaction — the operational answer to the streaming
     sink's small-files problem (every trigger appends a file per
@@ -218,11 +314,22 @@ def compact_rollup(
     # the max_records_per_file split). Without it, every read task that
     # touches a window emits its own file and the "compacted" base
     # inherits a fraction of the small-files problem it exists to fix
-    # (measured: ~4 files/partition → 1). A pathologically hot window
-    # still caps at max_records_per_file rows per file.
+    # (measured: ~4 files/partition → 1). A window whose row count
+    # (high-cardinality group column) is too hot for one writer can be
+    # split across ``writers_per_window`` tasks — the split key is a
+    # hash of the in-partition group column, so the pass still
+    # converges to <=writers_per_window files per partition instead of
+    # one file per reading task (maxRecordsPerFile splits FILES, not
+    # work; this splits the work).
+    if writers_per_window > 1:
+        dist = live.repartition(
+            F.col("win_start"),
+            F.pmod(F.xxhash64("event_type"), F.lit(writers_per_window)),
+        )
+    else:
+        dist = live.repartition("win_start")
     (
-        live.repartition("win_start")
-        .write.mode("overwrite")
+        dist.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .option("maxRecordsPerFile", max_records_per_file)
         .partitionBy("win_start")
@@ -245,35 +352,51 @@ def read_rollup_tiered(
     races a running compaction), base already holds windows above the
     manifest mark — serving the live tail from the stale mark would
     return those windows twice, in the exact component whose contract
-    is replay-safety. The effective mark is therefore derived from
-    base CONTENT — ``max(manifest, max(base.win_start))`` — one tiny
-    aggregation over the partition column of the few large compacted
-    files (column-pruned to zero data columns), after which the live
-    tail is provably disjoint from base. The manifest alone decides
-    only whether a base tier exists at all (when it is absent, live is
-    the complete table: compaction never deletes live files, so base
-    is always a subset of live)."""
+    is replay-safety. And the converse hazard (round-6 advisor): a
+    crash mid job-commit of the dynamic overwrite can leave base with
+    a LATER window present and an earlier one missing, so any healed
+    single mark (e.g. max(base.win_start)) would skip past the gap
+    and silently under-serve the missing window. The tail is therefore
+    derived PER WINDOW, not by a mark: live windows above the manifest
+    mark, left-anti-joined on ``win_start`` against the windows base
+    actually holds — every window is served exactly once whether base
+    ran ahead, fell behind, or tore. The anti-join's build side is the
+    distinct partition values of the few large compacted files
+    (column-pruned to zero data columns, broadcast-weight), and unlike
+    the previous max()-heal it costs no extra driver action. The
+    manifest alone decides only whether a base tier exists at all
+    (when it is absent, live is the complete table: compaction never
+    deletes live files, so base is always a subset of live) — and
+    carries the format-version guard."""
     hwm = _read_hwm(base_dir)
     if hwm is None:
         return _read_table(spark, live_dir)
     base = _read_table(spark, base_dir)
-    base_max = base.agg(F.max("win_start")).first()[0]
-    if base_max is not None and int(base_max) > hwm:
-        hwm = int(base_max)
-    tail = _read_table(spark, live_dir).filter(F.col("win_start") > hwm)
+    tail = (
+        _read_table(spark, live_dir)
+        .filter(F.col("win_start") > hwm)
+        .join(
+            base.select("win_start").distinct(),
+            on="win_start",
+            how="left_anti",
+        )
+    )
     return base.unionByName(tail)
 
 
 _HWM_FILE = "_rollup_hwm.json"  # leading underscore: invisible to scans
 
 #: Persisted-row semantics version (module docstring, "Version
-#: boundary"). 2 = exact-integer-cents sums + 2%-rsd HLL (round 5);
-#: 1 = the pre-round-5 float-sum / 5%-rsd format, which has no
-#: manifest version key at all. Bump whenever the aggregation that
-#: lands in parquet changes meaning, so a reader on a base tier
+#: boundary"). 3 = mergeable deterministic-HLL ``n_users_sketch``
+#: column + sketch-derived ``n_users_approx`` (round 7);
+#: 2 = exact-integer-cents sums + 2%-rsd HLL++ estimate, no sketch
+#: (round 5); 1 = the pre-round-5 float-sum / 5%-rsd format, which
+#: has no manifest version key at all. Bump whenever the aggregation
+#: that lands in parquet changes meaning, so a reader on a base tier
 #: written by other-version code fails loudly instead of silently
-#: mixing semantics across the boundary.
-ROLLUP_FORMAT_VERSION = 2
+#: mixing semantics across the boundary. Executable upgrade path:
+#: `migrate_rollup`.
+ROLLUP_FORMAT_VERSION = 3
 
 
 def _write_hwm(base_dir: str, hwm: int) -> None:
@@ -317,6 +440,41 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
     # backfill frames union/join without implicit casts
     df = spark.read.parquet(path)
     return df.withColumn("win_start", F.col("win_start").cast("long"))
+
+
+def migrate_rollup(
+    events_batch: DataFrame,
+    new_live_dir: str,
+    old_base_dir: str | None = None,
+    old_live_dir: str | None = None,
+    size: str = "1 hour",
+) -> None:
+    """Executable form of the module docstring's "Version boundary"
+    upgrade procedure — so recovery from a `_read_hwm` version-guard
+    failure is one call, not prose:
+
+    1. full-history backfill into a FRESH live dir with the current
+       format (``replace_all`` static overwrite — every partition
+       carries the new semantics);
+    2. delete the old base tier (stale manifest + old-format files) —
+       the next `compact_rollup` against the new live dir rebuilds it
+       from scratch under the current format version;
+    3. optionally delete the old live dir (its ``_spark_metadata``
+       transaction log refers to old-format files and must never be
+       unioned with new-format rows).
+
+    The caller must then start the maintainer on ``new_live_dir`` with
+    a FRESH checkpoint — resuming the old checkpoint would hit
+    streaming state-schema incompatibility by design. A fresh dir
+    (rather than overwriting the old live dir in place) because the
+    file sink's ``_spark_metadata`` log would shadow batch-written
+    files on read."""
+    import shutil
+
+    backfill_rollup(events_batch, new_live_dir, size=size, replace_all=True)
+    for d in (old_base_dir, old_live_dir):
+        if d is not None:
+            shutil.rmtree(d, ignore_errors=True)
 
 
 def read_rollup(
