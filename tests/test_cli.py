@@ -5,6 +5,9 @@ engine surface the reference lacks)."""
 
 from __future__ import annotations
 
+import pytest
+from pyspark.sql import functions as F
+
 from video_stream_processor_spark.__main__ import main
 from video_stream_processor_spark.io import load_table
 
@@ -141,3 +144,64 @@ def test_cli_layout_zorder_roundtrip(spark, sf_dir, tmp_path, capsys):
         "--output", out, "--cluster-by", "l_partkey",
         "--zorder-by", "l_suppkey",
     ]) == 1
+
+
+def test_cli_layout_in_place_staged_rewrite(spark, sf_dir, tmp_path, capsys):
+    """--output == --input triggers the staged rewrite (temp write ->
+    verify -> atomic swap): content row-identical, layout applied,
+    no scratch dirs left behind."""
+    import os
+
+    src = load_table(spark, sf_dir, "nation")
+    tbl = str(tmp_path / "nation_tbl")
+    src.write.parquet(tbl)
+    before = sorted(map(tuple, spark.read.parquet(tbl).collect()))
+
+    assert main([
+        "layout", "--input", tbl, "--output", tbl,
+        "--cluster-by", "n_regionkey",
+    ]) == 0
+    assert "rewrote" in capsys.readouterr().out
+    after = sorted(map(tuple, spark.read.parquet(tbl).collect()))
+    assert after == before
+    assert not os.path.exists(tbl + ".__rewrite_tmp__")
+    assert not os.path.exists(tbl + ".__rewrite_bak__")
+
+
+def test_in_place_rewrite_crash_leaves_original_intact(spark, tmp_path, monkeypatch):
+    """Crash injection: die after the staged write, before the swap —
+    the original must keep serving, and the scratch dir is cleaned."""
+    import os
+
+    from video_stream_processor_spark.pipeline import sink as sink_mod
+
+    tbl = str(tmp_path / "t")
+    spark.range(100).withColumn("v", F.col("id") * 2).write.parquet(tbl)
+    before = sorted(map(tuple, spark.read.parquet(tbl).collect()))
+
+    def boom(tmp, final, bak):
+        raise RuntimeError("injected crash before swap")
+
+    monkeypatch.setattr(sink_mod, "_swap_dirs", boom)
+    with pytest.raises(RuntimeError, match="injected"):
+        sink_mod.rewrite_in_place(
+            spark, tbl, lambda d, p: d.write.parquet(p)
+        )
+    assert sorted(map(tuple, spark.read.parquet(tbl).collect())) == before
+    assert not os.path.exists(tbl + ".__rewrite_tmp__")
+
+    # a corrupting write_fn is refused at verification, original intact
+    with pytest.raises(sink_mod.SinkVerificationError, match="verification"):
+        sink_mod.rewrite_in_place(
+            spark, tbl, lambda d, p: d.limit(10).write.parquet(p)
+        )
+    assert sorted(map(tuple, spark.read.parquet(tbl).collect())) == before
+
+    # a leftover backup dir (crash between the two renames) blocks a
+    # new rewrite instead of clobbering the evidence
+    os.makedirs(tbl + ".__rewrite_bak__")
+    monkeypatch.undo()
+    with pytest.raises(sink_mod.SinkVerificationError, match="backup"):
+        sink_mod.rewrite_in_place(
+            spark, tbl, lambda d, p: d.write.parquet(p)
+        )

@@ -306,19 +306,18 @@ def cmd_layout(args: argparse.Namespace) -> int:
     if bool(args.input) == bool(args.table):
         print("layout needs exactly one of --input or --table", file=sys.stderr)
         return 1
-    from .pipeline.sink import write_partitioned
+    from .pipeline.sink import (
+        SinkVerificationError,
+        rewrite_in_place,
+        write_partitioned,
+    )
 
     spark = _spark(args.cpus)
-    if args.table:
-        from .io import load_table
 
-        df = load_table(spark, args.sf_dir, args.table)
-    else:
-        df = spark.read.parquet(args.input)
-    try:
+    def _write(df, path):
         write_partitioned(
             df,
-            args.output,
+            path,
             fmt=args.format,
             partition_by=args.partition_by,
             max_records_per_file=args.max_records_per_file,
@@ -326,7 +325,26 @@ def cmd_layout(args: argparse.Namespace) -> int:
             zorder_by=args.zorder_by,
             zorder_files=args.zorder_files,
         )
-    except ValueError as exc:  # e.g. cluster_by+zorder_by, all-null col
+
+    in_place = args.input and os.path.abspath(
+        args.input.rstrip("/")
+    ) == os.path.abspath(args.output.rstrip("/"))
+    try:
+        if in_place:
+            # rewriting a table onto itself: staged write -> verify ->
+            # atomic swap (Spark refuses the direct overwrite-from-read,
+            # and rightly so — pipeline/sink.rewrite_in_place)
+            n = rewrite_in_place(spark, args.input, _write, fmt=args.format)
+            print(f"rewrote {n} rows in place at {args.output}")
+            return 0 if n > 0 else 1
+        if args.table:
+            from .io import load_table
+
+            df = load_table(spark, args.sf_dir, args.table)
+        else:
+            df = spark.read.parquet(args.input)
+        _write(df, args.output)
+    except (ValueError, SinkVerificationError) as exc:
         print(f"layout failed: {exc}", file=sys.stderr)
         return 1
     n = spark.read.format(args.format).load(args.output).count()

@@ -105,6 +105,96 @@ def write_partitioned(
     writer.format(fmt).save(path)
 
 
+def _swap_dirs(tmp: str, final: str, bak: str) -> None:
+    """Two renames; split out so crash tests can inject a failure
+    between write and swap."""
+    os.rename(final, bak)
+    os.rename(tmp, final)
+
+
+def rewrite_in_place(
+    spark,
+    path: str,
+    write_fn,
+    fmt: str = "parquet",
+    verify_checksum: bool = True,
+) -> int:
+    """Rewrite a table's physical layout ONTO ITSELF — the natural ops
+    invocation Spark (correctly) refuses as a direct
+    overwrite-from-read: the scan would list files the overwrite is
+    deleting. The ops-grade staged form:
+
+    1. **stage** — read ``path`` lazily and let ``write_fn(df,
+       tmp_dir)`` produce the full re-laid-out copy next to the
+       target (same filesystem, so the later rename is a metadata op);
+    2. **verify** — re-read the staged copy and compare row count
+       and (optionally) an order-independent content checksum against
+       the ORIGINAL — a bad rewrite refuses to swap and the original
+       is untouched. The checksum is the pair (bit_xor(xxhash64(all
+       cols sorted by name)), sum(pmod(xxhash64, 2^16))): XOR commutes
+       and never overflows but is blind to even-multiplicity changes,
+       the bounded modular sum counts multiplicity and stays inside a
+       LONG past 10^14 rows (ANSI mode forbids a wrapping raw sum) —
+       together they're order/layout-independent and duplicate-aware;
+    3. **swap** — rename original -> ``<path>.__rewrite_bak__``,
+       staged -> original, then delete the backup.
+
+    Crash contract: any failure up to and including verification
+    leaves the original serving; the only non-atomic window is
+    between the two renames, which leaves ``.__rewrite_bak__``
+    holding the intact original (recover by renaming it back — the
+    guard below refuses to start a new rewrite while one exists,
+    instead of silently clobbering the evidence). On a real cluster
+    the same protocol rides the table format's atomic snapshot swap
+    (Iceberg/Delta replace); this is the filesystem form.
+
+    Returns the row count."""
+    import shutil
+
+    path = os.path.abspath(path.rstrip("/"))
+    tmp = path + ".__rewrite_tmp__"
+    bak = path + ".__rewrite_bak__"
+    if os.path.exists(bak):
+        raise SinkVerificationError(
+            f"previous in-place rewrite of {path} left a backup at {bak} "
+            "(crash between write and swap); restore or remove it first"
+        )
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+
+    def _metrics(df):
+        from pyspark.sql import functions as F
+
+        cols = sorted(df.columns)
+        agg = [F.count(F.lit(1)).alias("n")]
+        if verify_checksum:
+            h = F.xxhash64(*cols)
+            agg.append(F.bit_xor(h).alias("x"))
+            agg.append(F.sum(F.pmod(h, F.lit(1 << 16))).alias("s"))
+        row = df.agg(*agg).first()
+        return (
+            (row["n"], row["x"], row["s"]) if verify_checksum else (row["n"],)
+        )
+
+    try:
+        src = spark.read.format(fmt).load(path)
+        write_fn(src, tmp)
+        want = _metrics(spark.read.format(fmt).load(path))
+        got = _metrics(spark.read.format(fmt).load(tmp))
+        if got != want:
+            raise SinkVerificationError(
+                f"in-place rewrite of {path} failed verification "
+                f"(rows, checksum): staged {got} != original {want}; "
+                "original left untouched"
+            )
+        _swap_dirs(tmp, path, bak)
+    except Exception:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise
+    shutil.rmtree(bak, ignore_errors=True)
+    return want[0]
+
+
 def foreach_batch_overwrite(path: str, fmt: str = "json"):
     """S7/T3: complete-recompute streaming sink — every micro-batch
     rewrites the whole output (the reference's per-run overwrite, :341),
