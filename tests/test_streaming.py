@@ -536,6 +536,98 @@ def test_stream_stream_interval_join_equals_batch(
     assert_same_rows(got, want)
 
 
+def test_stream_stream_interval_join_drops_late_purchase(spark, tmp_path):
+    """Late-data semantics of the stream-stream interval join (the
+    divergence from the batch twin `test_stream_stream_interval_join_
+    equals_batch` pins equality on): once the watermark passes a
+    signup's join horizon its state is evicted, so a purchase arriving
+    AFTER that — even though it pairs within the horizon in EVENT time
+    — is dropped by the streaming join. The batch twin, which sees all
+    rows at once, keeps the pair; that asymmetry is the documented
+    price of bounded join state (watermark + interval bound), same
+    contract as test_watermark_drops_late_data's window eviction."""
+    import time
+
+    from video_stream_processor_spark.io import _normalize_events
+    from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
+    from video_stream_processor_spark.streaming import (
+        signup_purchase_attribution,
+    )
+
+    src_dir = tmp_path / "late_join_events"
+    src_dir.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def mk(rows, name):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(src_dir / name)
+
+    # batch 0: signup 10:00 + on-time purchase 10:20 -> pair emits
+    mk(
+        [
+            (1, "2024-01-01 10:00:00", 1, "signup", 0.0, "{}"),
+            (2, "2024-01-01 10:20:00", 1, "purchase", 9.99, "{}"),
+        ],
+        "a.parquet",
+    )
+    time.sleep(1.1)  # file-source orders batches by mtime
+    # batch 1: both sides advance to 15:00 -> wm 14:50, far past the
+    # signup's 11:00 join horizon; its state evicts (unmatched rows:
+    # user 2/3 have no counterpart)
+    mk(
+        [
+            (3, "2024-01-01 15:00:00", 2, "signup", 0.0, "{}"),
+            (4, "2024-01-01 15:00:00", 3, "purchase", 5.0, "{}"),
+        ],
+        "b.parquet",
+    )
+    time.sleep(1.1)
+    # batch 2: unrelated on-time rows. State cleanup runs at the END
+    # of a batch with that batch's watermark, so the 14:50 mark from
+    # batch 1 evicts the 10:00 signup HERE — one batch of lag, the
+    # documented best-effort window in which a late row could still
+    # have matched.
+    mk(
+        [
+            (6, "2024-01-01 16:00:00", 4, "signup", 0.0, "{}"),
+            (7, "2024-01-01 16:00:00", 5, "purchase", 1.0, "{}"),
+        ],
+        "b2.parquet",
+    )
+    time.sleep(1.1)
+    # batch 3: purchase 10:40 for user 1 — inside the horizon in event
+    # time, but behind the watermark on arrival and the signup's state
+    # is gone -> dropped
+    mk([(5, "2024-01-01 10:40:00", 1, "purchase", 50.0, "{}")], "c.parquet")
+
+    def build(ev, wm=None):
+        return signup_purchase_attribution(
+            ev.filter(F.col("event_type") == "signup"),
+            ev.filter(F.col("event_type") == "purchase"),
+            horizon="1 hour",
+            watermark=wm,
+        )
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    got, _ = run_stream_append(build(_normalize_events(raw), "10 minutes"), tmp_path)
+    assert sorted((r["signup_id"], r["purchase_id"]) for r in got) == [(1, 2)]
+
+    # the batch twin sees all rows at once and keeps the late pair —
+    # the divergence this test exists to document
+    batch = _normalize_events(
+        spark.read.schema(EVENTS_RAW_SCHEMA).parquet(str(src_dir))
+    )
+    want = sorted(
+        (r["signup_id"], r["purchase_id"]) for r in build(batch).collect()
+    )
+    assert want == [(1, 2), (1, 5)]
+
+
 def test_interval_ns_parses_arbitrary_horizons():
     """interval_ns accepts any quantity/unit mix the INTERVAL literal
     accepts — not just the two horizons the join shipped with."""
