@@ -159,6 +159,17 @@ OPS = {
         lambda t: session_stats(t["events"], gap="30 minutes"),
         lambda t: t["events"].count(),
     ),
+    "session_30m_sliced": (
+        # the r6-verdict escape for the user plain sessionization
+        # cannot survive: sessionize per (user, 6h-slice) then stitch
+        # boundary sessions — per-task work bounded by one user-slice,
+        # so the hot user's rows spread over #slices reducers instead
+        # of serializing one. Compare against session_30m at x8skew.
+        lambda t: session_stats_sliced(
+            t["events"], gap="30 minutes", time_slice="6 hours"
+        ),
+        lambda t: t["events"].count(),
+    ),
     "custkey_join_aqe": (
         custkey_join_aqe,
         lambda t: t["orders"].count(),
@@ -278,6 +289,7 @@ def main() -> None:
     ]
     skew_ops = {
         "revenue_join", "tumbling_1h", "session_30m",
+        "session_30m_sliced",
         "custkey_join_aqe", "custkey_join_salted",
     }
     results: dict[str, dict] = {
