@@ -39,6 +39,7 @@ from video_stream_processor_spark.llm.similarity import cosine_topk  # noqa: E40
 from video_stream_processor_spark.session import get_spark  # noqa: E402
 from video_stream_processor_spark.streaming.analytics import (  # noqa: E402
     session_stats,
+    session_stats_sliced,
     tumbling_stats,
 )
 

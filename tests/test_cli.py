@@ -168,6 +168,53 @@ def test_cli_layout_in_place_staged_rewrite(spark, sf_dir, tmp_path, capsys):
     assert not os.path.exists(tbl + ".__rewrite_bak__")
 
 
+def test_cli_layout_in_place_partition_by_long_col(spark, sf_dir, tmp_path, capsys):
+    """r7-advisor repro: in-place rewrite that ADDS hive partitioning
+    on an integral column. The staged copy's partition values are
+    re-inferred on read-back (bigint -> int) and xxhash64 hashes int
+    and long differently — verification must read the staged copy with
+    the ORIGINAL schema so identical content verifies and the swap
+    lands. Also: a verified 0-row in-place rewrite exits 0, not 1."""
+    import os
+
+    src = load_table(spark, sf_dir, "nation")  # n_regionkey is bigint
+    tbl = str(tmp_path / "nation_tbl")
+    src.write.parquet(tbl)
+    before = sorted(map(tuple, spark.read.parquet(tbl).collect()))
+
+    assert main([
+        "layout", "--input", tbl, "--output", tbl,
+        "--partition-by", "n_regionkey",
+    ]) == 0
+    assert "rewrote" in capsys.readouterr().out
+    # hive layout actually applied...
+    assert any(
+        d.startswith("n_regionkey=") for d in os.listdir(tbl)
+    ), os.listdir(tbl)
+    # ...content identical once the partition column is read back long
+    after_df = spark.read.parquet(tbl)
+    after = sorted(
+        map(
+            tuple,
+            after_df.select(
+                *[F.col(c).cast(dict(src.dtypes)[c]) for c in src.columns]
+            ).collect(),
+        )
+    )
+    assert after == before
+    assert not os.path.exists(tbl + ".__rewrite_tmp__")
+    assert not os.path.exists(tbl + ".__rewrite_bak__")
+
+    # empty table: the rewrite verifies 0 == 0 rows and succeeds
+    empty = str(tmp_path / "empty_tbl")
+    src.limit(0).write.parquet(empty)
+    assert main([
+        "layout", "--input", empty, "--output", empty,
+        "--cluster-by", "n_regionkey",
+    ]) == 0
+    assert spark.read.parquet(empty).count() == 0
+
+
 def test_in_place_rewrite_crash_leaves_original_intact(spark, tmp_path, monkeypatch):
     """Crash injection: die after the staged write, before the swap —
     the original must keep serving, and the scratch dir is cleaned."""

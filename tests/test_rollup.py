@@ -563,6 +563,55 @@ def test_tiered_read_serves_gapped_base_exactly_once(spark, tmp_path):
     assert len({r[:3] for r in got}) == len(got), "double-served window"
 
 
+def test_tiered_read_heals_torn_partial_partition(spark, tmp_path):
+    """r7-advisor hazard: with writers_per_window>1 a window spans
+    several base files, so a crash mid job-commit can leave a partition
+    that LISTS the win_start but holds only SOME of its rows. Window
+    presence alone would suppress the complete live copy and serve the
+    partial silently; the per-window row-count compare must detect the
+    shortfall and serve that window from live — every row exactly
+    once."""
+    import glob
+    import os
+
+    from video_stream_processor_spark.streaming import (
+        compact_rollup,
+        read_rollup_tiered,
+    )
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    live = str(tmp_path / "live")
+    base = str(tmp_path / "base")
+    pdf = pd.DataFrame(FILE_A + FILE_B + FILE_C, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    backfill_rollup(ev, live)
+    # max_records_per_file=1 forces every window to span multiple files
+    # (the advisor's exact setup: a window that is not one atomic file)
+    assert compact_rollup(spark, live, base, max_records_per_file=1) == H13
+
+    # tear H10 (the multi-row window): drop ONE of its files so the
+    # partition still lists but is incomplete, and roll the manifest
+    # back before it (crash after a partial partition commit)
+    files = sorted(glob.glob(f"{base}/win_start={H10}/*.parquet"))
+    assert len(files) >= 2, "need a multi-file partition to tear"
+    os.remove(files[0])
+    rollup_mod._write_hwm(base, H08)
+
+    got = sorted(
+        map(
+            tuple,
+            read_rollup_tiered(spark, live, base)
+            .select(*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx")
+            .collect(),
+        ),
+        key=_sk,
+    )
+    assert got == _table_rows(spark, live)
+    assert {r[0] for r in got} == {H10, H11, H12, H13}
+    assert len({r[:3] for r in got}) == len(got), "double-served window"
+
+
 def test_compact_rollup_writers_per_window_bounds_files(spark, tmp_path):
     """A hot window (many rows in one win_start) can be split across
     writers_per_window tasks; the pass must still converge to at most

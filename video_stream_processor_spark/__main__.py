@@ -336,7 +336,10 @@ def cmd_layout(args: argparse.Namespace) -> int:
             # and rightly so — pipeline/sink.rewrite_in_place)
             n = rewrite_in_place(spark, args.input, _write, fmt=args.format)
             print(f"rewrote {n} rows in place at {args.output}")
-            return 0 if n > 0 else 1
+            # a VERIFIED 0-row rewrite is success: the table really was
+            # empty and the swap preserved that (unlike the fresh-write
+            # path below, where 0 rows usually means a bad --input)
+            return 0
         if args.table:
             from .io import load_table
 

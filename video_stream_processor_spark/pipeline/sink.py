@@ -180,7 +180,13 @@ def rewrite_in_place(
         src = spark.read.format(fmt).load(path)
         write_fn(src, tmp)
         want = _metrics(spark.read.format(fmt).load(path))
-        got = _metrics(spark.read.format(fmt).load(tmp))
+        # Read the staged copy with the ORIGINAL's schema: if write_fn
+        # added partitioning, the partition columns are re-inferred on
+        # read-back (bigint -> int) and xxhash64 hashes int and long
+        # differently, so identical content would fail verification.
+        # Pinning the source schema also fails closed if write_fn
+        # dropped a column (it reads back all-null -> checksum mismatch).
+        got = _metrics(spark.read.schema(src.schema).format(fmt).load(tmp))
         if got != want:
             raise SinkVerificationError(
                 f"in-place rewrite of {path} failed verification "

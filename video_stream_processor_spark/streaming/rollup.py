@@ -367,21 +367,47 @@ def read_rollup_tiered(
     manifest alone decides only whether a base tier exists at all
     (when it is absent, live is the complete table: compaction never
     deletes live files, so base is always a subset of live) — and
-    carries the format-version guard."""
+    carries the format-version guard.
+
+    Torn PARTIAL partitions (round-7 advisor): with
+    ``writers_per_window > 1`` or ``maxRecordsPerFile`` splits a
+    window spans several base files, and a crash mid job-commit can
+    leave a partition directory that LISTS the win_start but holds
+    only some of its rows — window presence alone would then suppress
+    the complete live copy and serve the partial silently. Torn
+    windows are always ABOVE the committed manifest mark (compaction
+    only writes ``> prev`` and advances the mark strictly after a
+    successful write), so for base windows above the mark this read
+    trusts base only where its per-window row count equals live's
+    (compaction copies rows 1:1, so any shortfall means a torn
+    commit); mismatches are served from live, whole-missing windows
+    fall out the same way (no count row). The compare aggregates only
+    the ``> mark`` tail on both sides — partition-pruned to the few
+    windows one compaction pass could have torn, not the table."""
     hwm = _read_hwm(base_dir)
     if hwm is None:
         return _read_table(spark, live_dir)
     base = _read_table(spark, base_dir)
-    tail = (
-        _read_table(spark, live_dir)
-        .filter(F.col("win_start") > hwm)
+    live = _read_table(spark, live_dir)
+    committed = base.filter(F.col("win_start") <= hwm)
+    base_tail = base.filter(F.col("win_start") > hwm)
+    live_tail = live.filter(F.col("win_start") > hwm)
+    complete = (
+        base_tail.groupBy("win_start")
+        .agg(F.count(F.lit(1)).alias("__base_n"))
         .join(
-            base.select("win_start").distinct(),
+            live_tail.groupBy("win_start").agg(
+                F.count(F.lit(1)).alias("__live_n")
+            ),
             on="win_start",
-            how="left_anti",
         )
+        .filter(F.col("__base_n") == F.col("__live_n"))
+        .select("win_start")
     )
-    return base.unionByName(tail)
+    tail = base_tail.join(complete, on="win_start", how="left_semi").unionByName(
+        live_tail.join(complete, on="win_start", how="left_anti")
+    )
+    return committed.unionByName(tail)
 
 
 _HWM_FILE = "_rollup_hwm.json"  # leading underscore: invisible to scans
