@@ -46,6 +46,7 @@ from video_stream_processor_spark.plans.relational import (  # noqa: E402
 )
 from video_stream_processor_spark.session import get_spark  # noqa: E402
 from video_stream_processor_spark.streaming.analytics import (  # noqa: E402
+    session_stats,
     tumbling_stats,
 )
 
@@ -115,6 +116,14 @@ EXTRA_BUILDERS = {
     "stream_tumbling_1h": lambda s, d: tumbling_stats(
         load_table(s, d, "events"), size="1 hour"
     ),
+    # r01-pinned single-leg sessionization: the registered query grew
+    # to a 3-leg union (session_window + sliced escape + closed-twin)
+    # in r7, which broke the pin contract for one round — the pinned
+    # name runs the pinned computation again; the 3-leg registry form
+    # is timed separately as stream_session_30m_full (no pin).
+    "stream_session_30m": lambda s, d: session_stats(
+        load_table(s, d, "events"), gap="30 minutes"
+    ),
     "llm_dedup_exact": lambda s, d: exact_dedup_groups(
         load_table(s, d, "documents")
     ),
@@ -131,8 +140,13 @@ EXTRA_BUILDERS = {
     # table is memo-materialized (at scale it is a WRITTEN table), so
     # this times the ADC shortlist + exact re-rank — the per-query cost
     "llm_pq_rerank": lambda s, d: _pq_rerank_served(s, d),
-    # r5: round-4 surfaces enter the bench mix (VERDICT r4 task 2)
-    "rollup_maintain_serve": lambda s, d: _rollup_maintain_serve(s, d),
+    # r5: round-4 surfaces enter the bench mix (VERDICT r4 task 2).
+    # Re-pinned _v2 in r8: v1's bar (6.46 s, first-set r5) measured the
+    # estimate-only rollup format; r7's format v3 added the mergeable
+    # HLL register sketch (two-phase stateful agg + per-window heal in
+    # the serving read) — a different workload, so it gets its own name
+    # and its first idle number sets the v2 bar.
+    "rollup_maintain_serve_v2": lambda s, d: _rollup_maintain_serve(s, d),
     "zorder_write_pruned_read": lambda s, d: _zorder_write_pruned_read(s, d),
 }
 
@@ -273,8 +287,12 @@ HEADLINE = [
     # New-in-r4 (no pin; first number sets the bar):
     "llm_pq_rerank",
     # New-in-r5 (no pin; first number sets the bar):
-    "rollup_maintain_serve",
     "zorder_write_pruned_read",
+    # New-in-r8: the sketch-bearing rollup lifecycle (format v3),
+    # re-pinned under a versioned name (see EXTRA_BUILDERS comment),
+    # and the 3-leg registered sessionization suite:
+    "rollup_maintain_serve_v2",
+    "stream_session_30m_full",
 ]
 
 
@@ -323,6 +341,7 @@ def main() -> None:
     # the enriched registered queries (timed under their own new names)
     builders["llm_text_quality_full"] = specs["llm_text_quality"].builder
     builders["llm_cosine_topk_batch"] = specs["llm_cosine_topk"].builder
+    builders["stream_session_30m_full"] = specs["stream_session_30m"].builder
     builders.update(EXTRA_BUILDERS)
 
     # Warm passes: whole-stage-codegen compilation (janino) of a complex
