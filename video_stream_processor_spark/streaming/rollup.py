@@ -61,7 +61,9 @@ from .analytics import windowed_to_flat
 ROLLUP_KEY = ["win_start", "win_end", "event_type"]
 
 
-def rollup_stats(events: DataFrame, size: str = "1 hour") -> DataFrame:
+def rollup_stats(
+    events: DataFrame, size: str = "1 hour", p: int | None = None
+) -> DataFrame:
     """Mode-agnostic rollup aggregation: per (tumbling window,
     event_type) counts, value sum, and a MERGEABLE deterministic HLL
     distinct-users sketch (operators/hll.py) with its estimate.
@@ -103,13 +105,25 @@ def rollup_stats(events: DataFrame, size: str = "1 hour") -> DataFrame:
     streaming mode this is a chained stateful aggregation (append
     mode, Spark >= 3.4 multi-stateful-operator support — probe-run on
     this build before adoption).
+
+    ``p`` is the sketch precision (2^p registers; default
+    ``operators.hll.DEFAULT_P``): the state/accuracy dial. Stage-1
+    streaming state is keyed by (window, etype, bucket), so each unit
+    of p halves/doubles the worst-case state rows AND the persisted
+    sketch bytes at the cost of rse 1.04/sqrt(2^p). p is part of the
+    TABLE FORMAT: every writer of one rollup table (maintainer,
+    backfill, coarsen) must use the same p, or sketches stop merging
+    and live==backfill equality breaks — change it only with a fresh
+    checkpoint + full backfill, like any `ROLLUP_FORMAT_VERSION`
+    boundary.
     """
     from ..operators import hll
 
+    p = hll.DEFAULT_P if p is None else p
     cents = F.round(F.col("value") * 100).cast("long")
     stage1 = (
-        events.withColumn("_b", hll.bucket_col("user_id"))
-        .withColumn("_r", hll.rho_col("user_id"))
+        events.withColumn("_b", hll.bucket_col("user_id", p=p))
+        .withColumn("_r", hll.rho_col("user_id", p=p))
         .groupBy(F.window("ts", size), "event_type", "_b")
         .agg(
             F.count(F.lit(1)).alias("_n"),
@@ -123,7 +137,7 @@ def rollup_stats(events: DataFrame, size: str = "1 hour") -> DataFrame:
         hll.register_map_agg("_b", "_r").alias("_mp"),
     )
     flat = windowed_to_flat(agg).withColumn(
-        "n_users_sketch", hll.map_to_registers("_mp")
+        "n_users_sketch", hll.map_to_registers("_mp", p=p)
     )
     return flat.select(
         "win_start",
@@ -131,12 +145,14 @@ def rollup_stats(events: DataFrame, size: str = "1 hour") -> DataFrame:
         "event_type",
         "n_events",
         (F.col("_cents") / 100.0).alias("sum_value"),
-        hll.estimate_col("n_users_sketch").alias("n_users_approx"),
+        hll.estimate_col("n_users_sketch", p=p).alias("n_users_approx"),
         "n_users_sketch",
     )
 
 
-def coarsen_rollup(finer: DataFrame, to_size: str = "1 day") -> DataFrame:
+def coarsen_rollup(
+    finer: DataFrame, to_size: str = "1 day", p: int | None = None
+) -> DataFrame:
     """Derive a coarser rollup tier from a finer one WITHOUT rescanning
     the fact table — the reason the persisted sketch is mergeable.
 
@@ -153,10 +169,14 @@ def coarsen_rollup(finer: DataFrame, to_size: str = "1 day") -> DataFrame:
 
     Scale shape: one shuffle on (coarse window, event_type); groups
     merge <=(to_size/from_size) register arrays each via collect_list
-    — bounded driver-free work (a day coarsens 24 hour-rows)."""
+    — bounded driver-free work (a day coarsens 24 hour-rows).
+
+    ``p`` must match the precision the finer tier was WRITTEN with
+    (see `rollup_stats`: p is part of the table format)."""
     from ..operators import hll
     from .analytics import interval_ns
 
+    p = hll.DEFAULT_P if p is None else p
     to_secs = interval_ns(to_size) // 1_000_000_000
     bucket = F.col("win_start") - F.pmod(F.col("win_start"), F.lit(to_secs))
     end_bucket = (F.col("win_end") - 1) - F.pmod(
@@ -183,7 +203,9 @@ def coarsen_rollup(finer: DataFrame, to_size: str = "1 day") -> DataFrame:
         .agg(
             F.sum("n_events").alias("n_events"),
             F.sum("_c").alias("_cents"),
-            hll.merge_registers_agg("n_users_sketch").alias("n_users_sketch"),
+            hll.merge_registers_agg("n_users_sketch", p=p).alias(
+                "n_users_sketch"
+            ),
         )
     )
     return agg.select(
@@ -192,7 +214,7 @@ def coarsen_rollup(finer: DataFrame, to_size: str = "1 day") -> DataFrame:
         "event_type",
         "n_events",
         (F.col("_cents") / 100.0).alias("sum_value"),
-        hll.estimate_col("n_users_sketch").alias("n_users_approx"),
+        hll.estimate_col("n_users_sketch", p=p).alias("n_users_approx"),
         "n_users_sketch",
     )
 
@@ -204,6 +226,7 @@ def start_rollup_maintenance(
     size: str = "1 hour",
     watermark: str = "30 minutes",
     available_now: bool = True,
+    p: int | None = None,
 ) -> StreamingQuery:
     """Start the incremental maintainer: append-mode windowed agg into
     a ``win_start``-partitioned parquet table.
@@ -215,8 +238,17 @@ def start_rollup_maintenance(
     streaming agg here). Restarting on the same checkpoint resumes
     from committed offsets; epochs replayed after a crash overwrite
     their own metadata-log entry instead of appending twice.
+
+    ``p`` trades sketch precision for streaming state (see
+    `rollup_stats`): stage-1 state is keyed by (window, etype,
+    bucket), so worst-case state rows per open (window, etype) are
+    min(distinct users, 2^p). Changing p on an existing table needs a
+    fresh checkpoint + full backfill at the new p — it is a format
+    boundary, and the state schema would not match anyway.
     """
-    roll = rollup_stats(events_stream.withWatermark("ts", watermark), size)
+    roll = rollup_stats(
+        events_stream.withWatermark("ts", watermark), size, p=p
+    )
     writer = (
         roll.writeStream.format("parquet")
         .option("path", table_dir)
@@ -235,6 +267,7 @@ def backfill_rollup(
     size: str = "1 hour",
     upto_epoch: int | None = None,
     replace_all: bool = False,
+    p: int | None = None,
 ) -> None:
     """Batch backfill of the rollup: same aggregation, written with
     DYNAMIC partition overwrite — only the ``win_start`` partitions
@@ -252,7 +285,7 @@ def backfill_rollup(
     ``upto_epoch`` bounds the backfill to windows that end at or
     before it — the handoff point to the live maintainer.
     """
-    roll = rollup_stats(events_batch, size)
+    roll = rollup_stats(events_batch, size, p=p)
     if upto_epoch is not None:
         roll = roll.filter(F.col("win_end") <= F.lit(upto_epoch))
     (
