@@ -236,6 +236,22 @@ def session_stats_sliced(
     Local sessions never interleave across slices (a slice-k session's
     last event precedes every slice-k+1 event), so plain ``lag`` over
     start order sees the true predecessor — no running-max needed.
+
+    **And in streaming mode?** This composition is batch-only: the
+    stitch pass is a window function, which streaming cannot run
+    incrementally. Streaming sessionization does not need this escape
+    in the same way — `session_stats(streaming=True)` merges gap state
+    PER KEY in the state store, so a hot user costs one fat state row
+    updated per micro-batch, not a serialized sort of their whole
+    history; the bound is per-trigger input, which the source rate
+    already caps. If a per-trigger hot spike ever needed slicing, the
+    streaming form of this escape is a two-query pipeline: query 1
+    sessionizes per (user, slice) via ``session_window`` into an
+    intermediate sink, query 2 stitches with
+    `applyInPandasWithState` keyed by user over the (tiny) summary
+    stream — the stitch rule below is already the exact merge
+    predicate it would apply. Not implemented: no measured workload
+    here motivates the second state store.
     """
     gap_us = interval_ns(gap) // 1000
     slice_us = interval_ns(time_slice) // 1000
