@@ -190,6 +190,14 @@ def _rollup_events_src(s, d: str) -> str:
     return _ROLLUP_SRC[d]
 
 
+#: Eager sub-phase seconds of the LAST _rollup_maintain_serve call —
+#: the r7 lesson ("+69% with no decomposition") made explicit: the
+#: lifecycle leg's artifact now names where its seconds go. maintain
+#: and compact run eagerly inside the builder; serve is the remainder
+#: (the noop write of the lazy tiered read), derived in main().
+_ROLLUP_PHASES: dict[str, float] = {}
+
+
 def _rollup_maintain_serve(s, d):
     """The incremental-rollup lifecycle end to end: streaming
     maintenance (availableNow, watermark-closed appends) into the live
@@ -218,6 +226,7 @@ def _rollup_maintain_serve(s, d):
     # churn, not the operator. Daily keeps per-partition volume
     # representative of what an hourly partition holds at cluster
     # scale; the aggregation/compaction/serving plans are identical.
+    t0 = time.perf_counter()
     q = start_rollup_maintenance(
         stream, live, ckpt, size="1 day", watermark="30 minutes"
     )
@@ -226,7 +235,11 @@ def _rollup_maintain_serve(s, d):
     if not q.awaitTermination(600):
         q.stop()
         raise RuntimeError("rollup maintenance did not drain within 600s")
+    t1 = time.perf_counter()
     compact_rollup(s, live, base)
+    t2 = time.perf_counter()
+    _ROLLUP_PHASES["maintain"] = round(t1 - t0, 3)
+    _ROLLUP_PHASES["compact"] = round(t2 - t1, 3)
     return read_rollup_tiered(s, live, base)
 
 
@@ -361,6 +374,17 @@ def main() -> None:
 
     times = {name: run(name) for name in HEADLINE}
 
+    # name where the lifecycle leg's seconds went (timed pass: the
+    # _ROLLUP_PHASES values are from the last builder invocation)
+    v2 = times.get("rollup_maintain_serve_v2")
+    phases = {}
+    if v2 is not None and _ROLLUP_PHASES:
+        eager = round(sum(_ROLLUP_PHASES.values()), 3)
+        phases["rollup_maintain_serve_v2"] = {
+            **_ROLLUP_PHASES,
+            "serve": round(max(v2 - eager, 0.0), 3),
+        }
+
     print(
         json.dumps(
             {
@@ -368,6 +392,7 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "phases": phases,
                 "sf": sf,
                 # BENCH_BASELINE.json: timings only trustworthy at
                 # machine load < ~2; recorded so a noisy round is

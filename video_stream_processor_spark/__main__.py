@@ -268,7 +268,11 @@ def cmd_rollup(args: argparse.Namespace) -> int:
 
         ev = load_table(spark, args.sf_dir, "events")
         backfill_rollup(
-            ev, args.table_dir, size=args.size, upto_epoch=args.upto_epoch
+            ev,
+            args.table_dir,
+            size=args.size,
+            upto_epoch=args.upto_epoch,
+            p=args.sketch_p,
         )
         n = count_table(args.table_dir)
         print(f"backfilled {n} rollup rows to {args.table_dir}")
@@ -281,6 +285,7 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         args.checkpoint or f"{args.table_dir.rstrip('/')}_ckpt",
         size=args.size,
         watermark=args.watermark,
+        p=args.sketch_p,
     )
     if not q.awaitTermination(args.timeout):
         q.stop()
@@ -439,6 +444,11 @@ def main(argv: list[str] | None = None) -> int:
     pr.add_argument("--base-dir", default=None,
                     help="compacted base table; with --read, serves "
                     "base + live tail instead of live + backfill")
+    pr.add_argument("--sketch-p", type=int, default=None,
+                    help="HLL sketch precision (2^p registers) for the "
+                    "distinct-users column — the state/accuracy dial; "
+                    "a TABLE FORMAT property: maintenance and backfill "
+                    "of one table must agree (default: 12)")
     pr.add_argument("--limit", type=int, default=10)
     pr.add_argument("--timeout", type=int, default=600,
                     help="max seconds for one maintenance pass; exceeding "
