@@ -205,6 +205,46 @@ def test_rollup_precision_parameter_threads_and_state_shape(spark, tmp_path):
     assert lo <= n_groups and hi <= n_stage1_bound, (per_op, n_groups, n_stage1_bound)
 
 
+def test_rollup_sketch_precision_mismatch_fails_loudly(spark, tmp_path):
+    """``p`` is part of the rollup table format; getting it wrong must
+    be an ERROR, not a silently wrong answer. Without the guard,
+    coarsening a p=8 tier at the p=12 default would zip_with-pad the
+    256-register arrays with NULLs, `greatest` would ignore them, and
+    the merged sketch would confidently underestimate."""
+    pdf = pd.DataFrame(FILE_A + FILE_B + FILE_C, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    bf = tmp_path / "bf_p8"
+    backfill_rollup(ev, str(bf), p=8)
+    finer = spark.read.parquet(str(bf))
+
+    from video_stream_processor_spark.operators import hll
+    from video_stream_processor_spark.streaming import coarsen_rollup
+
+    # merge at the wrong precision: loud, with the size in the message
+    with pytest.raises(Exception, match="register array size 256"):
+        coarsen_rollup(finer, "1 day").collect()  # default p=12
+    # estimate at the wrong precision: same guard
+    with pytest.raises(Exception, match="register array size 256"):
+        finer.select(hll.estimate_col("n_users_sketch", p=12)).collect()
+    # the guard is transparent at the written precision: the derived
+    # day tier still equals the one computed directly from facts
+    day = coarsen_rollup(finer, "1 day", p=8)
+    direct = rollup_stats(ev, "1 day", p=8)
+    cols = [*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx", "n_users_sketch"]
+
+    def norm(df):
+        df = df.withColumn("win_start", F.col("win_start").cast("long")).withColumn(
+            "win_end", F.col("win_end").cast("long")
+        )
+        return sorted(
+            ((*r[:-1], tuple(r[-1])) for r in map(tuple, df.select(*cols).collect())),
+            key=_sk,
+        )
+
+    assert norm(day) == norm(direct)
+
+
 def test_backfill_idempotent_and_serving_read(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()

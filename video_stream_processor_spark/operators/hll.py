@@ -100,16 +100,43 @@ def map_to_registers(mp: Column | str, p: int = DEFAULT_P) -> Column:
     )
 
 
+def _checked_registers(regs: Column, p: int) -> Column:
+    """Fail LOUDLY on a register array whose size is not 2^p.
+
+    ``p`` is part of the rollup table format: merging or estimating a
+    sketch at the wrong precision would otherwise be silently wrong —
+    ``zip_with`` pads the shorter array with NULLs and ``greatest``
+    ignores them, so a p=8 tier merged at p=12 yields top registers
+    stuck at 0 and a confident underestimate. A NULL sketch raises
+    too (rollup writers always emit one; NULL means format drift)."""
+    m = 1 << p
+    return F.when(F.size(regs) == m, regs).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("hll: register array size "),
+                F.coalesce(F.size(regs).cast("string"), F.lit("NULL")),
+                F.lit(f" != 2^p = {m}; the sketch was written at a "
+                      "different precision — p is part of the rollup "
+                      "table format (operators/hll.py)"),
+            )
+        )
+    )
+
+
 def merge_registers_agg(regs: str, p: int = DEFAULT_P) -> Column:
     """Aggregation expression merging register arrays (element-wise
     max) — how a coarser rollup tier derives its sketch from a finer
     one without rescanning facts. Idempotent and order-independent,
-    so re-running a derivation converges byte-identically."""
+    so re-running a derivation converges byte-identically. Raises on
+    a size-mismatched input array (wrong ``p``) instead of silently
+    merging padding — see `_checked_registers`."""
     m = 1 << p
     return F.aggregate(
         F.collect_list(regs),
         F.expr(f"array_repeat(cast(0 as tinyint), {m})"),
-        lambda acc, x: F.zip_with(acc, x, lambda a, b: F.greatest(a, b)),
+        lambda acc, x: F.zip_with(
+            acc, _checked_registers(x, p), lambda a, b: F.greatest(a, b)
+        ),
     )
 
 
@@ -125,8 +152,13 @@ def estimate_col(regs: Column | str, p: int = DEFAULT_P) -> Column:
     the min dominates either alone and needs no empirical bias tables;
     worst measured error across the 0-500k sweep is +5.5% (n ~= 6m),
     <=1% outside the transition — the +-10% serving bound holds with
-    ~2x margin everywhere."""
+    ~2x margin everywhere.
+
+    Raises on a size-mismatched register array (wrong ``p``): the
+    estimator's alpha/m constants are precision-specific, so a silent
+    answer would be a confidently wrong one — see `_checked_registers`."""
     regs = F.col(regs) if isinstance(regs, str) else regs
+    regs = _checked_registers(regs, p)
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
     inv_sum = F.aggregate(
