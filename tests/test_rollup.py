@@ -19,6 +19,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from video_stream_processor_spark.io import _normalize_events
+from video_stream_processor_spark.operators import hll
 from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
 from video_stream_processor_spark.streaming import (
     backfill_rollup,
@@ -207,10 +208,14 @@ def test_rollup_precision_parameter_threads_and_state_shape(spark, tmp_path):
 
 def test_rollup_sketch_precision_mismatch_fails_loudly(spark, tmp_path):
     """``p`` is part of the rollup table format; getting it wrong must
-    be an ERROR, not a silently wrong answer. Without the guard,
-    coarsening a p=8 tier at the p=12 default would zip_with-pad the
-    256-register arrays with NULLs, `greatest` would ignore them, and
-    the merged sketch would confidently underestimate."""
+    be an ERROR, not a silently wrong answer — and since format v4 the
+    caller shouldn't be supplying it at all: `coarsen_rollup` derives
+    p from the tier's own sketches (r8-verdict order: derive-on-read),
+    an explicit p that disagrees raises BEFORE any merge runs, and the
+    hll-level size guard stays underneath for raw register arrays
+    (without it, zip_with would pad the 256-register arrays with
+    NULLs, `greatest` would ignore them, and the merged sketch would
+    confidently underestimate)."""
     pdf = pd.DataFrame(FILE_A + FILE_B + FILE_C, columns=COLS)
     pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
     ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
@@ -221,15 +226,19 @@ def test_rollup_sketch_precision_mismatch_fails_loudly(spark, tmp_path):
     from video_stream_processor_spark.operators import hll
     from video_stream_processor_spark.streaming import coarsen_rollup
 
-    # merge at the wrong precision: loud, with the size in the message
-    with pytest.raises(Exception, match="register array size 256"):
-        coarsen_rollup(finer, "1 day").collect()  # default p=12
-    # estimate at the wrong precision: same guard
+    # explicit p that disagrees with the table: fail FAST (plan never
+    # built — a driver-side ValueError, not a mid-job executor error)
+    with pytest.raises(ValueError, match="written at p=8"):
+        coarsen_rollup(finer, "1 day", p=12)
+    # estimate at the wrong precision: the hll-level guard underneath
     with pytest.raises(Exception, match="register array size 256"):
         finer.select(hll.estimate_col("n_users_sketch", p=12)).collect()
-    # the guard is transparent at the written precision: the derived
-    # day tier still equals the one computed directly from facts
-    day = coarsen_rollup(finer, "1 day", p=8)
+    # derive-on-read: NO p argument coarsens a p=8 tier correctly, and
+    # the derived day tier equals the one computed directly from facts
+    day = coarsen_rollup(finer, "1 day")
+    assert day.select(F.size("n_users_sketch")).distinct().collect() == [
+        (256,)
+    ]
     direct = rollup_stats(ev, "1 day", p=8)
     cols = [*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx", "n_users_sketch"]
 
@@ -481,11 +490,15 @@ def test_manifest_format_version_guard(tmp_path):
 
     base = tmp_path / "base"
 
-    # current-format round trip
-    rollup_mod._write_hwm(str(base), 12345)
+    # current-format round trip: v4 manifests are self-describing on p
+    rollup_mod._write_hwm(str(base), 12345, 8)
     assert rollup_mod._read_hwm(str(base)) == 12345
+    assert rollup_mod.rollup_table_p(str(base)) == 8
     manifest = json.loads((base / rollup_mod._HWM_FILE).read_text())
     assert manifest["format_version"] == rollup_mod.ROLLUP_FORMAT_VERSION
+    assert manifest["p"] == 8
+    # no base tier at all: p is simply unknown, not an error
+    assert rollup_mod.rollup_table_p(str(tmp_path / "nowhere")) is None
 
     # pre-round-5 manifest: no version key → implicit version 1
     (base / rollup_mod._HWM_FILE).write_text(
@@ -494,12 +507,164 @@ def test_manifest_format_version_guard(tmp_path):
     with pytest.raises(ValueError, match="format.*version 1"):
         rollup_mod._read_hwm(str(base))
 
+    # round-7/8 manifest (v3): refused, and the message must steer to
+    # the manifest-only upgrade — the row bytes are identical
+    (base / rollup_mod._HWM_FILE).write_text(
+        json.dumps({"win_start_hwm": 99, "format_version": 3})
+    )
+    with pytest.raises(ValueError, match="upgrade_rollup_v3_to_v4"):
+        rollup_mod._read_hwm(str(base))
+
     # future-format manifest: refuse equally loudly
     (base / rollup_mod._HWM_FILE).write_text(
         json.dumps({"win_start_hwm": 99, "format_version": 999})
     )
     with pytest.raises(ValueError, match="version 999"):
         rollup_mod._read_hwm(str(base))
+
+
+def test_rollup_v4_manifest_derives_p_end_to_end(spark, tmp_path):
+    """The r8-verdict order made executable: a p=8-written table
+    serves, compacts, and coarsens correctly with NO p argument
+    anywhere — p lives in the v4 manifest (stamped by compaction from
+    the rows themselves) and in the rows (sketch_p_of) — while a
+    conflicting explicit p fails fast at every entry point."""
+    import json
+
+    from video_stream_processor_spark.streaming import (
+        coarsen_rollup,
+        compact_rollup,
+        read_rollup_tiered,
+        rollup_table_p,
+        sketch_p_of,
+    )
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    live = str(tmp_path / "live")
+    base = str(tmp_path / "base")
+    pdf = pd.DataFrame(FILE_A + FILE_B + FILE_C, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    backfill_rollup(ev, live, p=8)
+
+    # the table describes itself: rows carry p, compaction stamps it
+    assert sketch_p_of(spark.read.parquet(live)) == 8
+    assert compact_rollup(spark, live, base) == H13
+    assert rollup_table_p(base) == 8
+    manifest = json.loads(
+        (tmp_path / "base" / rollup_mod._HWM_FILE).read_text()
+    )
+    assert manifest["p"] == 8
+
+    # serve + coarsen with NO p argument, on a non-default-p table
+    served = read_rollup_tiered(spark, live, base)
+    assert served.count() == spark.read.parquet(live).count()
+    day = coarsen_rollup(served, "1 day")
+    assert day.select(F.size("n_users_sketch")).distinct().collect() == [
+        (256,)
+    ]
+
+    # conflicting explicit p fails fast at every entry point
+    with pytest.raises(ValueError, match="written at p=8"):
+        read_rollup_tiered(spark, live, base, p=12)
+    # (a no-op compaction returns before any row is seen, so roll the
+    # mark back to make the pass actually re-derive from rows)
+    rollup_mod._write_hwm(base, H08, 8)
+    with pytest.raises(ValueError, match="written at p=8"):
+        compact_rollup(spark, live, base, p=12)
+
+    # mixed-precision table (manifest says 12, live rows say 8): the
+    # next compaction must refuse rather than merge across precisions
+    rollup_mod._write_hwm(base, H08, 12)
+    with pytest.raises(ValueError, match="format boundary"):
+        compact_rollup(spark, live, base)
+
+
+def test_upgrade_rollup_v3_to_v4_manifest_only(spark, tmp_path):
+    """v3→v4 changed only the manifest, so the upgrade is one call
+    that derives p from the base tier's own sketches and restamps —
+    no rewrite, no fresh checkpoint — after which serving works
+    again. Idempotent; refuses older formats (those changed row
+    semantics and need migrate_rollup)."""
+    import json
+
+    from video_stream_processor_spark.streaming import (
+        compact_rollup,
+        read_rollup_tiered,
+        rollup_table_p,
+        upgrade_rollup_v3_to_v4,
+    )
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    live = str(tmp_path / "live")
+    base = str(tmp_path / "base")
+    pdf = pd.DataFrame(FILE_A + FILE_B + FILE_C, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    backfill_rollup(ev, live, p=8)
+    assert compact_rollup(spark, live, base) == H13
+
+    # rewind the manifest to what r7/r8 code wrote: v3, no p key
+    manifest_path = tmp_path / "base" / rollup_mod._HWM_FILE
+    manifest_path.write_text(
+        json.dumps({"win_start_hwm": H13, "format_version": 3})
+    )
+    with pytest.raises(ValueError, match="upgrade_rollup_v3_to_v4"):
+        read_rollup_tiered(spark, live, base)
+
+    assert upgrade_rollup_v3_to_v4(spark, base) == 8
+    assert rollup_table_p(base) == 8
+    assert read_rollup_tiered(spark, live, base).count() > 0
+    # idempotent: a second run is a no-op returning the recorded p
+    assert upgrade_rollup_v3_to_v4(spark, base) == 8
+
+    # an older boundary is NOT manifest-only — refuse with direction
+    manifest_path.write_text(
+        json.dumps({"win_start_hwm": H13, "format_version": 2})
+    )
+    with pytest.raises(ValueError, match="migrate_rollup"):
+        upgrade_rollup_v3_to_v4(spark, base)
+
+
+def test_tiered_read_steady_state_is_plain_union(spark, tmp_path):
+    """r8-advisor: the torn-compaction heal join must be priced for
+    the rare case it exists for. After a CLEAN compaction (base holds
+    nothing above the mark) the serving read's plan must contain no
+    join at all — just the two pruned scans unioned; the count-compare
+    join may appear only when base content actually runs ahead of the
+    manifest."""
+    import contextlib
+    import io as _io
+
+    from video_stream_processor_spark.streaming import (
+        compact_rollup,
+        read_rollup_tiered,
+    )
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    live = str(tmp_path / "live")
+    base = str(tmp_path / "base")
+    pdf = pd.DataFrame(FILE_A + FILE_B + FILE_C, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    backfill_rollup(ev, live)
+    assert compact_rollup(spark, live, base) == H13
+
+    def plan(df):
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    steady = read_rollup_tiered(spark, live, base)
+    assert "Join" not in plan(steady)
+    assert steady.count() == spark.read.parquet(live).count()
+
+    # crash window: manifest lags base content → the heal join appears
+    rollup_mod._write_hwm(base, H10, hll.DEFAULT_P)
+    healing = read_rollup_tiered(spark, live, base)
+    assert "Join" in plan(healing)
+    assert healing.count() == spark.read.parquet(live).count()
 
 
 def test_tiered_read_time_predicate_prunes_partitions(spark, tmp_path):
@@ -661,7 +826,7 @@ def test_tiered_read_serves_gapped_base_exactly_once(spark, tmp_path):
     import shutil
 
     shutil.rmtree(f"{base}/win_start={H11}")
-    rollup_mod._write_hwm(base, H10)
+    rollup_mod._write_hwm(base, H10, hll.DEFAULT_P)
 
     got = sorted(
         map(
@@ -710,7 +875,7 @@ def test_tiered_read_heals_torn_partial_partition(spark, tmp_path):
     files = sorted(glob.glob(f"{base}/win_start={H10}/*.parquet"))
     assert len(files) >= 2, "need a multi-file partition to tear"
     os.remove(files[0])
-    rollup_mod._write_hwm(base, H08)
+    rollup_mod._write_hwm(base, H08, hll.DEFAULT_P)
 
     got = sorted(
         map(

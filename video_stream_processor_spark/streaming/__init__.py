@@ -26,7 +26,10 @@ from .rollup import (  # noqa: F401
     read_rollup,
     read_rollup_tiered,
     rollup_stats,
+    rollup_table_p,
+    sketch_p_of,
     start_rollup_maintenance,
+    upgrade_rollup_v3_to_v4,
 )
 from .stateful import (  # noqa: F401
     closed_sessions_batch,

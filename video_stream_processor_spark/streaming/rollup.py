@@ -150,6 +150,29 @@ def rollup_stats(
     )
 
 
+def sketch_p_of(df: DataFrame) -> int | None:
+    """Derive the sketch precision a rollup frame was written with
+    from the rows themselves: ``p = log2(size(n_users_sketch))`` —
+    one bounded single-row action (``first`` on the size of one
+    sketch). Rollup tables are self-describing on ``p`` since format
+    v4: readers derive the precision instead of trusting callers (a
+    wrong caller-supplied p used to be a clean-but-avoidable runtime
+    error from the hll size guard). Returns None for an empty frame;
+    raises on a non-power-of-two size (format drift, not a p issue).
+    """
+    row = df.select(F.size("n_users_sketch").alias("m")).first()
+    if row is None:
+        return None
+    m = row["m"]
+    if m is None or m < 1 or (m & (m - 1)):
+        raise ValueError(
+            f"rollup sketch column has array size {m}, not a power of "
+            "two — the table's n_users_sketch column was not written "
+            "by rollup_stats (format drift)"
+        )
+    return int(m).bit_length() - 1
+
+
 def coarsen_rollup(
     finer: DataFrame, to_size: str = "1 day", p: int | None = None
 ) -> DataFrame:
@@ -171,12 +194,28 @@ def coarsen_rollup(
     merge <=(to_size/from_size) register arrays each via collect_list
     — bounded driver-free work (a day coarsens 24 hour-rows).
 
-    ``p`` must match the precision the finer tier was WRITTEN with
-    (see `rollup_stats`: p is part of the table format)."""
+    ``p`` defaults to the precision the finer tier was WRITTEN with,
+    derived from the rows themselves (`sketch_p_of` — one bounded
+    action); pass it explicitly only as an assertion, and a value
+    that disagrees with the data raises HERE, before any merge runs
+    (the hll size guard stays underneath as defense in depth)."""
     from ..operators import hll
     from .analytics import interval_ns
 
-    p = hll.DEFAULT_P if p is None else p
+    derived = sketch_p_of(finer)
+    if p is None:
+        # empty frame: any p yields the same empty result; keep the
+        # default so the output schema is still well-formed
+        p = hll.DEFAULT_P if derived is None else derived
+    elif derived is not None and p != derived:
+        raise ValueError(
+            f"coarsen_rollup: explicit p={p} disagrees with the finer "
+            f"tier's own sketches (written at p={derived}); p is part "
+            "of the rollup table format and is derived from the table "
+            "since format v4 — drop the argument, or backfill the tier "
+            "at the new precision first (module docstring, 'Version "
+            "boundary')"
+        )
     to_secs = interval_ns(to_size) // 1_000_000_000
     bucket = F.col("win_start") - F.pmod(F.col("win_start"), F.lit(to_secs))
     end_bucket = (F.col("win_end") - 1) - F.pmod(
@@ -304,6 +343,7 @@ def compact_rollup(
     base_dir: str,
     max_records_per_file: int = 1_000_000,
     writers_per_window: int = 1,
+    p: int | None = None,
 ) -> int | None:
     """Tiered compaction — the operational answer to the streaming
     sink's small-files problem (every trigger appends a file per
@@ -326,14 +366,38 @@ def compact_rollup(
     cluster; here it marks that a base tier exists and gives the next
     compaction its incremental lower bound. Returns the new mark, or
     the old one when nothing new was compacted.
+
+    Since format v4 the manifest also records the sketch precision
+    ``p`` — derived from the live rows being compacted (`sketch_p_of`),
+    never trusted from a caller: the optional ``p`` argument is an
+    assertion only, and a value that disagrees with the data (or with
+    the precision an existing base manifest records) raises before
+    anything is written.
     """
-    prev = _read_hwm(base_dir)
+    manifest = _read_manifest(base_dir)
+    prev = None if manifest is None else int(manifest["win_start_hwm"])
     live = _read_table(spark, live_dir)
     if prev is not None:
         live = live.filter(F.col("win_start") > prev)
     hwm = live.agg(F.max("win_start")).first()[0]
     if hwm is None:
         return prev
+    live_p = sketch_p_of(live)  # non-None: hwm above proves rows exist
+    if p is not None and p != live_p:
+        raise ValueError(
+            f"compact_rollup: explicit p={p} disagrees with the live "
+            f"table's own sketches (written at p={live_p}); p is "
+            "derived from the table since format v4 — drop the argument"
+        )
+    prev_p = None if manifest is None else manifest.get("p")
+    if prev_p is not None and prev_p != live_p:
+        raise ValueError(
+            f"compact_rollup: live table sketches carry p={live_p} but "
+            f"the base tier at {base_dir} was compacted at p={prev_p}; "
+            "mixing precisions in one table breaks sketch merging — "
+            "this is a format boundary (fresh checkpoint + full "
+            "backfill + migrate_rollup, see the module docstring)"
+        )
     # Cap the written rows at the hwm SNAPSHOT: the write action below
     # re-lists the live dir, so if the maintainer commits a newly
     # closed window between the two actions, an uncapped write would
@@ -368,12 +432,12 @@ def compact_rollup(
         .partitionBy("win_start")
         .parquet(base_dir)
     )
-    _write_hwm(base_dir, int(hwm))
+    _write_hwm(base_dir, int(hwm), live_p)
     return int(hwm)
 
 
 def read_rollup_tiered(
-    spark: SparkSession, live_dir: str, base_dir: str
+    spark: SparkSession, live_dir: str, base_dir: str, p: int | None = None
 ) -> DataFrame:
     """Serving read over a compacted table: the base holds everything
     up to the high-water mark in few, large, partition-pruned files;
@@ -416,15 +480,38 @@ def read_rollup_tiered(
     commit); mismatches are served from live, whole-missing windows
     fall out the same way (no count row). The compare aggregates only
     the ``> mark`` tail on both sides — partition-pruned to the few
-    windows one compaction pass could have torn, not the table."""
-    hwm = _read_hwm(base_dir)
-    if hwm is None:
+    windows one compaction pass could have torn, not the table. And
+    the heal join is priced for the rare case it exists for
+    (round-8 advisor): in the steady state base holds nothing above
+    the committed mark, so one partition-pruned existence probe
+    (``base_tail.limit(1)``) short-circuits straight to the plain
+    committed ∪ live-tail union — the count-compare join is only
+    built when a torn/racing compaction actually left base content
+    above the mark.
+
+    ``p`` is an assertion only: the sketch precision is recorded in
+    the v4 manifest (and derivable from the rows via `sketch_p_of`);
+    an explicit value that disagrees with the manifest raises before
+    any read is built."""
+    manifest = _read_manifest(base_dir)
+    if manifest is None:
         return _read_table(spark, live_dir)
+    stored_p = manifest.get("p")
+    if p is not None and stored_p is not None and p != stored_p:
+        raise ValueError(
+            f"read_rollup_tiered: explicit p={p} disagrees with the "
+            f"base-tier manifest at {base_dir} (written at "
+            f"p={stored_p}); p is derived from the table since format "
+            "v4 — drop the argument"
+        )
+    hwm = int(manifest["win_start_hwm"])
     base = _read_table(spark, base_dir)
     live = _read_table(spark, live_dir)
     committed = base.filter(F.col("win_start") <= hwm)
     base_tail = base.filter(F.col("win_start") > hwm)
     live_tail = live.filter(F.col("win_start") > hwm)
+    if base_tail.limit(1).count() == 0:
+        return committed.unionByName(live_tail)
     complete = (
         base_tail.groupBy("win_start")
         .agg(F.count(F.lit(1)).alias("__base_n"))
@@ -446,19 +533,23 @@ def read_rollup_tiered(
 _HWM_FILE = "_rollup_hwm.json"  # leading underscore: invisible to scans
 
 #: Persisted-row semantics version (module docstring, "Version
-#: boundary"). 3 = mergeable deterministic-HLL ``n_users_sketch``
-#: column + sketch-derived ``n_users_approx`` (round 7);
-#: 2 = exact-integer-cents sums + 2%-rsd HLL++ estimate, no sketch
-#: (round 5); 1 = the pre-round-5 float-sum / 5%-rsd format, which
-#: has no manifest version key at all. Bump whenever the aggregation
-#: that lands in parquet changes meaning, so a reader on a base tier
+#: boundary"). 4 = identical row bytes to 3, but the manifest is
+#: self-describing on the sketch precision ``p`` (round 9 — readers
+#: derive p instead of trusting callers; v3→v4 is manifest-only, see
+#: `upgrade_rollup_v3_to_v4`); 3 = mergeable deterministic-HLL
+#: ``n_users_sketch`` column + sketch-derived ``n_users_approx``
+#: (round 7); 2 = exact-integer-cents sums + 2%-rsd HLL++ estimate,
+#: no sketch (round 5); 1 = the pre-round-5 float-sum / 5%-rsd
+#: format, which has no manifest version key at all. Bump whenever
+#: what lands on disk changes meaning, so a reader on a base tier
 #: written by other-version code fails loudly instead of silently
-#: mixing semantics across the boundary. Executable upgrade path:
-#: `migrate_rollup`.
-ROLLUP_FORMAT_VERSION = 3
+#: mixing semantics across the boundary. Executable upgrade paths:
+#: `upgrade_rollup_v3_to_v4` (manifest-only) and `migrate_rollup`
+#: (full rebuild, any older boundary).
+ROLLUP_FORMAT_VERSION = 4
 
 
-def _write_hwm(base_dir: str, hwm: int) -> None:
+def _write_hwm(base_dir: str, hwm: int, p: int) -> None:
     import json
     import os
 
@@ -466,32 +557,94 @@ def _write_hwm(base_dir: str, hwm: int) -> None:
     tmp = os.path.join(base_dir, f".{_HWM_FILE}.tmp")
     with open(tmp, "w") as f:
         json.dump(
-            {"win_start_hwm": hwm, "format_version": ROLLUP_FORMAT_VERSION}, f
+            {
+                "win_start_hwm": hwm,
+                "format_version": ROLLUP_FORMAT_VERSION,
+                "p": int(p),
+            },
+            f,
         )
     os.replace(tmp, os.path.join(base_dir, _HWM_FILE))
 
 
-def _read_hwm(base_dir: str) -> int | None:
+def _read_manifest(base_dir: str) -> dict | None:
+    """Version-guarded manifest read: None when no base tier exists,
+    the manifest dict (``win_start_hwm``, ``format_version``, ``p``)
+    when it does, a loud error when it was written by other-version
+    code."""
     import json
     import os
 
-    p = os.path.join(base_dir, _HWM_FILE)
-    if not os.path.exists(p):
+    path = os.path.join(base_dir, _HWM_FILE)
+    if not os.path.exists(path):
         return None
-    with open(p) as f:
+    with open(path) as f:
         manifest = json.load(f)
     found = manifest.get("format_version", 1)
     if found != ROLLUP_FORMAT_VERSION:
+        hint = (
+            "Upgrade: the v3→v4 boundary is manifest-only (row bytes "
+            "identical) — run upgrade_rollup_v3_to_v4(spark, base_dir)."
+            if found == 3
+            else "Upgrade: fresh maintainer checkpoint + full-history "
+            "backfill_rollup(replace_all=True), then delete the old "
+            "base tier (see the module docstring, 'Version boundary')."
+        )
         raise ValueError(
             f"rollup base tier at {base_dir} was written with format "
             f"version {found}, this code reads/writes version "
             f"{ROLLUP_FORMAT_VERSION}; serving or compacting across the "
-            "boundary would mix aggregation semantics. Upgrade: fresh "
-            "maintainer checkpoint + full-history backfill_rollup("
-            "replace_all=True), then delete the old base tier (see the "
-            "module docstring, 'Version boundary')."
+            f"boundary would mix aggregation semantics. {hint}"
         )
-    return int(manifest["win_start_hwm"])
+    return manifest
+
+
+def _read_hwm(base_dir: str) -> int | None:
+    manifest = _read_manifest(base_dir)
+    return None if manifest is None else int(manifest["win_start_hwm"])
+
+
+def rollup_table_p(base_dir: str) -> int | None:
+    """The sketch precision a compacted rollup table records in its
+    v4 manifest — the API answer to "what p was this table written
+    at", so no consumer has to carry p out of band. None when no base
+    tier exists yet (derive from the live rows via `sketch_p_of`)."""
+    manifest = _read_manifest(base_dir)
+    return None if manifest is None else manifest.get("p")
+
+
+def upgrade_rollup_v3_to_v4(spark: SparkSession, base_dir: str) -> int:
+    """Executable v3→v4 upgrade. The v4 boundary changed ONLY the
+    manifest (it now records the sketch precision ``p``); every row
+    byte is identical, so the upgrade derives p from the base tier's
+    own sketches and restamps the manifest in place — no rewrite, no
+    fresh checkpoint. Any other version gap still needs the full
+    `migrate_rollup` rebuild. Returns the recorded p."""
+    import json
+    import os
+
+    path = os.path.join(base_dir, _HWM_FILE)
+    if not os.path.exists(path):
+        raise ValueError(f"no rollup manifest at {base_dir}")
+    with open(path) as f:
+        manifest = json.load(f)
+    found = manifest.get("format_version", 1)
+    if found == ROLLUP_FORMAT_VERSION:
+        return int(manifest["p"])  # already v4 — idempotent no-op
+    if found != 3:
+        raise ValueError(
+            f"upgrade_rollup_v3_to_v4: base tier at {base_dir} is format "
+            f"version {found}; only the 3→4 boundary is manifest-only — "
+            "older formats changed row semantics and need migrate_rollup"
+        )
+    derived = sketch_p_of(_read_table(spark, base_dir))
+    if derived is None:
+        raise ValueError(
+            f"upgrade_rollup_v3_to_v4: base tier at {base_dir} has a "
+            "manifest but no rows — delete the stale manifest instead"
+        )
+    _write_hwm(base_dir, int(manifest["win_start_hwm"]), p=derived)
+    return derived
 
 
 def _read_table(spark: SparkSession, path: str) -> DataFrame:
