@@ -211,6 +211,11 @@ def _rollup_maintain_serve(s, d):
         start_rollup_maintenance,
     )
 
+    # r8-advisor: the derived 'serve' remainder used to absorb this
+    # pre-maintain setup (rmtree + the batch schema read of the source
+    # parquet); record setup as its own phase so serve is purely the
+    # tiered-read noop write.
+    t_enter = time.perf_counter()
     src = _rollup_events_src(s, d)
     out = os.path.join(_tmp_root(), "rollup_out")
     shutil.rmtree(out, ignore_errors=True)
@@ -238,6 +243,7 @@ def _rollup_maintain_serve(s, d):
     t1 = time.perf_counter()
     compact_rollup(s, live, base)
     t2 = time.perf_counter()
+    _ROLLUP_PHASES["setup"] = round(t0 - t_enter, 3)
     _ROLLUP_PHASES["maintain"] = round(t1 - t0, 3)
     _ROLLUP_PHASES["compact"] = round(t2 - t1, 3)
     return read_rollup_tiered(s, live, base)
@@ -372,16 +378,48 @@ def main() -> None:
         for name in HEADLINE:
             run(name)
 
-    times = {name: run(name) for name in HEADLINE}
+    # Median of 3 timed passes per query (r8 verdict: two idle
+    # same-head single-pass runs differed 20% — one pass per query
+    # cannot tell a real 30% regression from machine drift). The 3
+    # repeats run BACK TO BACK per query, not pass-major across the
+    # mix: minutes-apart repeats would put slow machine drift INSIDE
+    # each query's sample instead of between queries, which is the
+    # noise the median is there to reject. The artifact records the
+    # full min/med/max per query so a reader can see the achieved
+    # noise floor instead of trusting one number.
+    n_timed = 3
+    samples: dict[str, list[float]] = {}
+    v2_phase_samples: list[tuple[float, dict[str, float]]] = []
+    for name in HEADLINE:
+        ts = []
+        for _ in range(n_timed):
+            ts.append(run(name))
+            if name == "rollup_maintain_serve_v2":
+                # _ROLLUP_PHASES holds the latest invocation's eager
+                # phases; capture per pass so the reported
+                # decomposition is the median pass's, not the last one's
+                v2_phase_samples.append((ts[-1], dict(_ROLLUP_PHASES)))
+        samples[name] = ts
 
-    # name where the lifecycle leg's seconds went (timed pass: the
-    # _ROLLUP_PHASES values are from the last builder invocation)
+    def med(xs: list[float]) -> float:
+        return sorted(xs)[len(xs) // 2]
+
+    times = {name: med(ts) for name, ts in samples.items()}
+    spread = {
+        name: {"min": min(ts), "med": med(ts), "max": max(ts)}
+        for name, ts in samples.items()
+    }
+
+    # name where the lifecycle leg's seconds went, from the pass whose
+    # total IS the recorded median (serve = remainder after the eager
+    # setup/maintain/compact phases — the tiered-read noop write)
     v2 = times.get("rollup_maintain_serve_v2")
     phases = {}
-    if v2 is not None and _ROLLUP_PHASES:
-        eager = round(sum(_ROLLUP_PHASES.values()), 3)
+    if v2 is not None and v2_phase_samples:
+        _, ph = min(v2_phase_samples, key=lambda tp: abs(tp[0] - v2))
+        eager = round(sum(ph.values()), 3)
         phases["rollup_maintain_serve_v2"] = {
-            **_ROLLUP_PHASES,
+            **ph,
             "serve": round(max(v2 - eager, 0.0), 3),
         }
 
@@ -392,6 +430,8 @@ def main() -> None:
                 "value": round(sum(times.values()), 3),
                 "unit": "sec",
                 "queries": times,
+                "timed_passes": n_timed,
+                "spread": spread,
                 "phases": phases,
                 "sf": sf,
                 # BENCH_BASELINE.json: timings only trustworthy at

@@ -42,3 +42,15 @@ def test_bench_emits_contract_json():
         isinstance(v, float) for v in payload["queries"].values()
     )
     assert {"load_1m", "comparable"} <= set(payload)
+    # r9: per-query noise-floor fields — 3 timed passes, min<=med<=max
+    # per query, and the headline per-query number IS the median
+    assert payload["timed_passes"] == 3
+    assert set(payload["spread"]) == set(payload["queries"])
+    for name, sp in payload["spread"].items():
+        assert sp["min"] <= sp["med"] <= sp["max"], (name, sp)
+        assert payload["queries"][name] == sp["med"], (name, sp)
+    # the rollup lifecycle decomposition names where its seconds go,
+    # including the r9 setup phase (r8-advisor: serve must not absorb
+    # the builder's pre-maintain setup)
+    ph = payload["phases"]["rollup_maintain_serve_v2"]
+    assert {"setup", "maintain", "compact", "serve"} <= set(ph)
