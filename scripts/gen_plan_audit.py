@@ -68,6 +68,46 @@ def fingerprint(plan: str) -> dict:
     }
 
 
+def _fp_of(df) -> dict:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return fingerprint(buf.getvalue())
+
+
+def bench_only_rows(spark, sf_dir: str) -> list[tuple[str, dict]]:
+    """Fingerprints for the bench EXTRA_BUILDERS computations that are
+    not registered queries (r8 verdict: the most expensive leg in the
+    artifact of record must not be the only unaudited plan). Each
+    builder is invoked exactly as bench.py invokes it — the lifecycle
+    and z-order builders execute their write phases at the audit SF —
+    and the returned frame is what gets fingerprinted. For the rollup
+    lifecycle that frame IS the serve path (the tiered read); the
+    maintain phase's aggregation is fingerprinted separately via the
+    shared plan builder `rollup_stats` on the watermarked batch frame
+    (identical expression tree; the streaming plan only swaps in
+    StateStore exec nodes), and compact is a repartition+write of the
+    live scan with no returned frame."""
+    import bench
+    from video_stream_processor_spark.io import load_table
+    from video_stream_processor_spark.streaming.rollup import rollup_stats
+
+    rows = []
+    for name, builder in sorted(bench.EXTRA_BUILDERS.items()):
+        df = builder(spark, sf_dir)
+        label = (
+            f"bench:{name}[serve]"
+            if name == "rollup_maintain_serve_v2"
+            else f"bench:{name}"
+        )
+        rows.append((label, _fp_of(df)))
+    ev = load_table(spark, sf_dir, "events").withWatermark("ts", "30 minutes")
+    rows.append(
+        ("bench:rollup_maintain_serve_v2[maintain-agg]", _fp_of(rollup_stats(ev, "1 day")))
+    )
+    return rows
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from video_stream_processor_spark.plans import all_specs
@@ -78,11 +118,11 @@ def main() -> int:
     t0 = time.time()
     for name, spec in sorted(all_specs().items()):
         df = spec.builder(spark, sf_dir)
-        buf = io.StringIO()
-        with contextlib.redirect_stdout(buf):
-            df.explain("formatted")
-        fp = fingerprint(buf.getvalue())
+        fp = _fp_of(df)
         rows.append((name, fp))
+        print(f"# {name}: exch={fp['exch']} joins={fp['joins']} py={fp['python']}", file=sys.stderr)
+    bench_rows = bench_only_rows(spark, sf_dir)
+    for name, fp in bench_rows:
         print(f"# {name}: exch={fp['exch']} joins={fp['joins']} py={fp['python']}", file=sys.stderr)
 
     head = "\n".join(
@@ -112,13 +152,38 @@ def main() -> int:
             "|---|---|---|---|---|",
         ]
     )
-    body = "\n".join(
-        f"| {name} | {fp['exch']} | {fp['joins']} | {fp['pushed']} | {fp['python']} |"
-        for name, fp in rows
+    def table(rs):
+        return "\n".join(
+            f"| {name} | {fp['exch']} | {fp['joins']} | {fp['pushed']} | {fp['python']} |"
+            for name, fp in rs
+        )
+
+    bench_head = "\n".join(
+        [
+            "",
+            "## Bench-only computations (bench.py EXTRA_BUILDERS)",
+            "",
+            "Same columns, for the pinned bench computations that are not",
+            "registered queries (r9: the artifact of record's most expensive",
+            "legs carry fingerprints too). `rollup_maintain_serve_v2` rows:",
+            "`[serve]` is the frame the bench times (the tiered read);",
+            "`[maintain-agg]` is the shared two-phase sketch aggregation the",
+            "streaming maintainer plans (batch twin of the same builder —",
+            "the streaming plan swaps in StateStore exec nodes); compact is",
+            "a repartition+write of the live scan (no returned frame).",
+            "Enforced invariants: tests/test_plans_quality.py::"
+            "test_bench_only_builders_stay_jvm_side.",
+            "",
+            "| computation | exch | joins | pushed | python |",
+            "|---|---|---|---|---|",
+        ]
     )
     out = os.path.join(REPO, "PLANS.md")
     with open(out, "w") as f:
-        f.write(head + "\n" + body + "\n")
+        f.write(
+            head + "\n" + table(rows) + "\n" + bench_head + "\n"
+            + table(bench_rows) + "\n"
+        )
     print(f"# wrote {out}", file=sys.stderr)
     return 0
 
