@@ -91,8 +91,11 @@ def check(baseline_path: str, bench_path: str) -> int:
         )
 
     for name, pinned, got, ratio, sp, rel in rows:
+        # rel is None when med == 0.0 (a sub-0.5ms query rounds to 0
+        # at bench.py's 3-decimal resolution) — print the range alone
         spread_txt = (
-            f"  [{sp['min']:.3f}-{sp['max']:.3f}, {rel * 100:3.0f}%]"
+            f"  [{sp['min']:.3f}-{sp['max']:.3f}"
+            + (f", {rel * 100:3.0f}%]" if rel is not None else "]")
             if sp
             else ""
         )

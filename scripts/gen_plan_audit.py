@@ -105,6 +105,7 @@ def bench_only_rows(spark, sf_dir: str) -> list[tuple[str, dict]]:
     rows.append(
         ("bench:rollup_maintain_serve_v2[maintain-agg]", _fp_of(rollup_stats(ev, "1 day")))
     )
+    rows.sort()  # the appended maintain-agg row joins the sorted table
     return rows
 
 

@@ -180,11 +180,15 @@ def measure_saturation(spark, scratch: str, p: int) -> dict:
     cap = 1 << p
     expected = HOT_HOURS * cap  # every hot group saturates every bucket
     got = run["stage1_bucketed"]["max_rows"]
-    # tight band: all buckets hit (P(miss) ~ e^-(50k/2^p) per bucket),
-    # plus at most a handful of tail-group rows riding the same trigger
-    assert expected <= got <= expected + 64, (
-        f"stage-1 peak {got} outside [{expected}, {expected + 64}] at "
-        f"p={p}: the 2^p per-group cap did not saturate as designed"
+    # near-tight band: P(one bucket empty) ~ e^-(50k/2^p) is ~5e-6 at
+    # p=12, but across HOT_HOURS*2^p buckets that still aggregates to a
+    # few-percent chance of >=1 miss per run — allow an 8-row deficit
+    # (P(>=8 misses) is negligible) so hash randomness can't fail the
+    # evidence chain, plus at most a handful of tail-group rows riding
+    # the same trigger on the high side
+    assert expected - 8 <= got <= expected + 64, (
+        f"stage-1 peak {got} outside [{expected - 8}, {expected + 64}] "
+        f"at p={p}: the 2^p per-group cap did not saturate as designed"
     )
     # index-convention cross-check (see module docstring)
     assert got > 100 * max(run["stage2_final"]["max_rows"], 1), (

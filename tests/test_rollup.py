@@ -966,3 +966,65 @@ def test_migrate_rollup_recovers_from_version_mismatch(spark, tmp_path):
     assert served.count() > 0
     assert compact_rollup(spark, new_live, base) == H13
     assert rollup_mod._read_hwm(base) == H13  # current-version manifest
+
+
+def _rollup_shaped(spark, win_start_col, m: int = 256):
+    """A frame with the exact rollup-tier schema; win_start is the
+    caller's column so a poison (raise_error) frame can pin laziness."""
+    return spark.range(2).select(
+        win_start_col.alias("win_start"),
+        ((F.col("id") + 1) * 3600).cast("long").alias("win_end"),
+        F.lit("play").alias("event_type"),
+        F.lit(1).cast("long").alias("n_events"),
+        F.lit(0.0).alias("sum_value"),
+        F.expr(f"array_repeat(cast(0 as tinyint), {m})").alias(
+            "n_users_sketch"
+        ),
+    )
+
+
+def test_coarsen_rollup_explicit_p_is_a_pure_plan_builder(spark):
+    """r9 review finding, pinned: coarsen_rollup with an EXPLICIT p
+    must run no Spark action at build time — a composed
+    rollup_stats|>coarsen plan would otherwise execute its entire
+    upstream aggregation just to probe one array size, and a streaming
+    frame cannot be probed at all. Poison frame: executing win_start
+    raises, so if plan-building ever probes again this test fails with
+    'executed at build time'. A WRONG explicit p still fails loudly —
+    at execution, from the r8 hll size guard (defense in depth)."""
+    from video_stream_processor_spark.streaming import coarsen_rollup
+
+    poison = _rollup_shaped(
+        spark,
+        F.expr("raise_error('executed at build time')").cast("long"),
+    )
+    day = coarsen_rollup(poison, "1 day", p=8)  # must NOT raise
+    with pytest.raises(Exception, match="executed at build time"):
+        day.collect()
+
+    # wrong explicit p: builds (trusted lazily), raises at execution
+    # with observed-vs-expected register sizes from _checked_registers
+    fine = _rollup_shaped(spark, (F.col("id") * 3600).cast("long"), m=256)
+    wrong = coarsen_rollup(fine, "1 day", p=12)
+    with pytest.raises(Exception, match="register array size"):
+        wrong.collect()
+
+    # streaming frame: underivable — explicit p builds a streaming
+    # plan, omitting it is a clear immediate error, not a crash inside
+    # sketch_p_of's .first()
+    rate = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    )
+    stream = rate.select(
+        F.lit(0).cast("long").alias("win_start"),
+        F.lit(3600).cast("long").alias("win_end"),
+        F.lit("play").alias("event_type"),
+        F.lit(1).cast("long").alias("n_events"),
+        F.lit(0.0).alias("sum_value"),
+        F.expr("array_repeat(cast(0 as tinyint), 256)").alias(
+            "n_users_sketch"
+        ),
+    )
+    assert coarsen_rollup(stream, "1 day", p=8).isStreaming
+    with pytest.raises(ValueError, match="streaming"):
+        coarsen_rollup(stream, "1 day")

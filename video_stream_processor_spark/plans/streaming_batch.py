@@ -224,9 +224,14 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactness AND (via the same ±10%-bound slot) that the MERGED
     # sketch's estimate tracks the true day-level distinct count.
     # Derived==direct byte equality is pinned in tests/test_rollup.py.
+    from ..operators.hll import DEFAULT_P
     from ..streaming.rollup import coarsen_rollup
 
-    day = coarsen_rollup(roll, "1 day")
+    # p is known statically here (roll was composed above with
+    # rollup_stats' default); passing it keeps this builder a pure
+    # plan — deriving it would probe the unexecuted aggregation with
+    # an action at build time (r9 review finding)
+    day = coarsen_rollup(roll, "1 day", p=DEFAULT_P)
     exact_day = windowed_to_flat(
         ev.groupBy(F.window("ts", "1 day"), "event_type").agg(
             F.count_distinct("user_id").alias("_exact_users")

@@ -196,26 +196,28 @@ def coarsen_rollup(
 
     ``p`` defaults to the precision the finer tier was WRITTEN with,
     derived from the rows themselves (`sketch_p_of` — one bounded
-    action); pass it explicitly only as an assertion, and a value
-    that disagrees with the data raises HERE, before any merge runs
-    (the hll size guard stays underneath as defense in depth)."""
+    action, so the default only works on a materialized batch tier).
+    An explicit ``p`` keeps this a pure plan-builder: NO action runs
+    at build time (a composed plan — rollup_stats piped straight into
+    coarsen — would otherwise execute its whole upstream aggregation
+    just to read one array size, and a streaming frame cannot be
+    probed at all), and a wrong value still fails loudly at execution
+    with observed-vs-expected register sizes (`hll._checked_registers`,
+    the r8 guard, wraps both the merge and the estimate below)."""
     from ..operators import hll
     from .analytics import interval_ns
 
-    derived = sketch_p_of(finer)
     if p is None:
+        if finer.isStreaming:
+            raise ValueError(
+                "coarsen_rollup: cannot derive p from a streaming "
+                "frame (probing needs an action); pass the precision "
+                "the upstream rollup_stats was built with explicitly"
+            )
+        derived = sketch_p_of(finer)
         # empty frame: any p yields the same empty result; keep the
         # default so the output schema is still well-formed
         p = hll.DEFAULT_P if derived is None else derived
-    elif derived is not None and p != derived:
-        raise ValueError(
-            f"coarsen_rollup: explicit p={p} disagrees with the finer "
-            f"tier's own sketches (written at p={derived}); p is part "
-            "of the rollup table format and is derived from the table "
-            "since format v4 — drop the argument, or backfill the tier "
-            "at the new precision first (module docstring, 'Version "
-            "boundary')"
-        )
     to_secs = interval_ns(to_size) // 1_000_000_000
     bucket = F.col("win_start") - F.pmod(F.col("win_start"), F.lit(to_secs))
     end_bucket = (F.col("win_end") - 1) - F.pmod(
