@@ -210,12 +210,15 @@ def test_rollup_sketch_precision_mismatch_fails_loudly(spark, tmp_path):
     """``p`` is part of the rollup table format; getting it wrong must
     be an ERROR, not a silently wrong answer — and since format v4 the
     caller shouldn't be supplying it at all: `coarsen_rollup` derives
-    p from the tier's own sketches (r8-verdict order: derive-on-read),
-    an explicit p that disagrees raises BEFORE any merge runs, and the
-    hll-level size guard stays underneath for raw register arrays
-    (without it, zip_with would pad the 256-register arrays with
-    NULLs, `greatest` would ignore them, and the merged sketch would
-    confidently underestimate)."""
+    p from the tier's own sketches (r8-verdict order: derive-on-read).
+    An explicit p that disagrees raises at EXECUTION from the hll size
+    guard — not at build time, which would need an eager probe of the
+    finer frame and turn every composed rollup_stats|>coarsen plan
+    into a double aggregation (r9 review; laziness itself is pinned in
+    test_coarsen_rollup_explicit_p_is_a_pure_plan_builder). Without
+    the guard, zip_with would pad the 256-register arrays with NULLs,
+    `greatest` would ignore them, and the merged sketch would
+    confidently underestimate."""
     pdf = pd.DataFrame(FILE_A + FILE_B + FILE_C, columns=COLS)
     pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
     ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
@@ -226,11 +229,12 @@ def test_rollup_sketch_precision_mismatch_fails_loudly(spark, tmp_path):
     from video_stream_processor_spark.operators import hll
     from video_stream_processor_spark.streaming import coarsen_rollup
 
-    # explicit p that disagrees with the table: fail FAST (plan never
-    # built — a driver-side ValueError, not a mid-job executor error)
-    with pytest.raises(ValueError, match="written at p=8"):
-        coarsen_rollup(finer, "1 day", p=12)
-    # estimate at the wrong precision: the hll-level guard underneath
+    # explicit p that disagrees with the table: the plan builds (pure
+    # builder, no probe) and the first action fails loudly with the
+    # observed-vs-expected register sizes
+    with pytest.raises(Exception, match="register array size 256"):
+        coarsen_rollup(finer, "1 day", p=12).collect()
+    # estimate at the wrong precision: the same hll-level guard
     with pytest.raises(Exception, match="register array size 256"):
         finer.select(hll.estimate_col("n_users_sketch", p=12)).collect()
     # derive-on-read: NO p argument coarsens a p=8 tier correctly, and
