@@ -52,8 +52,18 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "T3": ["pipeline/sink.foreach_batch_overwrite", "tests/test_station.py", "streaming/rollup.py incremental maintenance + idempotent backfill + tiered compaction (tests/test_rollup.py; CLI `rollup`; driver-oracle evidence: stream_window_counts rollup_1h leg routes through rollup_stats; benched as rollup_maintain_serve)"],
     "T4": ["sources/extractor.py YtDlpExtractor (rate cap + politeness delay params)"],
     "T5": ["streaming/analytics._maybe_watermark", "tests/test_streaming.py::test_watermark_drops_late_data"],
+    "T7": [
+        "three oracle legs inside stream_session_30m: session_window, the "
+        "sliced hot-user escape, and the closed_sessions_batch stateful twin",
+        "streaming/analytics.session_stats_sliced (time-slice-and-stitch "
+        "bounded-per-task sessionizer; SCALE.md x8skew curve)",
+        "tests/test_streaming.py::test_session_sliced_hot_user_and_boundaries",
+    ],
     "T8": ["streaming/analytics.stream_dedup", "tests/test_streaming.py::test_stream_dedup_within_watermark"],
     "T9": [
+        "oracle evidence via stream_session_30m's 'closed' leg "
+        "(closed_sessions_batch — the batch twin the stateful tests pin "
+        "exact equality against)",
         "streaming/stateful.running_user_totals (+ Spark-4 transformWithStateInPandas twin; "
         "the TWS twin needs the public `protobuf` package for Spark's state-server protocol — "
         "absent here and installs are disallowed in this environment (re-checked round 9, 2026-08-15: still absent), so its test importorskips; "
@@ -75,6 +85,15 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "A1": ["pipeline/sink.write_json_array post-write count", "every oracle query's row-count gate"],
     "O2": ["functions/scalar.file_extension (element_at(arr,-1))", "tests/test_functions.py property suite"],
     "A2": ["pipeline/station.build_station_records observe()", "tests/test_station.py"],
+    "A5": [
+        "operators/hll.py deterministic register-max HLL, mergeable + "
+        "precision-guarded (tests/test_hll.py; wrong-p merge/estimate "
+        "raises, tests/test_rollup.py)",
+        "streaming/rollup.coarsen_rollup — coarser tier derived from "
+        "persisted sketches, p from the v4 manifest/rows, pure plan "
+        "builder when p is explicit (oracle leg rollup_1d_derived in "
+        "stream_window_counts; tests/test_rollup.py::test_coarsen_rollup_day_equals_direct_from_facts)",
+    ],
 
     "F1": ["functions/scalar.deterministic_uuid (seeded twin of uuid())"],
     "F2": ["functions/scalar.dual_timestamp (frozen run_ts)"],
