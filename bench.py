@@ -147,6 +147,17 @@ EXTRA_BUILDERS = {
     # the serving read) — a different workload, so it gets its own name
     # and its first idle number sets the v2 bar.
     "rollup_maintain_serve_v2": lambda s, d: _rollup_maintain_serve(s, d),
+    # r9: the same lifecycle with the stateful shuffle SIZED to the
+    # drain (8 state stores instead of the session's 32). Probe-
+    # measured at sf0.1, state-store delta-commit I/O is ~85% of
+    # addBatch under the default, and its fsync jitter is what made
+    # the v2 leg's cross-run timings bimodal; sizing cuts summed
+    # commit I/O ~20x and the wall ~30%. The pinned v2 leg is
+    # untouched (artifact-honesty rule); this twin quantifies the
+    # state_partitions dial in the artifact of record.
+    "rollup_maintain_serve_v2_sized": lambda s, d: _rollup_maintain_serve(
+        s, d, state_partitions=8
+    ),
     "zorder_write_pruned_read": lambda s, d: _zorder_write_pruned_read(s, d),
 }
 
@@ -198,7 +209,7 @@ def _rollup_events_src(s, d: str) -> str:
 _ROLLUP_PHASES: dict[str, float] = {}
 
 
-def _rollup_maintain_serve(s, d):
+def _rollup_maintain_serve(s, d, state_partitions=None):
     """The incremental-rollup lifecycle end to end: streaming
     maintenance (availableNow, watermark-closed appends) into the live
     table, tiered compaction into the base, then the serving read
@@ -233,7 +244,12 @@ def _rollup_maintain_serve(s, d):
     # scale; the aggregation/compaction/serving plans are identical.
     t0 = time.perf_counter()
     q = start_rollup_maintenance(
-        stream, live, ckpt, size="1 day", watermark="30 minutes"
+        stream,
+        live,
+        ckpt,
+        size="1 day",
+        watermark="30 minutes",
+        state_partitions=state_partitions,
     )
     # bounded wait: a hung stream must not cost the round its bench
     # artifact (availableNow drains in seconds here; 600 s is headroom)
@@ -312,6 +328,10 @@ HEADLINE = [
     # and the 3-leg registered sessionization suite:
     "rollup_maintain_serve_v2",
     "stream_session_30m_full",
+    # New-in-r9 (no pin; first number sets the bar): the lifecycle
+    # with the stateful shuffle sized to the drain — the
+    # state_partitions dial, quantified next to the pinned default.
+    "rollup_maintain_serve_v2_sized",
 ]
 
 
@@ -389,16 +409,19 @@ def main() -> None:
     # noise floor instead of trusting one number.
     n_timed = 3
     samples: dict[str, list[float]] = {}
-    v2_phase_samples: list[tuple[float, dict[str, float]]] = []
+    phase_samples: dict[str, list[tuple[float, dict[str, float]]]] = {}
+    lifecycle_legs = ("rollup_maintain_serve_v2", "rollup_maintain_serve_v2_sized")
     for name in HEADLINE:
         ts = []
         for _ in range(n_timed):
             ts.append(run(name))
-            if name == "rollup_maintain_serve_v2":
+            if name in lifecycle_legs:
                 # _ROLLUP_PHASES holds the latest invocation's eager
                 # phases; capture per pass so the reported
                 # decomposition is the median pass's, not the last one's
-                v2_phase_samples.append((ts[-1], dict(_ROLLUP_PHASES)))
+                phase_samples.setdefault(name, []).append(
+                    (ts[-1], dict(_ROLLUP_PHASES))
+                )
         samples[name] = ts
 
     def med(xs: list[float]) -> float:
@@ -410,18 +433,17 @@ def main() -> None:
         for name, ts in samples.items()
     }
 
-    # name where the lifecycle leg's seconds went, from the pass whose
+    # name where each lifecycle leg's seconds went, from the pass whose
     # total IS the recorded median (serve = remainder after the eager
     # setup/maintain/compact phases — the tiered-read noop write)
-    v2 = times.get("rollup_maintain_serve_v2")
     phases = {}
-    if v2 is not None and v2_phase_samples:
-        _, ph = min(v2_phase_samples, key=lambda tp: abs(tp[0] - v2))
+    for leg, leg_samples in phase_samples.items():
+        med_t = times.get(leg)
+        if med_t is None or not leg_samples:
+            continue
+        _, ph = min(leg_samples, key=lambda tp: abs(tp[0] - med_t))
         eager = round(sum(ph.values()), 3)
-        phases["rollup_maintain_serve_v2"] = {
-            **ph,
-            "serve": round(max(v2 - eager, 0.0), 3),
-        }
+        phases[leg] = {**ph, "serve": round(max(med_t - eager, 0.0), 3)}
 
     print(
         json.dumps(

@@ -97,7 +97,7 @@ def bench_only_rows(spark, sf_dir: str) -> list[tuple[str, dict]]:
         df = builder(spark, sf_dir)
         label = (
             f"bench:{name}[serve]"
-            if name == "rollup_maintain_serve_v2"
+            if name.startswith("rollup_maintain_serve")
             else f"bench:{name}"
         )
         rows.append((label, _fp_of(df)))

@@ -1032,3 +1032,78 @@ def test_coarsen_rollup_explicit_p_is_a_pure_plan_builder(spark):
     assert coarsen_rollup(stream, "1 day", p=8).isStreaming
     with pytest.raises(ValueError, match="streaming"):
         coarsen_rollup(stream, "1 day")
+
+
+def test_maintenance_state_partitions_sized_equals_default(spark, tmp_path):
+    """``state_partitions`` sizes the stateful shuffle (= the number of
+    state stores, each paying one delta-commit per micro-batch) without
+    touching WHAT is computed: the sized maintainer's table is
+    row-identical to the default's including the sketch bytes (the
+    register-max merge is partitioning-free by construction), the
+    session conf is restored immediately after start (Spark clones the
+    session at query start, probe-verified), the query really runs at
+    the sized store count, and a RESTART on the same checkpoint keeps
+    the captured layout while draining new data."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _land(src, "a.parquet", FILE_A)
+    _land(src, "b.parquet", FILE_B)
+
+    def _full_rows(table_dir):
+        df = spark.read.parquet(str(table_dir)).withColumn(
+            "win_start", F.col("win_start").cast("long")
+        ).withColumn("win_end", F.col("win_end").cast("long"))
+        cols = [*ROLLUP_KEY, "n_events", "sum_value", "n_users_approx", "n_users_sketch"]
+        return sorted(
+            ((*r[:-1], tuple(r[-1])) for r in map(tuple, df.select(*cols).collect())),
+            key=_sk,
+        )
+
+    def _state_parts(q):
+        return {
+            so.get("numShufflePartitions")
+            or so.get("customMetrics", {}).get("numShufflePartitions")
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+        }
+
+    q = start_rollup_maintenance(
+        _events_stream(spark, src),
+        str(tmp_path / "live_default"),
+        str(tmp_path / "ck_default"),
+        watermark="30 minutes",
+    )
+    assert q.awaitTermination(180)
+
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    q2 = start_rollup_maintenance(
+        _events_stream(spark, src),
+        str(tmp_path / "live_sized"),
+        str(tmp_path / "ck_sized"),
+        watermark="30 minutes",
+        state_partitions=3,
+    )
+    # conf restored for everything else on the session, even while the
+    # sized query is still running
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+    assert q2.awaitTermination(180)
+    assert _state_parts(q2) == {3}
+
+    base = _full_rows(tmp_path / "live_default")
+    assert base  # watermark advance closed at least one window
+    assert _full_rows(tmp_path / "live_sized") == base
+
+    # restart on the sized checkpoint with NO knob: the captured
+    # layout wins (Spark replays the checkpointed shuffle partitioning)
+    # and the new file drains into new closed windows
+    _land(src, "c.parquet", FILE_C)
+    q3 = start_rollup_maintenance(
+        _events_stream(spark, src),
+        str(tmp_path / "live_sized"),
+        str(tmp_path / "ck_sized"),
+        watermark="30 minutes",
+    )
+    assert q3.awaitTermination(180)
+    assert _state_parts(q3) == {3}
+    after = _full_rows(tmp_path / "live_sized")
+    assert len(after) > len(base) and set(map(_sk, base)) <= set(map(_sk, after))

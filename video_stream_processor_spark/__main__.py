@@ -286,6 +286,7 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         size=args.size,
         watermark=args.watermark,
         p=args.sketch_p,
+        state_partitions=args.state_partitions,
     )
     if not q.awaitTermination(args.timeout):
         q.stop()
@@ -449,6 +450,13 @@ def main(argv: list[str] | None = None) -> int:
                     "distinct-users column — the state/accuracy dial; "
                     "a TABLE FORMAT property: maintenance and backfill "
                     "of one table must agree (default: 12)")
+    pr.add_argument("--state-partitions", type=int, default=None,
+                    help="stateful-shuffle partition count for the "
+                    "maintainer (number of state stores; each micro-"
+                    "batch pays one delta-file commit per store per "
+                    "stateful operator) — size to per-trigger volume; "
+                    "captured into the checkpoint at first start "
+                    "(default: session spark.sql.shuffle.partitions)")
     pr.add_argument("--limit", type=int, default=10)
     pr.add_argument("--timeout", type=int, default=600,
                     help="max seconds for one maintenance pass; exceeding "

@@ -268,6 +268,7 @@ def start_rollup_maintenance(
     watermark: str = "30 minutes",
     available_now: bool = True,
     p: int | None = None,
+    state_partitions: int | None = None,
 ) -> StreamingQuery:
     """Start the incremental maintainer: append-mode windowed agg into
     a ``win_start``-partitioned parquet table.
@@ -286,6 +287,23 @@ def start_rollup_maintenance(
     min(distinct users, 2^p). Changing p on an existing table needs a
     fresh checkpoint + full backfill at the new p — it is a format
     boundary, and the state schema would not match anyway.
+
+    ``state_partitions`` sizes the stateful shuffle (and therefore the
+    number of state-store instances) for THIS query. Measured on this
+    build, each micro-batch pays ~(2 stateful operators ×
+    ``spark.sql.shuffle.partitions``) state-store delta-file commits
+    regardless of row volume — per-trigger fixed I/O that dominates a
+    small drain (SCALE.md: the probe-measured commitTimeMs is ~85% of
+    addBatch at sf0.1's ~25k rows/trigger under the session default of
+    32). Size it to trigger volume: small per-trigger volume → fewer
+    partitions; a 1000-executor cluster ingesting 100 TB/day sizes UP
+    so each store's delta stays small. Like ``p`` it is captured into
+    the checkpoint at first start (Spark replays the checkpointed
+    shuffle partitioning on restart), so changing it needs a fresh
+    checkpoint. Implemented by pinning the session conf around
+    ``start()`` — the value is read once at query planning; callers
+    starting queries concurrently from other threads should serialize
+    starts (the CLI and bench are single-threaded).
     """
     roll = rollup_stats(
         events_stream.withWatermark("ts", watermark), size, p=p
@@ -299,7 +317,16 @@ def start_rollup_maintenance(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    return writer.start()
+    if state_partitions is None:
+        return writer.start()
+    spark = events_stream.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(int(state_partitions)))
+    try:
+        return writer.start()
+    finally:
+        spark.conf.set(key, prev)
 
 
 def backfill_rollup(
