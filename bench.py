@@ -4,7 +4,17 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {"q1": sec, ...}, "sf": 0.1}
+     "queries": {"q1": <median sec>, ...}, "sf": 0.1,
+     "timed_passes": 3, "spread": {"q1": {min,med,max}, ...},
+     "phases": {<lifecycle legs>: {setup,maintain,compact,serve}},
+     "load_1m": <1-min load at start>, "comparable": <load < gate>}
+
+Recorded times are the median of 3 back-to-back timed passes after 2
+warm passes (r8: two idle same-head single-pass runs differed 20%);
+``spread`` carries each query's min/med/max so a reader sees the
+achieved noise floor, ``comparable`` says whether the load gate was
+met, and scripts/check_bench_pins.py reads the medians against
+BENCH_BASELINE.json's pinned bars.
 
 Query mix rationale: one per engine pillar — scan+agg (TPC-H Q1 shape),
 multi-way join, rollup, window ranking, top-k sort, event-time windows,
@@ -16,8 +26,10 @@ run would measure.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
+import re
 import shutil
 import sys
 import tempfile
@@ -91,8 +103,6 @@ def _llm_text_quality_pinned(spark, sf_dir):
     pinned name runs the pinned plan and the enriched registered query
     is timed separately as ``llm_text_quality_full`` (new entry, no
     pin)."""
-    from pyspark.sql import functions as FF
-
     from video_stream_processor_spark.llm.text import quality_columns
 
     q = quality_columns()
@@ -100,12 +110,12 @@ def _llm_text_quality_pinned(spark, sf_dir):
         "lang", *[v.alias(k) for k, v in q.items()]
     )
     return per_doc.groupBy("lang").agg(
-        FF.count(FF.lit(1)).alias("n_docs"),
-        FF.round(FF.avg("n_chars"), 6).alias("avg_chars"),
-        FF.round(FF.avg("n_tokens"), 6).alias("avg_tokens"),
-        FF.round(FF.avg("n_distinct_tokens"), 6).alias("avg_distinct_tokens"),
-        FF.round(FF.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
-        FF.round(FF.avg("avg_token_len"), 6).alias("avg_token_len"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("n_distinct_tokens"), 6).alias("avg_distinct_tokens"),
+        F.round(F.avg("stopword_ratio"), 6).alias("avg_stopword_ratio"),
+        F.round(F.avg("avg_token_len"), 6).alias("avg_token_len"),
     )
 
 
@@ -189,14 +199,25 @@ def _rollup_events_src(s, d: str) -> str:
     adaptation, not part of the measured pipeline, hence memoized
     outside the timed region (the warm passes populate it)."""
     if d not in _ROLLUP_SRC:
-        src = os.path.join(
-            _tmp_root(), f"rollup_src_{os.path.basename(d.rstrip('/'))}"
-        )
+        # name by a digest of the FULL path: two sf dirs sharing a
+        # basename must not silently share (and restage) one directory
+        tag = hashlib.sha256(d.rstrip("/").encode()).hexdigest()[:12]
+        src = os.path.join(_tmp_root(), f"rollup_src_{tag}")
         shutil.rmtree(src, ignore_errors=True)
         # 4 time-ranged files → 4 triggers: enough watermark advances
         # to close and append most windows, without paying 8+ rounds of
         # state-store commit overhead in every bench pass
         load_table(s, d, "events").repartitionByRange(4, "ts").write.parquet(src)
+        # replay in TIME order (part-00000 holds the lowest ts range):
+        # the file source processes oldest-mtime first, and the write's
+        # own mtimes land in arbitrary task-completion order — an
+        # out-of-order replay would advance the watermark early and
+        # silently drop whole files as late, making the pinned legs
+        # measure a run-varying workload (same fix as
+        # scripts/rollup_state_smoke.py, where this was root-caused)
+        t0 = 1_700_000_000
+        for i, f in enumerate(sorted(os.listdir(src))):
+            os.utime(os.path.join(src, f), (t0 + i * 10, t0 + i * 10))
         _ROLLUP_SRC[d] = src
     return _ROLLUP_SRC[d]
 
@@ -372,7 +393,10 @@ def _await_quiet_machine() -> tuple[float, bool]:
 def main() -> None:
     load_1m, comparable = _await_quiet_machine()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    # the sf field is informational; an unconventional dir name (e.g.
+    # sf0.1-idle) must not cost the round its one JSON line
+    m = re.search(r"sf(\d+(?:\.\d+)?)", os.path.basename(sf_dir.rstrip("/")))
+    sf = float(m.group(1)) if m else None
     spark = get_spark(app_name="vsp-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = all_specs()

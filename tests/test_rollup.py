@@ -1107,3 +1107,23 @@ def test_maintenance_state_partitions_sized_equals_default(spark, tmp_path):
     assert _state_parts(q3) == {3}
     after = _full_rows(tmp_path / "live_sized")
     assert len(after) > len(base) and set(map(_sk, base)) <= set(map(_sk, after))
+
+    # an explicit value that MATCHES the captured layout resumes fine;
+    # a DISAGREEING one fails loudly instead of being silently ignored
+    # by Spark (the p lesson: explicit arguments never no-op)
+    q4 = start_rollup_maintenance(
+        _events_stream(spark, src),
+        str(tmp_path / "live_sized"),
+        str(tmp_path / "ck_sized"),
+        watermark="30 minutes",
+        state_partitions=3,
+    )
+    assert q4.awaitTermination(180)
+    with pytest.raises(ValueError, match="captured 3 at first start"):
+        start_rollup_maintenance(
+            _events_stream(spark, src),
+            str(tmp_path / "live_sized"),
+            str(tmp_path / "ck_sized"),
+            watermark="30 minutes",
+            state_partitions=16,
+        )

@@ -260,6 +260,39 @@ def coarsen_rollup(
     )
 
 
+def _checkpointed_state_partitions(checkpoint_dir: str) -> int | None:
+    """The shuffle-partition count a streaming checkpoint captured at
+    first start, from the latest offsets-log entry's conf snapshot
+    (line 2 of ``offsets/<batchId>``: the OffsetSeqMetadata JSON),
+    or None when the checkpoint has no committed offsets yet. Used to
+    fail loudly when a caller asks for a DIFFERENT ``state_partitions``
+    on restart — Spark itself would silently keep the captured value."""
+    import json
+    import os
+
+    offsets_dir = os.path.join(checkpoint_dir, "offsets")
+    if not os.path.isdir(offsets_dir):
+        return None
+    batches = [n for n in os.listdir(offsets_dir) if n.isdigit()]
+    if not batches:
+        return None
+    latest = os.path.join(offsets_dir, max(batches, key=int))
+    try:
+        with open(latest) as f:
+            if f.readline().strip() != "v1":
+                return None  # unknown log version: don't guess its layout
+            meta = json.loads(f.readline())
+        if not isinstance(meta, dict):
+            return None
+        conf = meta.get("conf")
+        val = conf.get("spark.sql.shuffle.partitions") if isinstance(conf, dict) else None
+        return None if val is None else int(val)
+    except (OSError, ValueError):
+        # a torn/in-flight offsets file is not this guard's problem;
+        # the stream's own recovery raises with the real story
+        return None
+
+
 def start_rollup_maintenance(
     events_stream: DataFrame,
     table_dir: str,
@@ -305,6 +338,41 @@ def start_rollup_maintenance(
     starting queries concurrently from other threads should serialize
     starts (the CLI and bench are single-threaded).
     """
+    # Like p, the stateful shuffle partitioning is captured into the
+    # checkpoint at first start; on restart Spark silently keeps the
+    # captured value and ignores the session conf. Silent is the wrong
+    # failure mode for an explicit argument (the p lesson): raise on a
+    # disagreeing restart instead of letting the caller believe the
+    # resize happened.
+    if state_partitions is not None:
+        if "://" in checkpoint_dir and not checkpoint_dir.startswith("file:"):
+            # the offsets-log reader below is local-FS (like the rest
+            # of this module's manifest machinery); on a remote
+            # checkpoint the disagreement check can't run from here,
+            # so say so instead of silently failing open
+            import warnings
+
+            warnings.warn(
+                "start_rollup_maintenance: cannot verify state_partitions"
+                f"={state_partitions} against the remote checkpoint "
+                f"{checkpoint_dir!r}; if that checkpoint already captured "
+                "a different value at first start, Spark will silently "
+                "keep the captured one",
+                stacklevel=2,
+            )
+            captured = None
+        else:
+            captured = _checkpointed_state_partitions(checkpoint_dir)
+        if captured is not None and captured != int(state_partitions):
+            raise ValueError(
+                f"start_rollup_maintenance: state_partitions="
+                f"{state_partitions} disagrees with the checkpoint at "
+                f"{checkpoint_dir!r}, which captured "
+                f"{captured} at first start — Spark would silently keep "
+                f"{captured}. Resizing state needs a fresh checkpoint "
+                "(and, for this append-mode table, a backfill), or drop "
+                "the argument to resume at the captured layout"
+            )
     roll = rollup_stats(
         events_stream.withWatermark("ts", watermark), size, p=p
     )
