@@ -44,7 +44,9 @@ def main() -> int:
     import __spark_entry__ as e
     from oracle_harness import compare_to_oracle
 
-    assert e.entry(spark).count() >= 0, "entry smoke failed"
+    # the real driver's smoke is rows > 0 (__spark_entry__ contract);
+    # count() >= 0 was vacuously true (r9 review)
+    assert e.entry(spark).count() > 0, "entry smoke failed: 0 rows"
 
     queries = e.queries()
     oracles = e.oracle_sql()
@@ -57,7 +59,10 @@ def main() -> int:
                 compare_to_oracle(df, oracles[name], SF_DIR, name=name)
                 status = "match"
             else:
-                df.limit(1).collect()
+                # materialize ALL rows like the driver's rows-only
+                # check would; limit(1) passed on empty results and
+                # never executed later partitions (r9 review)
+                assert df.count() > 0, "rows-only query returned 0 rows"
                 status = "rows-only"
         except Exception:
             traceback.print_exc()
