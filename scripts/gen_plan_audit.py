@@ -105,7 +105,9 @@ def bench_only_rows(spark, sf_dir: str) -> list[tuple[str, dict]]:
     rows.append(
         ("bench:rollup_maintain_serve_v2[maintain-agg]", _fp_of(rollup_stats(ev, "1 day")))
     )
-    rows.sort()  # the appended maintain-agg row joins the sorted table
+    # sort on the label alone: a tuple sort would fall through to
+    # comparing the fingerprint dicts (TypeError) on a label collision
+    rows.sort(key=lambda r: r[0])
     return rows
 
 

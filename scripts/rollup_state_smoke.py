@@ -82,8 +82,13 @@ def _maintain_and_read_ops(spark, src: str, out: str, p: int) -> dict:
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
     )
+    # state_partitions pinned to the session conf: this probe's curves
+    # (state rows per store count, SCALE.md history) were measured at
+    # the session default; the r10 'auto' default would re-size new
+    # checkpoints and silently change the instrument
     q = start_rollup_maintenance(
-        stream, live, ckpt, size="1 hour", watermark="30 minutes", p=p
+        stream, live, ckpt, size="1 hour", watermark="30 minutes", p=p,
+        state_partitions=None,
     )
     if not q.awaitTermination(900):
         q.stop()

@@ -359,8 +359,18 @@ def _skew_remap(t: dict[str, DataFrame]) -> dict[str, DataFrame]:
         )
         # keep the parallel exact-nanos column consistent with the
         # remapped ts: an op reading ts_ns must see the same hot hour
-        # (r9 review — a stale ts_ns would silently unskew it)
-        .withColumn("ts_ns", F.unix_micros(F.col("ts")) * F.lit(1000))
+        # (r9 review — a stale ts_ns would silently unskew it). Only
+        # the REMAPPED rows get the recompute: rewriting every row
+        # would truncate sub-microsecond nanos the loader preserves,
+        # collapsing ts_ns ordering ties for the 80% of rows the skew
+        # injection never touched (r10 advisor).
+        .withColumn(
+            "ts_ns",
+            F.when(
+                F.col("event_id") % 5 == 4,
+                F.unix_micros(F.col("ts")) * F.lit(1000),
+            ).otherwise(F.col("ts_ns")),
+        )
     )
     return out
 

@@ -1127,3 +1127,96 @@ def test_maintenance_state_partitions_sized_equals_default(spark, tmp_path):
             watermark="30 minutes",
             state_partitions=16,
         )
+
+
+def test_derived_state_partitions_formula(spark):
+    """The volume-derived sizing is the 2^p state bound over the
+    per-store row target, capped at the session's shuffle parallelism
+    — it only ever sizes thin state DOWN, never past the configured
+    width."""
+    from video_stream_processor_spark.streaming.rollup import (
+        derived_state_partitions,
+    )
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "32")
+        # default p=12, 8 open groups, 4096 rows/store: 8*4096/4096 = 8
+        assert derived_state_partitions(spark) == 8
+        # p=8 shrinks the bound 16x: ceil(8*256/4096) = 1
+        assert derived_state_partitions(spark, p=8) == 1
+        # many open groups derive back up, capped at the session width
+        assert derived_state_partitions(spark, expected_open_groups=64) == 32
+    finally:
+        spark.conf.set(key, prev)
+
+
+def test_auto_state_partitions_default(spark, tmp_path):
+    """The r10 default: a NEW checkpoint captures the volume-derived
+    sizing; a restart on an EXISTING checkpoint resumes the captured
+    layout without pinning or raising — and the file:-scheme URI form
+    of the same checkpoint no longer slips past the explicit-argument
+    disagreement guard (r10 advisor: os.path.isdir('file:...') is
+    always False, so the guard failed open silently)."""
+    from video_stream_processor_spark.streaming.rollup import (
+        _checkpointed_state_partitions,
+        derived_state_partitions,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _land(src, "a.parquet", FILE_A)
+    _land(src, "b.parquet", FILE_B)
+    live, ckpt = str(tmp_path / "live"), str(tmp_path / "ckpt")
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "32")
+        expect = derived_state_partitions(spark)
+        assert expect == 8  # sized below the 32-wide session
+        q = start_rollup_maintenance(
+            _events_stream(spark, src), live, ckpt, watermark="30 minutes"
+        )
+        assert q.awaitTermination(180)
+    finally:
+        spark.conf.set(key, prev)
+    # the NEW checkpoint captured the derived sizing, not the session 32
+    assert _checkpointed_state_partitions(ckpt) == expect
+    state_parts = {
+        so.get("numShufflePartitions")
+        for pr in q.recentProgress
+        for so in pr.get("stateOperators", [])
+    }
+    assert state_parts == {expect}
+
+    # restart under a DIFFERENT session conf, still on the default:
+    # existing checkpoint -> resume captured layout, no pin, no raise
+    _land(src, "c.parquet", FILE_C)
+    q2 = start_rollup_maintenance(
+        _events_stream(spark, src), live, ckpt, watermark="30 minutes"
+    )
+    assert q2.awaitTermination(180)
+    assert _checkpointed_state_partitions(ckpt) == expect
+
+    # file:-scheme URI of the SAME checkpoint: the guard must still
+    # see the captured value (advice fix), so a disagreeing explicit
+    # resize raises instead of silently failing open
+    with pytest.raises(ValueError, match=f"captured {expect} at first start"):
+        start_rollup_maintenance(
+            _events_stream(spark, src),
+            live,
+            "file://" + ckpt,
+            watermark="30 minutes",
+            state_partitions=expect + 1,
+        )
+    # ...and a MATCHING explicit value through the file: URI resumes
+    q3 = start_rollup_maintenance(
+        _events_stream(spark, src),
+        live,
+        "file://" + ckpt,
+        watermark="30 minutes",
+        state_partitions=expect,
+    )
+    assert q3.awaitTermination(180)

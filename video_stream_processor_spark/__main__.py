@@ -450,13 +450,18 @@ def main(argv: list[str] | None = None) -> int:
                     "distinct-users column — the state/accuracy dial; "
                     "a TABLE FORMAT property: maintenance and backfill "
                     "of one table must agree (default: 12)")
-    pr.add_argument("--state-partitions", type=int, default=None,
+    pr.add_argument("--state-partitions", default="auto",
+                    type=lambda v: None if v.lower() in ("none", "session")
+                    else "auto" if v.lower() == "auto" else int(v),
                     help="stateful-shuffle partition count for the "
                     "maintainer (number of state stores; each micro-"
                     "batch pays one delta-file commit per store per "
                     "stateful operator) — size to per-trigger volume; "
-                    "captured into the checkpoint at first start "
-                    "(default: session spark.sql.shuffle.partitions)")
+                    "captured into the checkpoint at first start. "
+                    "'auto' (default): new checkpoints derive from the "
+                    "2^p state bound, existing ones resume the captured "
+                    "layout; 'session' keeps the session "
+                    "spark.sql.shuffle.partitions untouched")
     pr.add_argument("--limit", type=int, default=10)
     pr.add_argument("--timeout", type=int, default=600,
                     help="max seconds for one maintenance pass; exceeding "

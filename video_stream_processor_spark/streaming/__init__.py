@@ -22,6 +22,7 @@ from .rollup import (  # noqa: F401
     backfill_rollup,
     coarsen_rollup,
     compact_rollup,
+    derived_state_partitions,
     migrate_rollup,
     read_rollup,
     read_rollup_tiered,

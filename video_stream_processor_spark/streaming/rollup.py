@@ -260,6 +260,21 @@ def coarsen_rollup(
     )
 
 
+def _local_checkpoint_path(checkpoint_dir: str) -> str | None:
+    """``checkpoint_dir`` as a plain local-FS path, or None when it
+    names a filesystem this module's local readers can't open
+    (hdfs://, s3a://, ...). ``file:``-scheme URIs (``file:/x``,
+    ``file:///x``) resolve to their path component — before round 10
+    they fell through to ``os.path.isdir('file:...')`` (always False),
+    silently failing the state_partitions guard open."""
+    from urllib.parse import urlparse
+
+    parsed = urlparse(checkpoint_dir)
+    if parsed.scheme in ("", "file"):
+        return parsed.path or checkpoint_dir
+    return None
+
+
 def _checkpointed_state_partitions(checkpoint_dir: str) -> int | None:
     """The shuffle-partition count a streaming checkpoint captured at
     first start, from the latest offsets-log entry's conf snapshot
@@ -293,6 +308,43 @@ def _checkpointed_state_partitions(checkpoint_dir: str) -> int | None:
         return None
 
 
+def derived_state_partitions(
+    spark: SparkSession,
+    p: int | None = None,
+    expected_open_groups: int = 8,
+    target_rows_per_store: int = 4096,
+) -> int:
+    """Volume-derived stateful-shuffle sizing for the rollup
+    maintainer, from the one state bound this format guarantees:
+    stage-1 streaming state holds at most ``open_groups × 2^p`` rows
+    (measured at saturation — SCALE.md r9), where open_groups is the
+    number of concurrently-open (window, event_type) groups
+    (≈ event-type cardinality × (watermark/size + 1) windows).
+
+    Probe-measured on this build, each micro-batch pays one
+    state-store delta-file commit (create+fsync) per stateful operator
+    per shuffle partition REGARDLESS of row volume — per-trigger fixed
+    I/O that dominates when stores are thin (commitTimeMs was ~85% of
+    addBatch at 32 stores over ~25k-row triggers; sizing to 8 cut
+    summed commit I/O ~20x). So: enough partitions that each store
+    stays under ``target_rows_per_store`` state rows, and no more,
+    capped at the session's shuffle parallelism (a 1000-executor
+    cluster with many open groups derives right back up to its
+    configured width — the cap keeps this a sizing-down of thin state,
+    never a sizing-up past the cluster's configured parallelism).
+    """
+    import math
+
+    from ..operators import hll
+
+    bound = max(1, int(expected_open_groups)) * (
+        2 ** (hll.DEFAULT_P if p is None else int(p))
+    )
+    derived = max(1, math.ceil(bound / max(1, int(target_rows_per_store))))
+    session = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    return min(derived, session)
+
+
 def start_rollup_maintenance(
     events_stream: DataFrame,
     table_dir: str,
@@ -301,7 +353,7 @@ def start_rollup_maintenance(
     watermark: str = "30 minutes",
     available_now: bool = True,
     p: int | None = None,
-    state_partitions: int | None = None,
+    state_partitions: int | None | str = "auto",
 ) -> StreamingQuery:
     """Start the incremental maintainer: append-mode windowed agg into
     a ``win_start``-partitioned parquet table.
@@ -337,17 +389,45 @@ def start_rollup_maintenance(
     ``start()`` — the value is read once at query planning; callers
     starting queries concurrently from other threads should serialize
     starts (the CLI and bench are single-threaded).
+
+    Since round 10 the DEFAULT is ``"auto"`` (r9 quantified the dial —
+    sized 8.82 s vs session-default 11.13 s in the same artifact — and
+    the r9 verdict ordered it defaulted): a NEW local checkpoint
+    starts at `derived_state_partitions` (the 2^p state-bound sizing);
+    an EXISTING checkpoint resumes at whatever it captured, silently
+    and correctly (resuming the captured layout is the contract, not a
+    disagreement). Pass an int to size explicitly (a disagreeing
+    restart raises), or ``None`` to keep the session conf untouched
+    (the pre-r10 behavior; the bench's pinned v2 leg uses this).
     """
-    # Like p, the stateful shuffle partitioning is captured into the
-    # checkpoint at first start; on restart Spark silently keeps the
-    # captured value and ignores the session conf. Silent is the wrong
-    # failure mode for an explicit argument (the p lesson): raise on a
-    # disagreeing restart instead of letting the caller believe the
-    # resize happened.
-    if state_partitions is not None:
-        if "://" in checkpoint_dir and not checkpoint_dir.startswith("file:"):
-            # the offsets-log reader below is local-FS (like the rest
-            # of this module's manifest machinery); on a remote
+    resolved: int | None
+    local_ckpt = _local_checkpoint_path(checkpoint_dir)
+    if state_partitions == "auto":
+        if local_ckpt is None:
+            # remote checkpoint: can't tell new from existing from
+            # here, and a wrong pin on an existing one would raise in
+            # Spark's own restart validation for nothing — fall back
+            # to the session conf (pre-r10 behavior)
+            resolved = None
+        elif _checkpointed_state_partitions(local_ckpt) is not None:
+            # existing checkpoint: Spark replays the captured layout
+            # regardless of conf; don't pin, don't second-guess
+            resolved = None
+        else:
+            resolved = derived_state_partitions(
+                events_stream.sparkSession, p=p
+            )
+    elif state_partitions is not None:
+        # Like p, the stateful shuffle partitioning is captured into
+        # the checkpoint at first start; on restart Spark silently
+        # keeps the captured value and ignores the session conf.
+        # Silent is the wrong failure mode for an explicit argument
+        # (the p lesson): raise on a disagreeing restart instead of
+        # letting the caller believe the resize happened.
+        resolved = int(state_partitions)
+        if local_ckpt is None:
+            # the offsets-log reader is local-FS (like the rest of
+            # this module's manifest machinery); on a remote
             # checkpoint the disagreement check can't run from here,
             # so say so instead of silently failing open
             import warnings
@@ -362,8 +442,8 @@ def start_rollup_maintenance(
             )
             captured = None
         else:
-            captured = _checkpointed_state_partitions(checkpoint_dir)
-        if captured is not None and captured != int(state_partitions):
+            captured = _checkpointed_state_partitions(local_ckpt)
+        if captured is not None and captured != resolved:
             raise ValueError(
                 f"start_rollup_maintenance: state_partitions="
                 f"{state_partitions} disagrees with the checkpoint at "
@@ -373,6 +453,8 @@ def start_rollup_maintenance(
                 "(and, for this append-mode table, a backfill), or drop "
                 "the argument to resume at the captured layout"
             )
+    else:
+        resolved = None
     roll = rollup_stats(
         events_stream.withWatermark("ts", watermark), size, p=p
     )
@@ -385,12 +467,12 @@ def start_rollup_maintenance(
     )
     if available_now:
         writer = writer.trigger(availableNow=True)
-    if state_partitions is None:
+    if resolved is None:
         return writer.start()
     spark = events_stream.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
-    spark.conf.set(key, str(int(state_partitions)))
+    spark.conf.set(key, str(resolved))
     try:
         return writer.start()
     finally:
