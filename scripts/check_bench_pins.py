@@ -18,7 +18,13 @@ per-query numbers are the MEDIAN of 3 back-to-back timed passes and
 carry min/med/max spread fields (r8 measured a 20% same-head
 single-pass noise floor); the checker prints each pin's spread and the
 worst relative spread so the reader sees the achieved noise floor next
-to the ratios.  What this CANNOT catch is a
+to the ratios.  Since round 10 bench.py emits a compact headline line
+(last, <= 2000 chars so the driver's tail capture parses) plus a
+detail line (spread/phases); the checker accepts the gauntlet-merged
+artifact, the compact headline alone, or a driver tail capture, and
+prints each lifecycle leg's maintain WALL next to its summed
+state-store commit I/O — the fsync axis that separates a machine I/O
+regime shift from a code regression.  What this CANNOT catch is a
 pinned name silently re-routed to a different computation — that half
 of the contract lives in bench.py (EXTRA_BUILDERS pins the verbatim
 builder per name, enriched registry forms are timed under *_full
@@ -35,16 +41,30 @@ def check(baseline_path: str, bench_path: str) -> int:
     with open(bench_path) as f:
         run = json.load(f)
     if "queries" not in run and "tail" in run:
-        # driver-written artifact: bench.py's one-line JSON is embedded in
-        # the captured stdout tail — recover the last {"metric": ...} line
-        for line in reversed(run["tail"].replace("\r", "\n").splitlines()):
-            line = line.strip()
-            if line.startswith('{"metric"'):
-                run = json.loads(line)
-                break
-        else:
+        # driver-written artifact: bench.py's final compact line is
+        # embedded in the captured stdout tail (guaranteed <= 2000
+        # chars since r10 so this window can't truncate it) — recover
+        # the headline, and the detail line too when the tail kept it
+        lines = [
+            ln.strip()
+            for ln in run["tail"].replace("\r", "\n").splitlines()
+            if ln.strip().startswith('{"metric"')
+        ]
+        recovered = None
+        detail = None
+        for ln in reversed(lines):
+            obj = json.loads(ln)
+            if recovered is None and obj.get("metric") == "headline_query_mix_total":
+                recovered = obj
+            elif detail is None and obj.get("metric") == "headline_query_mix_detail":
+                detail = obj
+        if recovered is None:
             print(f"VIOLATION: no bench JSON line found in {bench_path} tail")
             return 1
+        if detail:
+            recovered.setdefault("spread", detail.get("spread", {}))
+            recovered.setdefault("phases", detail.get("phases", {}))
+        run = recovered
 
     pins = base["queries"]
     times = run.get("queries", {})
@@ -103,6 +123,26 @@ def check(baseline_path: str, bench_path: str) -> int:
             f"  {name:28s} {got:7.3f}s  pin {pinned:6.3f}s  {ratio:5.2f}x"
             f"{spread_txt}"
         )
+    # Lifecycle legs: report the maintain WALL next to the summed
+    # state-store commit I/O (r9 root cause: the maintain phase's
+    # cross-process bimodality is fsync-latency modes — wall medians
+    # 7.4/10.5 s at identical code). The two axes together make a
+    # regression attributable mechanically: wall up + commit I/O up =
+    # machine fsync regime; wall up + commit I/O flat = code.
+    phases = run.get("phases", {})
+    commit_io = run.get("commit_io_s", {})
+    legs = sorted(set(phases) | set(commit_io))
+    for leg in legs:
+        ph = phases.get(leg, {})
+        cio = ph.get("commit_io_s", commit_io.get(leg))
+        wall_txt = (
+            f"maintain wall {ph['maintain']:.3f}s"
+            if "maintain" in ph
+            else "maintain wall n/a (headline-only artifact)"
+        )
+        cio_txt = f"state-commit I/O {cio:.3f}s" if cio is not None else "state-commit I/O n/a"
+        print(f"  {leg:32s} {wall_txt}, {cio_txt}")
+
     missing_txt = f", {missing} missing counted at pin" if missing else ""
     spread_txt = (
         f", worst per-query spread {worst_rel_spread * 100:.0f}% of median"

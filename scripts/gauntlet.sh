@@ -81,8 +81,26 @@ say "scale_smoke appended to SCALE.md ($(wc -l < "$SMOKE_LOG") JSON lines)"
 say "step 4/7: bench.py twice (idle-gated; artifact + same-head repeat)"
 await_idle
 BENCH_OUT="BENCH_${TAG}.json"
-python bench.py 2>/tmp/bench_${TAG}_a.stderr | tail -1 > "$BENCH_OUT" \
+BENCH_RAW="$(mktemp /tmp/bench_${TAG}_raw_XXXX.out)"
+python bench.py 2>/tmp/bench_${TAG}_a.stderr > "$BENCH_RAW" \
   || fail "bench.py first run"
+# bench.py emits a detail line (spread/phases) then a compact headline
+# line LAST (guaranteed <= 2000 chars so the driver's tail capture
+# parses it — r9's single fat line truncated there).  The committed
+# artifact of record merges both, keeping the r8/r9 one-object shape.
+python - "$BENCH_RAW" "$BENCH_OUT" <<'PY' || fail "bench artifact merge"
+import json, sys
+lines = [l for l in open(sys.argv[1]).read().splitlines() if l.strip()]
+head = json.loads(lines[-1])
+assert head.get("metric") == "headline_query_mix_total", head.get("metric")
+assert len(lines[-1]) <= 2000, f"final bench line {len(lines[-1])} chars > 2000"
+if len(lines) > 1:
+    detail = json.loads(lines[-2])
+    if detail.get("metric") == "headline_query_mix_detail":
+        head["spread"] = detail.get("spread", {})
+        head["phases"] = detail.get("phases", {})
+json.dump(head, open(sys.argv[2], "w"))
+PY
 python -c "import json;json.load(open('$BENCH_OUT'))" || fail "bench artifact not valid JSON"
 REPEAT_OUT="$(mktemp /tmp/bench_${TAG}_repeat_XXXX.json)"
 python bench.py 2>/tmp/bench_${TAG}_b.stderr | tail -1 > "$REPEAT_OUT" \
