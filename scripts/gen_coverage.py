@@ -66,7 +66,7 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "exact equality against)",
         "streaming/stateful.running_user_totals (+ Spark-4 transformWithStateInPandas twin; "
         "the TWS twin needs the public `protobuf` package for Spark's state-server protocol — "
-        "absent here and installs are disallowed in this environment (re-checked round 9, 2026-08-15: still absent), so its test importorskips; "
+        "absent here and installs are disallowed in this environment (re-checked round 10, 2026-08-15: still absent), so its test importorskips; "
         "the applyInPandasWithState twin runs and pins identical semantics)",
         "streaming/stateful.closed_user_sessions (EventTimeTimeout session closer)",
         "tests/test_streaming.py::test_stateful_running_totals",
@@ -168,7 +168,8 @@ RENAMES: list[tuple[str, str]] = [
     ("llm_token_counts", "`llm_text_quality` (BPE columns)"),
     ("llm_hash_sample / llm_stratified_sample", "`llm_sampling_suite`"),
     ("llm_frame_sample / llm_multimodal_features", "`llm_multimodal_suite`"),
-    ("llm_minhash_pairs / llm_simhash_pairs (xxhash64, rows-only)", "unregistered — bench + tests (`llm/dedup.py`)"),
+    ("llm_minhash_pairs / llm_simhash_pairs (xxhash64)", "`llm_near_dup_pairs_prod` since r10 (rows-only by design — no DuckDB xxhash64; exact-verified + portable-twin-pinned); also bench + tests (`llm/dedup.py`)"),
+    ("dedup_distinct_pairs", "`set_ops_suite` 'distinct_pairs' leg (r10 — freed the driver-window slot `llm_near_dup_pairs_prod` uses)"),
     ("scan_filter_project", "unregistered — S9/P7 via `q1_pricing_summary`; plan test + bench keep the builder"),
     ("join_broadcast_dim", "unregistered — J1 via `join_revenue_by_nation`"),
 ]

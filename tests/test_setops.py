@@ -21,11 +21,16 @@ def test_registry_fits_driver_window_and_is_fully_oracle_paired():
     """The driver hash-checks the first 50 registered queries: the
     registry must never exceed 50 entries, and every entry must carry a
     DuckDB oracle (a rows-only entry would burn a window slot on a
-    weaker check)."""
+    weaker check) — except the ONE deliberate rows-only entry: the
+    xxhash64 production near-dup paths (r9 verdict order 4), which
+    DuckDB cannot replay by construction and whose correctness is
+    pinned against the oracle-checked portable twins in test_llm.py."""
     specs = all_specs()
     assert len(specs) <= 50, f"registry has {len(specs)} entries (> 50)"
     rows_only = [n for n, s in specs.items() if s.oracle is None]
-    assert not rows_only, f"rows-only entries burn driver slots: {rows_only}"
+    assert rows_only == ["llm_near_dup_pairs_prod"], (
+        f"unexpected rows-only entries burn driver slots: {rows_only}"
+    )
 
 
 def test_station_observe_counters(spark, sf_dir):

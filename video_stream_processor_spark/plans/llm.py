@@ -88,11 +88,6 @@ def llm_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.unionByName(canon)
 
 
-# The xxhash64 production variants (minhash_near_dup_pairs,
-# simhash_near_dup_pairs) are NOT registered — xxhash64 has no DuckDB
-# twin, so a registry entry would be a rows-only check carrying no
-# oracle evidence. They stay the bench/scale path (bench.py) and their
-# equivalence to the portable md5 family is pinned in tests/test_llm.py.
 @register(
     "llm_near_dup_pairs",
     survey_ids="L2,J2,A3,U3",
@@ -223,6 +218,51 @@ def llm_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hamming").cast("double").alias("score"),
     )
     return ngram.unionByName(mh).unionByName(simh)
+
+
+@register(
+    "llm_near_dup_pairs_prod",
+    survey_ids="L2,J2,A3",
+    # rows-only BY DESIGN: the production paths hash with xxhash64
+    # (one JVM hash per shingle/token — the 100 TB form), which DuckDB
+    # cannot replay, so there is no value-hash oracle. The check is
+    # still meaningful: the row count is deterministic (no
+    # rand()/uuid(); LSH banding and pigeonhole blocking are pure
+    # functions of the text), and correctness rides on pinned facts:
+    # MinHash candidates are EXACT-Jaccard verified before emission
+    # (false positives impossible; test_minhash_recall_vs_exact pins
+    # subset-of-exact + recall >= 0.8 against the same exact ground
+    # truth the llm_near_dup_pairs oracle replays), and the SimHash
+    # path's blocking is exhaustive by pigeonhole (distance <= 3 over
+    # 4 chunks forces a shared chunk; test_simhash_* pin symmetry,
+    # bound, and near-dup overlap).
+    oracle=None,
+)
+def llm_near_dup_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION near-dup paths (r9 verdict: they carried bench +
+    test evidence but no driver evidence): xxhash64 MinHash(32) +
+    LSH(8x4) with exact-Jaccard verification, and xxhash64 64-bit
+    SimHash at Hamming <= 3 with pigeonhole chunk blocking — the same
+    plan shapes as the oracle-checked 'minhash_lsh'/'simhash' legs of
+    ``llm_near_dup_pairs``, with the portable md5 hash family swapped
+    for the JVM's xxhash64 (one codegen'd hash call vs md5 string
+    assembly — the form a 100 TB corpus runs)."""
+    from ..llm.dedup import minhash_near_dup_pairs, simhash_near_dup_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    mh = minhash_near_dup_pairs(docs, threshold=0.5).select(
+        F.lit("minhash_lsh_xxh").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("jaccard").cast("double").alias("score"),
+    )
+    simh = simhash_near_dup_pairs(docs, max_hamming=3).select(
+        F.lit("simhash_xxh").alias("method"),
+        "doc_a",
+        "doc_b",
+        F.col("hamming").cast("double").alias("score"),
+    )
+    return mh.unionByName(simh)
 
 
 @register(

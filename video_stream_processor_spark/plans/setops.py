@@ -44,30 +44,8 @@ def sort_topk_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_distinct_pairs",
-    survey_ids="O5,A4",
-    oracle="""
-SELECT DISTINCT c_nationkey AS nationkey, c_mktsegment AS segment
-FROM customer
-""",
-)
-def dedup_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup = set semantics on a projection (the reference's
-    set() dedup generalized). Plans as a hash aggregate with map-side
-    partial dedup before the shuffle."""
-    return (
-        _t(spark, sf_dir, "customer")
-        .select(
-            F.col("c_nationkey").alias("nationkey"),
-            F.col("c_mktsegment").alias("segment"),
-        )
-        .distinct()
-    )
-
-
-@register(
     "set_ops_suite",
-    survey_ids="O6,O7,O5",
+    survey_ids="O6,O7,O5,A4",
     oracle="""
 WITH c97 AS (SELECT DISTINCT o_custkey FROM orders
              WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
@@ -87,6 +65,9 @@ FROM (SELECT * FROM c97 INTERSECT SELECT * FROM c98)
 UNION ALL
 SELECT 'only_1997', o_custkey, NULL::VARCHAR
 FROM (SELECT * FROM c97 EXCEPT SELECT * FROM c98)
+UNION ALL
+SELECT 'distinct_pairs', CAST(c_nationkey AS BIGINT), c_mktsegment
+FROM (SELECT DISTINCT c_nationkey, c_mktsegment FROM customer)
 """,
 )
 def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -96,7 +77,14 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       distinct — one hash-dedup shuffle with map-side partial dedup);
     * O7: INTERSECT and EXCEPT of yearly active-customer sets
       (exceptAll/intersect also power S8-style snapshot change
-      detection).
+      detection);
+    * O5/A4: the former ``dedup_distinct_pairs`` leg (r10 registry
+      consolidation — it freed the driver-window slot the xxhash64
+      production near-dup query now uses): exact dedup = set
+      semantics on a customer projection, the reference's
+      ``list(set(links))`` dedup (video_processor.py:330)
+      generalized; plans as a hash aggregate with map-side partial
+      dedup before the shuffle.
 
     Each leg keeps its own plan; the legs union into (op, key, attr)."""
     o = _t(spark, sf_dir, "orders")
@@ -134,7 +122,17 @@ def set_ops_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     only97 = c97.exceptAll(c98).select(
         F.lit("only_1997").alias("op"), F.col("o_custkey").alias("key"), null_attr
     )
-    return union_leg.unionByName(both).unionByName(only97)
+    pairs = (
+        _t(spark, sf_dir, "customer")
+        .select("c_nationkey", "c_mktsegment")
+        .distinct()
+        .select(
+            F.lit("distinct_pairs").alias("op"),
+            F.col("c_nationkey").cast("long").alias("key"),
+            F.col("c_mktsegment").alias("attr"),
+        )
+    )
+    return union_leg.unionByName(both).unionByName(only97).unionByName(pairs)
 
 
 @register(
