@@ -32,6 +32,13 @@ convention is bench.py's contract, not this script's; a scaling smoke
 that lets the signature/banding stages run untimed cannot catch the
 superlinear plans it exists to catch.
 
+Sampling (r10): the short join/sessionization legs (``MED3_OPS``)
+record the median of 3 back-to-back timed passes and carry a
+min/med/max ``spread`` — the r9 supplemental note chased a 5.8 s
+one-off salted-join reading that 3 re-passes put at 1.7-2.0 s, the
+same single-pass noise class bench.py's median-of-3 eliminated.
+Curated SCALE.md tables cite the medians.
+
 Usage: python scripts/scale_smoke.py   # writes one JSON line per op
 """
 
@@ -292,6 +299,20 @@ OPS = {
 #: restored after the timed pass
 OP_CONFS = {"custkey_join_shuffle_skew": _SHUFFLE_SKEW_CONFS}
 
+#: ops whose timed pass is the median of 3 (the short join /
+#: sessionization legs, where one fsync or scheduler hiccup is a
+#: visible fraction of a ~2 s reading); the corpus-scan ops run long
+#: enough that single-pass noise stays small relative to signal
+MED3_OPS = {
+    "revenue_join",
+    "tumbling_1h",
+    "session_30m",
+    "session_30m_sliced",
+    "custkey_join_aqe",
+    "custkey_join_shuffle_skew",
+    "custkey_join_salted",
+}
+
 
 def _quality_scored(docs: DataFrame) -> DataFrame:
     from video_stream_processor_spark.llm.quality_model import (
@@ -467,13 +488,27 @@ def main() -> None:
                 # timed: REBUILD after dropping the memos so eager
                 # build-time materializations (minhash's shingle-array
                 # and candidate tables) run inside the timer — the
-                # full pipeline, not just the serve tail (r9 review)
-                invalidate_checkpoint_memo()
-                t0 = time.perf_counter()
-                df = build(t)
-                df.write.format("noop").mode("overwrite").save()
-                sec = round(time.perf_counter() - t0, 3)
+                # full pipeline, not just the serve tail (r9 review).
+                # The join/sessionization ops record the MEDIAN of 3
+                # back-to-back timed passes (r10 — the r9 supplemental
+                # chased a 5.8 s one-off salted-join reading that 3
+                # re-passes put at 1.7-2.0 s; same single-pass noise
+                # class bench.py's median-of-3 already eliminated);
+                # the corpus-heavy ops stay single-pass to keep the
+                # smoke's wall bounded.
+                secs = []
+                for _ in range(3 if name in MED3_OPS else 1):
+                    invalidate_checkpoint_memo()
+                    t0 = time.perf_counter()
+                    df = build(t)
+                    df.write.format("noop").mode("overwrite").save()
+                    secs.append(round(time.perf_counter() - t0, 3))
+                sec = sorted(secs)[len(secs) // 2]
                 extra = {}
+                if len(secs) > 1:
+                    extra["spread"] = {
+                        "min": min(secs), "med": sec, "max": max(secs)
+                    }
                 if name == "custkey_join_shuffle_skew":
                     # verify (don't assume) whether AQE's skew split
                     # fired — INSIDE the conf override (the noop write
