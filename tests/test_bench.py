@@ -1,8 +1,11 @@
 """bench.py contract smoke — the driver records BENCH_r{N}.json from
 bench.py's stdout; a crash there costs the round its performance
 evidence (it happened in round 2). Run the real script as a
-subprocess at the smallest SF and validate the one-JSON-line
-contract."""
+subprocess at the smallest SF and validate the two-line contract
+(r10): a detail line (spread/phases), then a compact headline line
+LAST that must fit the driver wrapper's 2000-char tail capture —
+r9's single fat line truncated there and the driver's artifact
+refresh recorded "parsed": null."""
 
 from __future__ import annotations
 
@@ -32,9 +35,20 @@ def test_bench_emits_contract_json():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     lines = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")]
-    assert len(lines) == 1, out.stdout[-2000:]
-    payload = json.loads(lines[0])
+    assert len(lines) == 2, out.stdout[-2000:]
+    detail = json.loads(lines[0])
+    payload = json.loads(lines[1])
     assert payload["metric"] == "headline_query_mix_total"
+    assert detail["metric"] == "headline_query_mix_detail"
+    # the final line is what the driver's ~2000-char tail capture must
+    # parse; a driver-style tail of the whole stdout must recover it
+    assert len(lines[1]) <= 2000, len(lines[1])
+    tail = out.stdout[-2000:]
+    recovered = [
+        ln for ln in tail.splitlines()
+        if ln.startswith('{"metric": "headline_query_mix_total"')
+    ]
+    assert recovered and json.loads(recovered[-1]) == payload
     assert payload["unit"] == "sec"
     assert payload["sf"] == 0.001
     assert isinstance(payload["value"], float)
@@ -45,12 +59,18 @@ def test_bench_emits_contract_json():
     # r9: per-query noise-floor fields — 3 timed passes, min<=med<=max
     # per query, and the headline per-query number IS the median
     assert payload["timed_passes"] == 3
-    assert set(payload["spread"]) == set(payload["queries"])
-    for name, sp in payload["spread"].items():
+    assert set(detail["spread"]) == set(payload["queries"])
+    for name, sp in detail["spread"].items():
         assert sp["min"] <= sp["med"] <= sp["max"], (name, sp)
         assert payload["queries"][name] == sp["med"], (name, sp)
     # the rollup lifecycle decomposition names where its seconds go,
     # including the r9 setup phase (r8-advisor: serve must not absorb
-    # the builder's pre-maintain setup)
-    ph = payload["phases"]["rollup_maintain_serve_v2"]
-    assert {"setup", "maintain", "compact", "serve"} <= set(ph)
+    # the builder's pre-maintain setup) and the r10 commit-I/O axis
+    # (summed stateOperators commitTimeMs — separates an fsync regime
+    # shift from a code regression); the compact headline carries the
+    # same commit_io_s numbers for driver-side refreshes
+    for leg in ("rollup_maintain_serve_v2", "rollup_maintain_serve_v2_sized"):
+        ph = detail["phases"][leg]
+        assert {"setup", "maintain", "compact", "serve", "commit_io_s"} <= set(ph)
+        assert ph["commit_io_s"] > 0, (leg, ph)
+        assert payload["commit_io_s"][leg] == ph["commit_io_s"], (leg, ph)
