@@ -186,6 +186,18 @@ EXTRA_BUILDERS = {
     "rollup_maintain_serve_v2_sized": lambda s, d: _rollup_maintain_serve(
         s, d, state_partitions=8
     ),
+    # r10: the lifecycle at the NEW DEFAULT — state_partitions="auto"
+    # (fresh checkpoint every call, so each pass derives the sizing
+    # like a first start would). The r9 verdict ordered the
+    # volume-derived sizing made the default and its "done" bar is
+    # "new-checkpoint default measurably matches the sized leg": at
+    # this session (32 shuffle partitions, p=12) the derivation lands
+    # on 8 — the same plan as v2_sized — so this leg's number IS that
+    # measurement, in the artifact of record. The pinned v2 leg keeps
+    # explicit None (session conf) for bar comparability.
+    "rollup_maintain_serve_v2_auto": lambda s, d: _rollup_maintain_serve(
+        s, d, state_partitions="auto"
+    ),
     "zorder_write_pruned_read": lambda s, d: _zorder_write_pruned_read(s, d),
 }
 
@@ -389,6 +401,10 @@ HEADLINE = [
     # with the stateful shuffle sized to the drain — the
     # state_partitions dial, quantified next to the pinned default.
     "rollup_maintain_serve_v2_sized",
+    # New-in-r10 (no pin; first number sets the bar): the lifecycle at
+    # the new auto default — fresh checkpoint per pass, volume-derived
+    # sizing; must measurably match the sized leg (r9 verdict order 3).
+    "rollup_maintain_serve_v2_auto",
 ]
 
 
@@ -472,7 +488,11 @@ def main() -> None:
     phase_samples: dict[
         str, list[tuple[float, dict[str, float], float]]
     ] = {}
-    lifecycle_legs = ("rollup_maintain_serve_v2", "rollup_maintain_serve_v2_sized")
+    lifecycle_legs = (
+        "rollup_maintain_serve_v2",
+        "rollup_maintain_serve_v2_sized",
+        "rollup_maintain_serve_v2_auto",
+    )
     for name in HEADLINE:
         ts = []
         for _ in range(n_timed):

@@ -69,7 +69,11 @@ def test_bench_emits_contract_json():
     # (summed stateOperators commitTimeMs — separates an fsync regime
     # shift from a code regression); the compact headline carries the
     # same commit_io_s numbers for driver-side refreshes
-    for leg in ("rollup_maintain_serve_v2", "rollup_maintain_serve_v2_sized"):
+    for leg in (
+        "rollup_maintain_serve_v2",
+        "rollup_maintain_serve_v2_sized",
+        "rollup_maintain_serve_v2_auto",
+    ):
         ph = detail["phases"][leg]
         assert {"setup", "maintain", "compact", "serve", "commit_io_s"} <= set(ph)
         assert ph["commit_io_s"] > 0, (leg, ph)

@@ -308,14 +308,17 @@ def test_bench_only_builders_stay_jvm_side(spark, sf_dir):
     assert "Python" not in ps and "InPandas" not in ps
     assert "Join" not in ps, ps
 
-    # the r9 sized twin (state_partitions=8) must serve the identical
-    # plan shape — the dial moves state-store count, not the query
-    sized = bench.EXTRA_BUILDERS["rollup_maintain_serve_v2_sized"](
-        spark, sf_dir
-    )
-    pq = plan_text(sized)
-    assert "Python" not in pq and "InPandas" not in pq
-    assert "Join" not in pq, pq
+    # the r9 sized twin (state_partitions=8) and the r10 auto-default
+    # twin (fresh checkpoint -> derived sizing) must serve the
+    # identical plan shape — the dial moves state-store count, not
+    # the query
+    for leg in (
+        "rollup_maintain_serve_v2_sized",
+        "rollup_maintain_serve_v2_auto",
+    ):
+        pq = plan_text(bench.EXTRA_BUILDERS[leg](spark, sf_dir))
+        assert "Python" not in pq and "InPandas" not in pq
+        assert "Join" not in pq, (leg, pq)
 
     # z-order write + pruned read-back: the second-dimension range
     # filter must reach the parquet scan as pushed predicates (the
