@@ -571,9 +571,13 @@ def main() -> None:
         }
     )
     # the whole point of the split — never hand the driver a final
-    # line its 2000-char tail capture would truncate
-    assert len(headline) <= 2000, (
-        f"final bench line grew to {len(headline)} chars (> 2000): "
+    # line its 2000-char tail capture would truncate. The captured
+    # window includes the trailing newline, so the line itself must
+    # stay at most 1999 chars (r10 review: an exactly-2000-char line
+    # would lose its first character)
+    assert len(headline) + 1 <= 2000, (
+        f"final bench line grew to {len(headline)} chars: with its "
+        "newline it overflows the driver's 2000-char tail window — "
         "move fields to the detail line"
     )
     print(headline)

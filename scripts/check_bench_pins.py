@@ -35,6 +35,34 @@ import json
 import sys
 
 
+def merge_bench_lines(lines: list[str]) -> dict | None:
+    """Recover bench.py's artifact from raw stdout lines: the compact
+    headline (metric=headline_query_mix_total, the LAST such line) with
+    the detail line's spread/phases merged in when present. Returns
+    None when no parseable headline exists. Shared by gauntlet.sh's
+    artifact merge and the driver-tail recovery below so the two can't
+    drift (r10 review)."""
+    headline = None
+    detail = None
+    for ln in reversed([ln.strip() for ln in lines]):
+        if not ln.startswith('{"metric"'):
+            continue
+        try:
+            obj = json.loads(ln)
+        except ValueError:
+            # a tail window can cut a line mid-object; skip, keep
+            # scanning earlier lines instead of crashing the checker
+            continue
+        if headline is None and obj.get("metric") == "headline_query_mix_total":
+            headline = obj
+        elif detail is None and obj.get("metric") == "headline_query_mix_detail":
+            detail = obj
+    if headline is not None and detail is not None:
+        headline.setdefault("spread", detail.get("spread", {}))
+        headline.setdefault("phases", detail.get("phases", {}))
+    return headline
+
+
 def check(baseline_path: str, bench_path: str) -> int:
     with open(baseline_path) as f:
         base = json.load(f)
@@ -42,28 +70,16 @@ def check(baseline_path: str, bench_path: str) -> int:
         run = json.load(f)
     if "queries" not in run and "tail" in run:
         # driver-written artifact: bench.py's final compact line is
-        # embedded in the captured stdout tail (guaranteed <= 2000
-        # chars since r10 so this window can't truncate it) — recover
-        # the headline, and the detail line too when the tail kept it
-        lines = [
-            ln.strip()
-            for ln in run["tail"].replace("\r", "\n").splitlines()
-            if ln.strip().startswith('{"metric"')
-        ]
-        recovered = None
-        detail = None
-        for ln in reversed(lines):
-            obj = json.loads(ln)
-            if recovered is None and obj.get("metric") == "headline_query_mix_total":
-                recovered = obj
-            elif detail is None and obj.get("metric") == "headline_query_mix_detail":
-                detail = obj
+        # embedded in the captured stdout tail (guaranteed to fit the
+        # 2000-char window since r10, trailing newline included) —
+        # recover the headline, and the detail line when the tail
+        # kept it
+        recovered = merge_bench_lines(
+            run["tail"].replace("\r", "\n").splitlines()
+        )
         if recovered is None:
             print(f"VIOLATION: no bench JSON line found in {bench_path} tail")
             return 1
-        if detail:
-            recovered.setdefault("spread", detail.get("spread", {}))
-            recovered.setdefault("phases", detail.get("phases", {}))
         run = recovered
 
     pins = base["queries"]
@@ -144,12 +160,21 @@ def check(baseline_path: str, bench_path: str) -> int:
         print(f"  {leg:32s} {wall_txt}, {cio_txt}")
 
     missing_txt = f", {missing} missing counted at pin" if missing else ""
-    spread_txt = (
-        f", worst per-query spread {worst_rel_spread * 100:.0f}% of median"
-        f" over {run.get('timed_passes')} passes"
-        if spread
-        else " (single-pass artifact: no spread fields)"
-    )
+    if spread:
+        spread_txt = (
+            f", worst per-query spread {worst_rel_spread * 100:.0f}% of"
+            f" median over {run.get('timed_passes')} passes"
+        )
+    elif run.get("timed_passes"):
+        # headline-only artifact (driver tail that dropped the detail
+        # line): the medians are still median-of-N — don't tell the
+        # reader they carry the single-pass noise floor (r10 review)
+        spread_txt = (
+            f" (median of {run['timed_passes']} passes; spread fields on"
+            " the detail line, not retained here)"
+        )
+    else:
+        spread_txt = " (single-pass artifact: no spread fields)"
     print(
         f"pinned sum {pinned_sum:.3f}s = {total_ratio:.2f}x the {base['total']:.3f}s bar "
         f"({len(rows)}/{len(pins)} pins present{missing_txt}, "

@@ -85,20 +85,23 @@ BENCH_RAW="$(mktemp /tmp/bench_${TAG}_raw_XXXX.out)"
 python bench.py 2>/tmp/bench_${TAG}_a.stderr > "$BENCH_RAW" \
   || fail "bench.py first run"
 # bench.py emits a detail line (spread/phases) then a compact headline
-# line LAST (guaranteed <= 2000 chars so the driver's tail capture
-# parses it — r9's single fat line truncated there).  The committed
-# artifact of record merges both, keeping the r8/r9 one-object shape.
+# line LAST (guaranteed to fit the driver's 2000-char tail capture,
+# trailing newline included — r9's single fat line truncated there).
+# The committed artifact of record merges both via the same helper the
+# pin checker's tail recovery uses (one merge implementation, no
+# drift), keeping the r8/r9 one-object shape.
 python - "$BENCH_RAW" "$BENCH_OUT" <<'PY' || fail "bench artifact merge"
 import json, sys
+sys.path.insert(0, "scripts")
+from check_bench_pins import merge_bench_lines
 lines = [l for l in open(sys.argv[1]).read().splitlines() if l.strip()]
-head = json.loads(lines[-1])
-assert head.get("metric") == "headline_query_mix_total", head.get("metric")
-assert len(lines[-1]) <= 2000, f"final bench line {len(lines[-1])} chars > 2000"
-if len(lines) > 1:
-    detail = json.loads(lines[-2])
-    if detail.get("metric") == "headline_query_mix_detail":
-        head["spread"] = detail.get("spread", {})
-        head["phases"] = detail.get("phases", {})
+assert len(lines[-1]) + 1 <= 2000, (
+    f"final bench line {len(lines[-1])} chars: with its newline it "
+    "overflows the driver's 2000-char tail window"
+)
+head = merge_bench_lines(lines)
+assert head is not None, "no parseable headline line in bench stdout"
+assert "spread" in head and "phases" in head, "detail line missing/unmerged"
 json.dump(head, open(sys.argv[2], "w"))
 PY
 python -c "import json;json.load(open('$BENCH_OUT'))" || fail "bench artifact not valid JSON"

@@ -41,8 +41,9 @@ def test_bench_emits_contract_json():
     assert payload["metric"] == "headline_query_mix_total"
     assert detail["metric"] == "headline_query_mix_detail"
     # the final line is what the driver's ~2000-char tail capture must
-    # parse; a driver-style tail of the whole stdout must recover it
-    assert len(lines[1]) <= 2000, len(lines[1])
+    # parse (window includes the trailing newline); a driver-style
+    # tail of the whole stdout must recover it
+    assert len(lines[1]) + 1 <= 2000, len(lines[1])
     tail = out.stdout[-2000:]
     recovered = [
         ln for ln in tail.splitlines()
@@ -76,5 +77,11 @@ def test_bench_emits_contract_json():
     ):
         ph = detail["phases"][leg]
         assert {"setup", "maintain", "compact", "serve", "commit_io_s"} <= set(ph)
-        assert ph["commit_io_s"] > 0, (leg, ph)
+        # commitTimeMs is an integer-ms counter per store per batch;
+        # the sized/auto legs' few stores could in principle all
+        # report 0 on sub-ms storage, so only require non-negative
+        # there — the 32-store default leg's 256 commits per drain are
+        # reliably measurable on this container (r9 probe: ~80 s)
+        assert ph["commit_io_s"] >= 0, (leg, ph)
         assert payload["commit_io_s"][leg] == ph["commit_io_s"], (leg, ph)
+    assert detail["phases"]["rollup_maintain_serve_v2"]["commit_io_s"] > 0

@@ -287,6 +287,7 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         watermark=args.watermark,
         p=args.sketch_p,
         state_partitions=args.state_partitions,
+        expected_open_groups=args.expected_open_groups,
     )
     if not q.awaitTermination(args.timeout):
         q.stop()
@@ -462,6 +463,11 @@ def main(argv: list[str] | None = None) -> int:
                     "2^p state bound, existing ones resume the captured "
                     "layout; 'session' keeps the session "
                     "spark.sql.shuffle.partitions untouched")
+    pr.add_argument("--expected-open-groups", type=int, default=8,
+                    help="open (window, event_type) group estimate "
+                    "feeding the 'auto' sizing (event-type cardinality "
+                    "x concurrently-open windows); raise for streams "
+                    "with many event types")
     pr.add_argument("--limit", type=int, default=10)
     pr.add_argument("--timeout", type=int, default=600,
                     help="max seconds for one maintenance pass; exceeding "

@@ -264,15 +264,24 @@ def _local_checkpoint_path(checkpoint_dir: str) -> str | None:
     """``checkpoint_dir`` as a plain local-FS path, or None when it
     names a filesystem this module's local readers can't open
     (hdfs://, s3a://, ...). ``file:``-scheme URIs (``file:/x``,
-    ``file:///x``) resolve to their path component — before round 10
-    they fell through to ``os.path.isdir('file:...')`` (always False),
-    silently failing the state_partitions guard open."""
-    from urllib.parse import urlparse
+    ``file:///x``) resolve to their path — before round 10 they fell
+    through to ``os.path.isdir('file:...')`` (always False), silently
+    failing the state_partitions guard open.
 
-    parsed = urlparse(checkpoint_dir)
-    if parsed.scheme in ("", "file"):
-        return parsed.path or checkpoint_dir
-    return None
+    Deliberately NOT urlparse: a plain local path is passed through
+    byte-for-byte (urlparse would strip everything after '#' or '?' —
+    legal filename characters — and misread a relative ``ckpt:v1/x``
+    as a scheme), so only the two explicit URI shapes get special
+    handling."""
+    if checkpoint_dir.startswith("file:"):
+        # file:/x and file:///x both resolve to /x (extra leading
+        # slashes are harmless to the OS); a file://host/x form with a
+        # real remote host yields //host/x, which fails isdir and the
+        # caller treats like an unreadable checkpoint
+        return checkpoint_dir[len("file:"):]
+    if "://" in checkpoint_dir:
+        return None
+    return checkpoint_dir
 
 
 def _checkpointed_state_partitions(checkpoint_dir: str) -> int | None:
@@ -354,6 +363,7 @@ def start_rollup_maintenance(
     available_now: bool = True,
     p: int | None = None,
     state_partitions: int | None | str = "auto",
+    expected_open_groups: int = 8,
 ) -> StreamingQuery:
     """Start the incremental maintainer: append-mode windowed agg into
     a ``win_start``-partitioned parquet table.
@@ -399,6 +409,10 @@ def start_rollup_maintenance(
     disagreement). Pass an int to size explicitly (a disagreeing
     restart raises), or ``None`` to keep the session conf untouched
     (the pre-r10 behavior; the bench's pinned v2 leg uses this).
+    ``expected_open_groups`` feeds the auto derivation — estimate it
+    as event-type cardinality × (watermark/size + 1) concurrently-open
+    windows; a workload with many event types should raise it (the
+    derivation caps at the session parallelism either way).
     """
     resolved: int | None
     local_ckpt = _local_checkpoint_path(checkpoint_dir)
@@ -415,7 +429,9 @@ def start_rollup_maintenance(
             resolved = None
         else:
             resolved = derived_state_partitions(
-                events_stream.sparkSession, p=p
+                events_stream.sparkSession,
+                p=p,
+                expected_open_groups=expected_open_groups,
             )
     elif state_partitions is not None:
         # Like p, the stateful shuffle partitioning is captured into
