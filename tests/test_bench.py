@@ -85,3 +85,42 @@ def test_bench_emits_contract_json():
         assert ph["commit_io_s"] >= 0, (leg, ph)
         assert payload["commit_io_s"][leg] == ph["commit_io_s"], (leg, ph)
     assert detail["phases"]["rollup_maintain_serve_v2"]["commit_io_s"] > 0
+
+
+def test_merge_bench_lines_recovery_shapes():
+    """The one shared merge implementation behind both the gauntlet
+    artifact and the driver-tail recovery (r10 review: two diverging
+    copies): headline+detail merge, headline-only tails, mid-object
+    cut detail lines, and the no-headline failure mode."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_bench_pins import merge_bench_lines
+
+    detail = json.dumps(
+        {
+            "metric": "headline_query_mix_detail",
+            "spread": {"q1": {"min": 1, "med": 2, "max": 3}},
+            "phases": {"leg": {"maintain": 1.0, "commit_io_s": 0.5}},
+        }
+    )
+    head = json.dumps(
+        {"metric": "headline_query_mix_total", "value": 2.0, "queries": {"q1": 2}}
+    )
+
+    merged = merge_bench_lines([detail, head])
+    assert merged["value"] == 2.0
+    assert merged["spread"]["q1"]["med"] == 2
+    assert merged["phases"]["leg"]["commit_io_s"] == 0.5
+
+    # headline only (the common driver-tail case): no spread/phases keys
+    only = merge_bench_lines(["some noise", head])
+    assert only["value"] == 2.0 and "spread" not in only
+
+    # detail cut mid-object by the tail window: skipped, not a crash
+    cut = merge_bench_lines([detail[:80], head])
+    assert cut["value"] == 2.0 and "spread" not in cut
+
+    # headline cut mid-object, earlier intact headline recovered
+    assert merge_bench_lines([head, head[:40]])["value"] == 2.0
+
+    # nothing parseable -> None (checker prints its VIOLATION path)
+    assert merge_bench_lines([detail, '{"metric": "headline_query_mix_total'] ) is None

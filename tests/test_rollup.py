@@ -1220,3 +1220,50 @@ def test_auto_state_partitions_default(spark, tmp_path):
         state_partitions=expect,
     )
     assert q3.awaitTermination(180)
+
+
+def test_local_checkpoint_path_shapes():
+    """Path-resolution contract behind the state_partitions guard (r10
+    review): plain local paths pass through byte-for-byte — including
+    '#', '?', and relative names containing ':' which urlparse would
+    mangle — file: URIs lose only the scheme, and true remote schemes
+    resolve to None (guard warns instead of silently failing open)."""
+    from video_stream_processor_spark.streaming.rollup import (
+        _local_checkpoint_path as lp,
+    )
+
+    assert lp("/data/run#1/ckpt") == "/data/run#1/ckpt"
+    assert lp("/tmp/a?b/ckpt") == "/tmp/a?b/ckpt"
+    assert lp("ckpt:v1/x") == "ckpt:v1/x"
+    assert lp("relative/ckpt") == "relative/ckpt"
+    assert lp("file:/x/y") == "/x/y"
+    assert lp("file:///x/y") == "///x/y"  # extra slashes harmless to the OS
+    assert lp("hdfs://nn/x") is None
+    assert lp("s3a://bucket/x") is None
+
+
+def test_cli_state_partitions_parser():
+    """--state-partitions accepts 'auto' (default), 'session'/'none'
+    (legacy session-conf behavior), or an int."""
+    from video_stream_processor_spark.__main__ import build_parser
+
+    pr = build_parser()
+    assert pr.parse_args(["rollup", "--table-dir", "t"]).state_partitions == "auto"
+    assert (
+        pr.parse_args(
+            ["rollup", "--table-dir", "t", "--state-partitions", "AUTO"]
+        ).state_partitions
+        == "auto"
+    )
+    assert (
+        pr.parse_args(
+            ["rollup", "--table-dir", "t", "--state-partitions", "session"]
+        ).state_partitions
+        is None
+    )
+    assert (
+        pr.parse_args(
+            ["rollup", "--table-dir", "t", "--state-partitions", "12"]
+        ).state_partitions
+        == 12
+    )

@@ -362,7 +362,7 @@ def cmd_layout(args: argparse.Namespace) -> int:
     return 0 if n > 0 else 1
 
 
-def main(argv: list[str] | None = None) -> int:
+def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="python -m video_stream_processor_spark")
     p.add_argument("--cpus", type=int, default=None)
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -491,7 +491,11 @@ def main(argv: list[str] | None = None) -> int:
     pz.add_argument("--max-records-per-file", type=int, default=None)
     pz.set_defaults(fn=cmd_layout)
 
-    args = p.parse_args(argv)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
     return args.fn(args)
 
 
