@@ -7,7 +7,8 @@ then a compact headline line LAST:
     {"metric": "headline_query_mix_detail",
      "spread": {"q1": {min,med,max}, ...},
      "phases": {<lifecycle legs>: {setup,maintain,compact,serve,
-                                   commit_io_s}}}
+                                   commit_io_s}},
+     "roles": {<lifecycle legs>: "<what this leg represents>"}}
     {"metric": "headline_query_mix_total", "value": <total sec>,
      "unit": "sec", "queries": {"q1": <median sec>, ...}, "sf": 0.1,
      "timed_passes": 3, "commit_io_s": {<lifecycle legs>: sec},
@@ -198,7 +199,43 @@ EXTRA_BUILDERS = {
     "rollup_maintain_serve_v2_auto": lambda s, d: _rollup_maintain_serve(
         s, d, state_partitions="auto"
     ),
+    # r11: the auto lifecycle with expected_open_groups ESTIMATED from
+    # the staged source itself (estimate_open_groups batch pre-scan,
+    # recorded in the setup phase) instead of the static default 8 —
+    # the r10 verdict's item 4 ("derive the sizing's one free parameter
+    # from data"), measured in the artifact of record next to the
+    # static-default twin. The pinned v2 and the r10 _auto legs are
+    # untouched (artifact-honesty rule).
+    "rollup_maintain_serve_v2_auto_est": lambda s, d: _rollup_maintain_serve(
+        s, d, state_partitions="auto", expected_open_groups="estimate"
+    ),
     "zorder_write_pruned_read": lambda s, d: _zorder_write_pruned_read(s, d),
+}
+
+#: What each rollup lifecycle leg REPRESENTS, stamped into the bench
+#: detail line (r10 verdict nit: once the library default became
+#: state_partitions="auto", nothing in the artifact said the pinned v2
+#: leg is the session-conf CONTROL — a reader skimming BENCH_r10.json
+#: could take its 11.4 s as the product number). The pinned leg keeps
+#: running None for bar continuity; the artifact now says so itself,
+#: and scripts/check_bench_pins.py prints the role next to each leg's
+#: wall/commit-I/O line.
+LEG_ROLES = {
+    "rollup_maintain_serve_v2": (
+        "session-conf control (state_partitions=None, 32 stores; "
+        "pinned bar, NOT the shipped default)"
+    ),
+    "rollup_maintain_serve_v2_sized": (
+        "hand-sized twin (state_partitions=8; quantifies the dial)"
+    ),
+    "rollup_maintain_serve_v2_auto": (
+        "shipped default (state_partitions='auto', fresh checkpoint "
+        "per pass derives the sizing; static open-groups default)"
+    ),
+    "rollup_maintain_serve_v2_auto_est": (
+        "shipped default + data-estimated open groups "
+        "(estimate_open_groups pre-scan in setup)"
+    ),
 }
 
 
@@ -269,7 +306,7 @@ _ROLLUP_PHASES: dict[str, float] = {}
 _ROLLUP_COMMIT_S: list[float] = [0.0]
 
 
-def _rollup_maintain_serve(s, d, state_partitions=None):
+def _rollup_maintain_serve(s, d, state_partitions=None, expected_open_groups=8):
     """The incremental-rollup lifecycle end to end: streaming
     maintenance (availableNow, watermark-closed appends) into the live
     table, tiered compaction into the base, then the serving read
@@ -288,6 +325,17 @@ def _rollup_maintain_serve(s, d, state_partitions=None):
     # tiered-read noop write.
     t_enter = time.perf_counter()
     src = _rollup_events_src(s, d)
+    if expected_open_groups == "estimate":
+        # data-derived sizing parameter (r10 verdict item 4): one
+        # approx-distinct pre-scan of the staged source's batch twin,
+        # inside the timed region so setup honestly carries its cost
+        from video_stream_processor_spark.streaming.rollup import (
+            estimate_open_groups,
+        )
+
+        expected_open_groups = estimate_open_groups(
+            s.read.parquet(src), size="1 day", watermark="30 minutes"
+        )
     out = os.path.join(_tmp_root(), "rollup_out")
     shutil.rmtree(out, ignore_errors=True)
     live, base, ckpt = (os.path.join(out, x) for x in ("live", "base", "ckpt"))
@@ -310,6 +358,7 @@ def _rollup_maintain_serve(s, d, state_partitions=None):
         size="1 day",
         watermark="30 minutes",
         state_partitions=state_partitions,
+        expected_open_groups=expected_open_groups,
     )
     # bounded wait: a hung stream must not cost the round its bench
     # artifact (availableNow drains in seconds here; 600 s is headroom)
@@ -317,10 +366,27 @@ def _rollup_maintain_serve(s, d, state_partitions=None):
         q.stop()
         raise RuntimeError("rollup maintenance did not drain within 600s")
     t1 = time.perf_counter()
+    # commit_io_s sums over recentProgress, which Spark caps at
+    # spark.sql.streaming.numRecentProgressUpdates entries (default
+    # 100). The 4-file staging drains in ~5 triggers, but if the
+    # staging or trigger cadence ever grows past the retention window
+    # the sum would silently undercount — corrupting the wall-vs-
+    # commit-I/O attribution axis (r10 advisor). Fail loudly instead.
+    progress = q.recentProgress
+    retention = int(
+        s.conf.get("spark.sql.streaming.numRecentProgressUpdates", "100")
+    )
+    if len(progress) >= retention:
+        raise RuntimeError(
+            f"lifecycle drain produced {len(progress)} progress entries, "
+            f"at/over the numRecentProgressUpdates retention cap "
+            f"{retention}: commit_io_s would silently undercount — raise "
+            "the retention conf or shrink the staged trigger count"
+        )
     _ROLLUP_COMMIT_S[0] = round(
         sum(
             so.get("commitTimeMs", 0)
-            for pr in q.recentProgress
+            for pr in progress
             for so in (pr.get("stateOperators") or [])
         )
         / 1000.0,
@@ -405,6 +471,12 @@ HEADLINE = [
     # the new auto default — fresh checkpoint per pass, volume-derived
     # sizing; must measurably match the sized leg (r9 verdict order 3).
     "rollup_maintain_serve_v2_auto",
+    # New-in-r11 (no pin; first number sets the bar): the auto
+    # lifecycle with the open-groups parameter estimated from the
+    # source itself (r10 verdict item 4); must measurably match the
+    # static-default auto leg at this fixture (est=10 vs static 8
+    # stores — same regime).
+    "rollup_maintain_serve_v2_auto_est",
 ]
 
 
@@ -488,11 +560,7 @@ def main() -> None:
     phase_samples: dict[
         str, list[tuple[float, dict[str, float], float]]
     ] = {}
-    lifecycle_legs = (
-        "rollup_maintain_serve_v2",
-        "rollup_maintain_serve_v2_sized",
-        "rollup_maintain_serve_v2_auto",
-    )
+    lifecycle_legs = tuple(LEG_ROLES)
     for name in HEADLINE:
         ts = []
         for _ in range(n_timed):
@@ -545,6 +613,11 @@ def main() -> None:
                 "metric": "headline_query_mix_detail",
                 "spread": spread,
                 "phases": phases,
+                # which lifecycle number is the shipped default vs the
+                # pinned control — in the artifact itself, so a reader
+                # (or the pins checker) never has to infer it from
+                # bench.py's source (r10 verdict labeling nit)
+                "roles": {k: v for k, v in LEG_ROLES.items() if k in phases},
             }
         )
     )
@@ -574,12 +647,16 @@ def main() -> None:
     # line its 2000-char tail capture would truncate. The captured
     # window includes the trailing newline, so the line itself must
     # stay at most 1999 chars (r10 review: an exactly-2000-char line
-    # would lose its first character)
-    assert len(headline) + 1 <= 2000, (
-        f"final bench line grew to {len(headline)} chars: with its "
-        "newline it overflows the driver's 2000-char tail window — "
-        "move fields to the detail line"
-    )
+    # would lose its first character). An unconditional raise, not
+    # assert (r10 advisor): `python -O` strips asserts, and a silently
+    # truncated final line is the exact r9 failure this check exists
+    # to prevent.
+    if len(headline) + 1 > 2000:
+        raise SystemExit(
+            f"final bench line grew to {len(headline)} chars: with its "
+            "newline it overflows the driver's 2000-char tail window — "
+            "move fields to the detail line"
+        )
     print(headline)
 
 

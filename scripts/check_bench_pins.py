@@ -9,7 +9,7 @@ pinned-sum total must stay <= 2x the pinned total.  Round 7 broke the
 contract silently (stream_session_30m grew to 3 legs under the pinned
 name); this checker makes the numeric half of the contract a command:
 
-    python scripts/check_bench_pins.py BENCH_r08.json
+    python scripts/check_bench_pins.py BENCH_r11.json
 
 Exit 0 = every pinned name present, individually under 2x, sum under
 2x, and the artifact stamped comparable (load-gated by bench.py).
@@ -24,24 +24,68 @@ detail line (spread/phases); the checker accepts the gauntlet-merged
 artifact, the compact headline alone, or a driver tail capture, and
 prints each lifecycle leg's maintain WALL next to its summed
 state-store commit I/O — the fsync axis that separates a machine I/O
-regime shift from a code regression.  What this CANNOT catch is a
-pinned name silently re-routed to a different computation — that half
-of the contract lives in bench.py (EXTRA_BUILDERS pins the verbatim
-builder per name, enriched registry forms are timed under *_full
-names) and is what code review must keep holding.
+regime shift from a code regression — plus (r11) the leg's declared
+ROLE, so the artifact itself says which lifecycle number is the
+shipped default and which is the pinned session-conf control.
+
+Since round 11 the checker also diffs the artifact against the
+PREVIOUS round's (auto-discovered as the highest round-keyed
+BENCH_r*.json below the current one, or --prev PATH) and classifies
+each shared query's median delta as
+
+  * ``noise``        — the two rounds' min/max spreads overlap, the
+                       delta is inside the 20% measured single-pass
+                       floor, or the query moved WITH the mix (within
+                       tolerance of the median cross-round shift — the
+                       r9/r10 cross-process machine mode, where every
+                       query drifts 15-35% together);
+  * ``fsync-regime`` — a lifecycle leg whose wall moved WITH its
+                       summed state-commit I/O (the designed signature
+                       of a machine fsync-latency mode);
+  * ``code``         — wall moved beyond all of the above while
+                       commit I/O stayed flat / the mix didn't move.
+
+The classification is printed, not gated: cross-round deltas measure
+the machine as much as the code (same-head repeats on this box are
+1-5%, cross-process medians have drifted 15-35% at identical code —
+REHEARSAL.md r9/r10), so the <=2x pin contract stays the only gate and
+a ``code`` row is a loud pointer for the human, produced mechanically
+instead of by reading four artifacts (r10 verdict, round-11 item 1).
+
+What this CANNOT catch is a pinned name silently re-routed to a
+different computation — that half of the contract lives in bench.py
+(EXTRA_BUILDERS pins the verbatim builder per name, enriched registry
+forms are timed under *_full names) and is what code review must keep
+holding.
 """
 
+from __future__ import annotations
+
+import glob
 import json
+import os
+import re
+import statistics
 import sys
+
+#: r8-measured same-head single-pass noise floor (two idle runs of the
+#: identical head differed 20%); residual deltas under it are never
+#: evidence. Applied AFTER subtracting the mix's median cross-round
+#: shift — the common-mode machine drift (r10-vs-r9: every query moved
+#: +15-35% together at identical code; r10-vs-r10b: -13% median with
+#: ±17pp per-query dispersion, also at identical query code) — so the
+#: decomposition is delta = common machine mode + per-query noise, and
+#: only what exceeds BOTH is attributed to code.
+NOISE_FLOOR = 0.20
 
 
 def merge_bench_lines(lines: list[str]) -> dict | None:
     """Recover bench.py's artifact from raw stdout lines: the compact
     headline (metric=headline_query_mix_total, the LAST such line) with
-    the detail line's spread/phases merged in when present. Returns
-    None when no parseable headline exists. Shared by gauntlet.sh's
-    artifact merge and the driver-tail recovery below so the two can't
-    drift (r10 review)."""
+    the detail line's spread/phases/roles merged in when present.
+    Returns None when no parseable headline exists. Shared by
+    gauntlet.sh's artifact merge and the driver-tail recovery below so
+    the two can't drift (r10 review)."""
     headline = None
     detail = None
     for ln in reversed([ln.strip() for ln in lines]):
@@ -60,27 +104,180 @@ def merge_bench_lines(lines: list[str]) -> dict | None:
     if headline is not None and detail is not None:
         headline.setdefault("spread", detail.get("spread", {}))
         headline.setdefault("phases", detail.get("phases", {}))
+        if "roles" in detail:
+            headline.setdefault("roles", detail["roles"])
     return headline
 
 
-def check(baseline_path: str, bench_path: str) -> int:
-    with open(baseline_path) as f:
-        base = json.load(f)
-    with open(bench_path) as f:
+def load_artifact(path: str) -> dict | None:
+    """An artifact in any of its three shapes — gauntlet-merged object,
+    compact headline alone, or a driver capture whose bench line lives
+    in a ``tail`` field — normalized to the one-object form, or None
+    when nothing parseable is found."""
+    with open(path) as f:
         run = json.load(f)
     if "queries" not in run and "tail" in run:
-        # driver-written artifact: bench.py's final compact line is
-        # embedded in the captured stdout tail (guaranteed to fit the
-        # 2000-char window since r10, trailing newline included) —
-        # recover the headline, and the detail line when the tail
-        # kept it
-        recovered = merge_bench_lines(
-            run["tail"].replace("\r", "\n").splitlines()
+        recovered = merge_bench_lines(run["tail"].replace("\r", "\n").splitlines())
+        if recovered is not None:
+            return recovered
+        # driver artifacts carry their own parse attempt; pre-r10 tails
+        # (single fat line, truncated mid-object) have parsed=null AND
+        # an unrecoverable tail — then there is genuinely nothing
+        parsed = run.get("parsed")
+        return parsed if isinstance(parsed, dict) and "queries" in parsed else None
+    return run if "queries" in run else None
+
+
+#: Round-keyed artifact names: BENCH_r10.json, BENCH_r10b.json — NOT
+#: the ad-hoc BENCH_r03_IDLE_RERUN.json style reruns, which were
+#: one-off diagnostics, not rounds of record.
+_ROUND_RE = re.compile(r"^BENCH_r(\d+)([a-z]?)\.json$")
+
+
+def find_prev_artifact(bench_path: str) -> str | None:
+    """The previous round's artifact of record: the highest round-keyed
+    BENCH_r*.json in ``bench_path``'s directory strictly below the
+    current one (a same-round letter suffix like r10b sorts above r10,
+    so r11 compares against the final-head r10b). A current name
+    outside the pattern (e.g. a scratch artifact) compares against the
+    highest key present."""
+    d = os.path.dirname(os.path.abspath(bench_path)) or "."
+    cur = _ROUND_RE.match(os.path.basename(bench_path))
+    cur_key = (int(cur.group(1)), cur.group(2)) if cur else None
+    best: tuple[tuple[int, str], str] | None = None
+    for p in glob.glob(os.path.join(d, "BENCH_r*.json")):
+        if os.path.abspath(p) == os.path.abspath(bench_path):
+            continue
+        m = _ROUND_RE.match(os.path.basename(p))
+        if not m:
+            continue
+        key = (int(m.group(1)), m.group(2))
+        if cur_key is not None and key >= cur_key:
+            continue
+        if best is None or key > best[0]:
+            best = (key, p)
+    return None if best is None else best[1]
+
+
+def classify_cross_round(prev: dict, curr: dict):
+    """Classify each shared query's median delta vs the previous
+    round's artifact (module docstring: noise / fsync-regime / code).
+    Returns (rows, summary): rows are (name, prev_s, curr_s, rel_delta,
+    class, reason); summary carries the class counts, the mix's median
+    shift, and the added/dropped query names."""
+    pq, cq = prev.get("queries") or {}, curr.get("queries") or {}
+    ps, cs = prev.get("spread") or {}, curr.get("spread") or {}
+    pcio, ccio = prev.get("commit_io_s") or {}, curr.get("commit_io_s") or {}
+    shared = sorted(set(pq) & set(cq))
+    rel = {n: (cq[n] - pq[n]) / pq[n] for n in shared if pq[n] > 0}
+    mix_shift = statistics.median(rel.values()) if rel else 0.0
+    rows = []
+    counts = {"noise": 0, "fsync-regime": 0, "code": 0}
+    for n in shared:
+        d = rel.get(n, 0.0)
+        sp, sc = ps.get(n), cs.get(n)
+        if sp is not None and sc is not None:
+            spreads_overlap = sc["min"] <= sp["max"] and sp["min"] <= sc["max"]
+            overlap_why = "min/max spreads overlap"
+        elif sc is not None:
+            # prev is a headline-only driver artifact (no spread
+            # fields): one-sided rule — this round's own 3 passes
+            # spanned the previous round's median
+            spreads_overlap = sc["min"] <= pq[n] <= sc["max"]
+            overlap_why = "prev median inside this round's min/max spread"
+        elif sp is not None:
+            spreads_overlap = sp["min"] <= cq[n] <= sp["max"]
+            overlap_why = "this median inside prev round's min/max spread"
+        else:
+            spreads_overlap = False
+            overlap_why = ""
+        residual = d - mix_shift
+        if spreads_overlap:
+            cls, why = "noise", overlap_why
+        elif n in pcio and n in ccio:
+            # lifecycle leg: it carries its own attribution axis, and
+            # at ~8-12 s wall it doesn't ride the short-query machine
+            # modes — classify by the commit-I/O signature once the
+            # wall moved past the floor
+            d_wall = cq[n] - pq[n]
+            d_cio = ccio[n] - pcio[n]
+            if abs(d) <= NOISE_FLOOR:
+                cls = "noise"
+                why = f"|{d:+.0%}| wall inside the 20% single-pass floor"
+            elif (d_wall > 0) == (d_cio > 0) and abs(d_cio) >= 0.5 * abs(d_wall):
+                cls = "fsync-regime"
+                why = (
+                    f"wall {d_wall:+.2f}s moved WITH commit-I/O "
+                    f"{d_cio:+.2f}s (machine fsync mode)"
+                )
+            else:
+                cls = "code"
+                why = (
+                    f"wall {d_wall:+.2f}s but commit-I/O only "
+                    f"{d_cio:+.2f}s — not the fsync signature"
+                )
+        elif abs(d) <= NOISE_FLOOR:
+            cls, why = "noise", f"|{d:+.0%}| inside the 20% single-pass floor"
+        elif abs(residual) <= NOISE_FLOOR:
+            cls = "noise"
+            why = (
+                f"residual {residual:+.0%} after the mix's {mix_shift:+.0%} "
+                "common shift is inside the 20% floor"
+            )
+        else:
+            cls = "code"
+            why = (
+                f"{d:+.0%} exceeds the 20% floor both outright and as "
+                f"residual ({residual:+.0%}) after the mix's "
+                f"{mix_shift:+.0%} common shift"
+            )
+        counts[cls] += 1
+        rows.append((n, pq[n], cq[n], d, cls, why))
+    summary = {
+        "counts": counts,
+        "mix_shift": mix_shift,
+        "added": sorted(set(cq) - set(pq)),
+        "dropped": sorted(set(pq) - set(cq)),
+    }
+    return rows, summary
+
+
+def print_cross_round(prev_path: str, prev: dict, curr: dict) -> None:
+    rows, summary = classify_cross_round(prev, curr)
+    label = os.path.basename(prev_path)
+    if not rows:
+        print(f"cross-round vs {label}: no shared queries to classify")
+        return
+    print(f"cross-round delta classification vs {label}:")
+    if not (prev.get("comparable", True) and curr.get("comparable", True)):
+        print(
+            "  CAVEAT: at least one artifact is stamped comparable=false "
+            "(hot machine) — classes below lean noise by construction"
         )
-        if recovered is None:
-            print(f"VIOLATION: no bench JSON line found in {bench_path} tail")
-            return 1
-        run = recovered
+    for name, p, c, d, cls, why in rows:
+        print(
+            f"  {name:32s} {p:7.3f}s -> {c:7.3f}s  {d:+6.1%}  "
+            f"{cls:12s} {why}"
+        )
+    for key in ("added", "dropped"):
+        if summary[key]:
+            print(f"  {key} since {label}: {', '.join(summary[key])}")
+    counts = summary["counts"]
+    print(
+        f"cross-round vs {label}: {counts['noise']} noise / "
+        f"{counts['fsync-regime']} fsync-regime / {counts['code']} code "
+        f"(mix median shift {summary['mix_shift']:+.1%} over {len(rows)} "
+        "shared queries; informational — the <=2x pin contract gates)"
+    )
+
+
+def check(baseline_path: str, bench_path: str, prev_path: str | None = None) -> int:
+    with open(baseline_path) as f:
+        base = json.load(f)
+    run = load_artifact(bench_path)
+    if run is None:
+        print(f"VIOLATION: no bench JSON line found in {bench_path}")
+        return 1
 
     pins = base["queries"]
     times = run.get("queries", {})
@@ -144,9 +341,14 @@ def check(baseline_path: str, bench_path: str) -> int:
     # cross-process bimodality is fsync-latency modes — wall medians
     # 7.4/10.5 s at identical code). The two axes together make a
     # regression attributable mechanically: wall up + commit I/O up =
-    # machine fsync regime; wall up + commit I/O flat = code.
+    # machine fsync regime; wall up + commit I/O flat = code. Since
+    # r11 each leg also prints its declared ROLE from the artifact
+    # (r10 verdict nit: with the library default now "auto", nothing
+    # in the artifact said the pinned v2 leg is the session-conf
+    # CONTROL, not the shipped configuration).
     phases = run.get("phases", {})
     commit_io = run.get("commit_io_s", {})
+    roles = run.get("roles", {})
     legs = sorted(set(phases) | set(commit_io))
     for leg in legs:
         ph = phases.get(leg, {})
@@ -157,7 +359,8 @@ def check(baseline_path: str, bench_path: str) -> int:
             else "maintain wall n/a (headline-only artifact)"
         )
         cio_txt = f"state-commit I/O {cio:.3f}s" if cio is not None else "state-commit I/O n/a"
-        print(f"  {leg:32s} {wall_txt}, {cio_txt}")
+        role_txt = f"  [{roles[leg]}]" if leg in roles else ""
+        print(f"  {leg:32s} {wall_txt}, {cio_txt}{role_txt}")
 
     missing_txt = f", {missing} missing counted at pin" if missing else ""
     if spread:
@@ -180,6 +383,30 @@ def check(baseline_path: str, bench_path: str) -> int:
         f"({len(rows)}/{len(pins)} pins present{missing_txt}, "
         f"load_1m={run.get('load_1m')}{spread_txt})"
     )
+
+    # Cross-round classification (informational; r10 verdict item 1).
+    # Any failure to find/load the previous artifact is reported, never
+    # fatal: the first round, a fresh clone, or a scratch dir simply
+    # has no previous round of record.
+    if prev_path != "":
+        prev_path = prev_path or find_prev_artifact(bench_path)
+        if prev_path is None:
+            print("cross-round: no previous round-keyed artifact found")
+        else:
+            try:
+                prev = load_artifact(prev_path)
+            except (OSError, ValueError) as e:
+                prev = None
+                print(f"cross-round: could not load {prev_path}: {e}")
+            else:
+                if prev is None:
+                    print(
+                        f"cross-round: no parseable bench data in "
+                        f"{prev_path} (pre-r10 truncated tail?)"
+                    )
+            if prev is not None:
+                print_cross_round(prev_path, prev, run)
+
     if problems:
         for p in problems:
             print(f"VIOLATION: {p}")
@@ -189,6 +416,20 @@ def check(baseline_path: str, bench_path: str) -> int:
 
 
 if __name__ == "__main__":
-    bench = sys.argv[1] if len(sys.argv) > 1 else "BENCH_r08.json"
-    baseline = sys.argv[2] if len(sys.argv) > 2 else "BENCH_BASELINE.json"
-    sys.exit(check(baseline, bench))
+    argv = list(sys.argv[1:])
+    prev: str | None = None
+    if "--no-prev" in argv:
+        argv.remove("--no-prev")
+        prev = ""  # sentinel: skip the cross-round section entirely
+    for i, a in enumerate(argv):
+        if a == "--prev":
+            prev = argv[i + 1]
+            del argv[i : i + 2]
+            break
+        if a.startswith("--prev="):
+            prev = a.split("=", 1)[1]
+            argv.remove(a)
+            break
+    bench = argv[0] if argv else "BENCH_r10.json"
+    baseline = argv[1] if len(argv) > 1 else "BENCH_BASELINE.json"
+    sys.exit(check(baseline, bench, prev_path=prev))

@@ -95,13 +95,18 @@ import json, sys
 sys.path.insert(0, "scripts")
 from check_bench_pins import merge_bench_lines
 lines = [l for l in open(sys.argv[1]).read().splitlines() if l.strip()]
-assert len(lines[-1]) + 1 <= 2000, (
-    f"final bench line {len(lines[-1])} chars: with its newline it "
-    "overflows the driver's 2000-char tail window"
-)
+# unconditional exits, not asserts: PYTHONOPTIMIZE would strip asserts
+# and silently ship a truncatable artifact (r10 advisor)
+if len(lines[-1]) + 1 > 2000:
+    sys.exit(
+        f"final bench line {len(lines[-1])} chars: with its newline it "
+        "overflows the driver's 2000-char tail window"
+    )
 head = merge_bench_lines(lines)
-assert head is not None, "no parseable headline line in bench stdout"
-assert "spread" in head and "phases" in head, "detail line missing/unmerged"
+if head is None:
+    sys.exit("no parseable headline line in bench stdout")
+if "spread" not in head or "phases" not in head:
+    sys.exit("detail line missing/unmerged")
 json.dump(head, open(sys.argv[2], "w"))
 PY
 python -c "import json;json.load(open('$BENCH_OUT'))" || fail "bench artifact not valid JSON"
@@ -126,7 +131,18 @@ echo "- $(STAMP) tag=${TAG} head=${HEAD_SHA} rc=0: ${REPEAT_LINE}" >> REHEARSAL.
 say "$REPEAT_LINE"
 
 say "step 5/7: check_bench_pins"
-python scripts/check_bench_pins.py "$BENCH_OUT" || fail "pin contract on ${BENCH_OUT}"
+PINS_LOG="$(mktemp /tmp/pins_${TAG}_XXXX.log)"
+python scripts/check_bench_pins.py "$BENCH_OUT" | tee "$PINS_LOG" \
+  || fail "pin contract on ${BENCH_OUT}"
+# the classified cross-round verdict (r10 verdict item 1: the r10-vs-r9
+# "regression" took a human four artifacts to dismiss as cross-process
+# noise; the classifier's one-liner is the mechanical record of that
+# dismissal — or the loud pointer when a delta really is code)
+XROUND_LINE="$(grep '^cross-round' "$PINS_LOG" | tail -1 || true)"
+if [ -n "$XROUND_LINE" ]; then
+  echo "- $(STAMP) tag=${TAG} head=${HEAD_SHA} rc=0: ${XROUND_LINE}" >> REHEARSAL.md
+  say "$XROUND_LINE"
+fi
 
 say "step 6/7: gen_plan_audit -> PLANS.md"
 python scripts/gen_plan_audit.py 2>/tmp/plan_audit_${TAG}.stderr || fail "gen_plan_audit"

@@ -66,7 +66,7 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "exact equality against)",
         "streaming/stateful.running_user_totals (+ Spark-4 transformWithStateInPandas twin; "
         "the TWS twin needs the public `protobuf` package for Spark's state-server protocol — "
-        "absent here and installs are disallowed in this environment (re-checked round 10, 2026-08-15: still absent), so its test importorskips; "
+        "absent here and installs are disallowed in this environment (re-checked round 11, 2026-08-15: `import google.protobuf` still ModuleNotFoundError), so its test importorskips; "
         "the applyInPandasWithState twin runs and pins identical semantics)",
         "streaming/stateful.closed_user_sessions (EventTimeTimeout session closer)",
         "tests/test_streaming.py::test_stateful_running_totals",

@@ -84,7 +84,13 @@ def test_bench_emits_contract_json():
         # reliably measurable on this container (r9 probe: ~80 s)
         assert ph["commit_io_s"] >= 0, (leg, ph)
         assert payload["commit_io_s"][leg] == ph["commit_io_s"], (leg, ph)
+        # r11: each lifecycle leg declares its ROLE in the artifact
+        # itself (which number is the shipped default, which is the
+        # pinned session-conf control) — the r10 verdict's labeling nit
+        assert leg in detail["roles"], detail.get("roles")
     assert detail["phases"]["rollup_maintain_serve_v2"]["commit_io_s"] > 0
+    assert "control" in detail["roles"]["rollup_maintain_serve_v2"]
+    assert "default" in detail["roles"]["rollup_maintain_serve_v2_auto"]
 
 
 def test_merge_bench_lines_recovery_shapes():
@@ -124,3 +130,162 @@ def test_merge_bench_lines_recovery_shapes():
 
     # nothing parseable -> None (checker prints its VIOLATION path)
     assert merge_bench_lines([detail, '{"metric": "headline_query_mix_total'] ) is None
+
+    # r11: the detail line's roles ride the merge like spread/phases
+    detail_roles = json.dumps(
+        {
+            "metric": "headline_query_mix_detail",
+            "spread": {},
+            "phases": {},
+            "roles": {"leg": "shipped default"},
+        }
+    )
+    assert merge_bench_lines([detail_roles, head])["roles"] == {
+        "leg": "shipped default"
+    }
+
+
+def test_find_prev_artifact(tmp_path):
+    """Cross-round auto-discovery: highest round-keyed BENCH_r*.json
+    strictly below the current one; letter suffixes sort above their
+    base round (r11 compares against the final-head r10b); ad-hoc
+    diagnostic names never match."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_bench_pins import find_prev_artifact
+
+    for n in (
+        "BENCH_r09.json",
+        "BENCH_r10.json",
+        "BENCH_r10b.json",
+        "BENCH_r03_IDLE_RERUN.json",  # diagnostic rerun: not a round
+    ):
+        (tmp_path / n).write_text("{}")
+    p = lambda n: str(tmp_path / n)  # noqa: E731
+    assert find_prev_artifact(p("BENCH_r11.json")) == p("BENCH_r10b.json")
+    assert find_prev_artifact(p("BENCH_r10b.json")) == p("BENCH_r10.json")
+    assert find_prev_artifact(p("BENCH_r10.json")) == p("BENCH_r09.json")
+    assert find_prev_artifact(p("BENCH_r09.json")) is None
+    # a non-round-keyed current name compares against the newest round
+    assert find_prev_artifact(p("scratch.json")) == p("BENCH_r10b.json")
+
+
+def test_load_artifact_shapes(tmp_path):
+    """The three artifact shapes the checker accepts: gauntlet-merged
+    object, driver capture with a recoverable tail, driver capture
+    whose tail is unrecoverable but whose own parse succeeded — and
+    the genuinely-empty pre-r10 case."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_bench_pins import load_artifact
+
+    head = {"metric": "headline_query_mix_total", "value": 1.0, "queries": {"q": 1.0}}
+    merged = tmp_path / "merged.json"
+    merged.write_text(json.dumps(head))
+    assert load_artifact(str(merged))["queries"] == {"q": 1.0}
+
+    tailed = tmp_path / "tailed.json"
+    tailed.write_text(json.dumps({"tail": "noise\n" + json.dumps(head) + "\n"}))
+    assert load_artifact(str(tailed))["value"] == 1.0
+
+    parsed_only = tmp_path / "parsed.json"
+    parsed_only.write_text(
+        json.dumps({"tail": '{"metric": "headline_query_mix_tot', "parsed": head})
+    )
+    assert load_artifact(str(parsed_only))["value"] == 1.0
+
+    dead = tmp_path / "dead.json"
+    dead.write_text(
+        json.dumps({"tail": '{"metric": "headline_query_mix_tot', "parsed": None})
+    )
+    assert load_artifact(str(dead)) is None
+
+
+def _mk_run(queries, spread=None, commit_io=None):
+    run = {"queries": queries, "comparable": True}
+    if spread is not None:
+        run["spread"] = spread
+    if commit_io is not None:
+        run["commit_io_s"] = commit_io
+    return run
+
+
+def test_classify_cross_round_classes():
+    """One synthetic case per classification path (r10 verdict item 1:
+    the classifier exists so the r10-vs-r9 cross-process drift never
+    again takes a human four artifacts to dismiss):
+
+    * spreads overlap -> noise, even at a large median delta;
+    * one-sided: prev is a headline-only driver artifact, its median
+      inside this round's min/max -> noise;
+    * uniform drift: every query +25% (cross-process machine mode) ->
+      noise via the mix-median common shift;
+    * single-query +60% against a flat mix -> code;
+    * lifecycle wall moving WITH commit-I/O -> fsync-regime;
+    * lifecycle wall moving with commit-I/O flat -> code.
+    """
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_bench_pins import classify_cross_round
+
+    def classes(rows):
+        return {r[0]: r[4] for r in rows}
+
+    # spreads overlap -> noise even at +35%
+    prev = _mk_run({"a": 1.0}, spread={"a": {"min": 0.9, "med": 1.0, "max": 1.4}})
+    curr = _mk_run({"a": 1.35}, spread={"a": {"min": 1.3, "med": 1.35, "max": 1.5}})
+    rows, summary = classify_cross_round(prev, curr)
+    assert classes(rows) == {"a": "noise"} and "overlap" in rows[0][5]
+
+    # one-sided (prev headline-only): prev median inside current spread
+    prev = _mk_run({"a": 1.0})
+    curr = _mk_run({"a": 1.3}, spread={"a": {"min": 0.95, "med": 1.3, "max": 1.4}})
+    rows, _ = classify_cross_round(prev, curr)
+    assert classes(rows) == {"a": "noise"} and "prev median inside" in rows[0][5]
+
+    # uniform +25% drift across the mix -> all noise (the r9/r10 mode);
+    # spreads deliberately tight and non-overlapping so only the
+    # common-shift rule can clear them
+    qs_prev = {f"q{i}": 1.0 for i in range(6)}
+    qs_curr = {f"q{i}": 1.25 for i in range(6)}
+    sp = lambda t: {"min": t - 0.01, "med": t, "max": t + 0.01}  # noqa: E731
+    rows, summary = classify_cross_round(
+        _mk_run(qs_prev, spread={k: sp(1.0) for k in qs_prev}),
+        _mk_run(qs_curr, spread={k: sp(1.25) for k in qs_curr}),
+    )
+    assert set(classes(rows).values()) == {"noise"}
+    assert abs(summary["mix_shift"] - 0.25) < 1e-9
+
+    # one query +60% against a flat mix -> code; the rest noise
+    qs_prev = {f"q{i}": 1.0 for i in range(5)} | {"hot": 1.0}
+    qs_curr = {f"q{i}": 1.0 for i in range(5)} | {"hot": 1.6}
+    rows, summary = classify_cross_round(
+        _mk_run(qs_prev, spread={k: sp(1.0) for k in qs_prev}),
+        _mk_run(
+            qs_curr,
+            spread={k: sp(v) for k, v in qs_curr.items()},
+        ),
+    )
+    got = classes(rows)
+    assert got["hot"] == "code"
+    assert all(v == "noise" for k, v in got.items() if k != "hot")
+    assert summary["counts"]["code"] == 1
+
+    # lifecycle legs: wall +4s WITH commit-I/O +5s -> fsync-regime;
+    # wall +4s with commit-I/O flat -> code
+    prev = _mk_run(
+        {"fsync_leg": 8.0, "code_leg": 8.0},
+        spread={"fsync_leg": sp(8.0), "code_leg": sp(8.0)},
+        commit_io={"fsync_leg": 5.0, "code_leg": 5.0},
+    )
+    curr = _mk_run(
+        {"fsync_leg": 12.0, "code_leg": 12.0},
+        spread={"fsync_leg": sp(12.0), "code_leg": sp(12.0)},
+        commit_io={"fsync_leg": 10.0, "code_leg": 5.1},
+    )
+    rows, summary = classify_cross_round(prev, curr)
+    got = classes(rows)
+    assert got == {"fsync_leg": "fsync-regime", "code_leg": "code"}
+
+    # added/dropped names are surfaced, not silently ignored
+    rows, summary = classify_cross_round(
+        _mk_run({"a": 1.0, "old": 1.0}), _mk_run({"a": 1.0, "new": 1.0})
+    )
+    assert summary["added"] == ["new"] and summary["dropped"] == ["old"]

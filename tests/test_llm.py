@@ -53,6 +53,36 @@ def test_minhash_recall_vs_exact(docs):
     assert recall >= 0.8, f"LSH recall {recall} too low"
 
 
+def test_near_dup_prod_golden_checksum(spark):
+    """Value-level evidence for ``llm_near_dup_pairs_prod`` (r10
+    verdict item 2): the driver's check is rows-only BY DESIGN (DuckDB
+    cannot replay xxhash64), so pin the VALUES here instead — an
+    order-insensitive self-checksum (bit_xor of
+    xxhash64(method, doc_a, doc_b, round(score, 6))) over the full
+    result at the driver's own sf0.01 correctness fixture, golden
+    computed 2026-08-15 and deterministic across runs (no rand/uuid in
+    the plan; LSH banding and pigeonhole blocking are pure functions of
+    the text). Any change to the pair set OR any pair's score moves the
+    checksum; the row count alone (what the driver sees) could mask a
+    swapped pair."""
+    import os
+
+    sf01 = "/root/testdata/sf0.01"
+    if not os.path.isdir(sf01):
+        pytest.skip("sf0.01 fixture not present on this machine")
+    from video_stream_processor_spark.plans import all_specs
+
+    df = all_specs()["llm_near_dup_pairs_prod"].builder(spark, sf01)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(
+            "bit_xor(xxhash64(method, doc_a, doc_b, round(score, 6)))"
+        ).alias("checksum"),
+    ).first()
+    assert row["n"] == 42
+    assert row["checksum"] == 6652373716395265031
+
+
 def test_simhash_symmetric_and_bounded(docs):
     """L2: SimHash pairs are (a<b)-canonical, hamming-bounded, and the
     signature is deterministic across plans."""

@@ -1152,6 +1152,126 @@ def test_derived_state_partitions_formula(spark):
         spark.conf.set(key, prev)
 
 
+def test_estimate_open_groups_formula(spark):
+    """The data-derived form of the auto sizing's one free parameter
+    (r10 verdict item 4): event-type cardinality (NULL counts — it is
+    a real state group) x (ceil(watermark/size) + 1) open windows,
+    from one bounded approx-distinct action on a batch sample."""
+    from video_stream_processor_spark.streaming.rollup import (
+        estimate_open_groups,
+    )
+
+    df = spark.range(400).select(
+        F.concat(F.lit("t"), (F.col("id") % 39)).cast("string").alias(
+            "event_type"
+        )
+    ).unionByName(
+        spark.range(3).select(F.lit(None).cast("string").alias("event_type"))
+    )
+    # 39 named types + the NULL group = 40; wm 30m inside 1h windows
+    # keeps <= 2 windows open
+    assert estimate_open_groups(df, "1 hour", "30 minutes") == 80
+    # a watermark spanning 2 sizes holds 3 windows open
+    assert estimate_open_groups(df, "1 hour", "2 hours") == 120
+    # degenerate empty sample still yields a sane positive estimate
+    empty = spark.range(0).select(F.lit("x").alias("event_type"))
+    assert estimate_open_groups(empty, "1 hour", "30 minutes") == 2
+
+    stream = (
+        spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+        .select(F.lit("a").alias("event_type"))
+    )
+    with pytest.raises(ValueError, match="BATCH sample"):
+        estimate_open_groups(stream, "1 hour", "30 minutes")
+
+
+def test_auto_sizing_from_estimated_open_groups(spark, tmp_path):
+    """End to end on a fixture whose event-type cardinality DIFFERS
+    from the static default's 8-group assumption (12 types): the
+    estimated parameter lands the auto sizing exactly where a human
+    sizing by the same state bound would put it, the checkpoint
+    captures that layout, and the maintained table is row-identical to
+    an explicitly hand-sized run — the static argument stays available
+    as the override (r10 verdict item 4's done bar)."""
+    from video_stream_processor_spark.streaming.rollup import (
+        _checkpointed_state_partitions,
+        derived_state_partitions,
+        estimate_open_groups,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    rows_a = [
+        (i, f"2024-01-01 10:{i % 60:02d}:00", i, f"t{i % 12}", 1.0, "{}")
+        for i in range(24)
+    ]
+    rows_b = [(100, "2024-01-01 12:30:00", 1, "t0", 1.0, "{}")]
+    _land(src, "a.parquet", rows_a)
+    _land(src, "b.parquet", rows_b)
+
+    est = estimate_open_groups(
+        spark.read.parquet(str(src)), "1 hour", "30 minutes"
+    )
+    assert est == 24  # 12 types x 2 open windows — not the static 8
+
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "32")
+        # what a human sizing by the 2^p state bound would compute
+        hand = derived_state_partitions(spark, p=8, expected_open_groups=est)
+        assert hand == 2  # ceil(24 * 2^8 / 4096), below the cap
+        live, ckpt = str(tmp_path / "live"), str(tmp_path / "ckpt")
+        q = start_rollup_maintenance(
+            _events_stream(spark, src),
+            live,
+            ckpt,
+            watermark="30 minutes",
+            p=8,
+            expected_open_groups=est,
+        )
+        assert q.awaitTermination(180)
+        live2, ckpt2 = str(tmp_path / "live2"), str(tmp_path / "ckpt2")
+        q2 = start_rollup_maintenance(
+            _events_stream(spark, src),
+            live2,
+            ckpt2,
+            watermark="30 minutes",
+            p=8,
+            state_partitions=hand,
+        )
+        assert q2.awaitTermination(180)
+    finally:
+        spark.conf.set(key, prev)
+    # estimated-auto captured exactly the hand-sized layout...
+    assert _checkpointed_state_partitions(ckpt) == hand
+    parts = {
+        so.get("numShufflePartitions")
+        for pr in q.recentProgress
+        for so in pr.get("stateOperators", [])
+    }
+    assert parts == {hand}
+
+    # ...and computed the identical table
+    def rows(path):
+        df = spark.read.parquet(path).withColumn(
+            "win_start", F.col("win_start").cast("long")
+        )
+        return sorted(
+            (*r[:-1], tuple(r[-1]))
+            for r in map(
+                tuple,
+                df.select(
+                    "win_start", "event_type", "n_events", "n_users_sketch"
+                ).collect(),
+            )
+        )
+
+    got = rows(str(tmp_path / "live"))
+    assert got  # the 10:00 window closed
+    assert got == rows(str(tmp_path / "live2"))
+
+
 def test_auto_state_partitions_default(spark, tmp_path):
     """The r10 default: a NEW checkpoint captures the volume-derived
     sizing; a restart on an EXISTING checkpoint resumes the captured
@@ -1227,7 +1347,15 @@ def test_local_checkpoint_path_shapes():
     review): plain local paths pass through byte-for-byte — including
     '#', '?', and relative names containing ':' which urlparse would
     mangle — file: URIs lose only the scheme, and true remote schemes
-    resolve to None (guard warns instead of silently failing open)."""
+    resolve to None (guard warns instead of silently failing open).
+    r11 (r10 advisor): the RFC 8089 local authorities resolve to the
+    real path — ``file://localhost/x`` used to strip to
+    ``//localhost/x``, a directory that never exists, so the explicit
+    disagreement guard silently failed open for that legal local form;
+    a genuinely remote authority now warns and resolves None (the
+    unverifiable-checkpoint path) instead of returning a dead path."""
+    import warnings
+
     from video_stream_processor_spark.streaming.rollup import (
         _local_checkpoint_path as lp,
     )
@@ -1237,9 +1365,15 @@ def test_local_checkpoint_path_shapes():
     assert lp("ckpt:v1/x") == "ckpt:v1/x"
     assert lp("relative/ckpt") == "relative/ckpt"
     assert lp("file:/x/y") == "/x/y"
-    assert lp("file:///x/y") == "///x/y"  # extra slashes harmless to the OS
-    assert lp("hdfs://nn/x") is None
-    assert lp("s3a://bucket/x") is None
+    assert lp("file:///x/y") == "/x/y"
+    assert lp("file://localhost/x/y") == "/x/y"
+    with pytest.warns(UserWarning, match="remote file authority 'nas01'"):
+        assert lp("file://nas01/x/y") is None
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # the local forms must not warn
+        assert lp("hdfs://nn/x") is None
+        assert lp("s3a://bucket/x") is None
+        assert lp("file:///x/y") == "/x/y"
 
 
 def test_cli_state_partitions_parser():
@@ -1267,3 +1401,25 @@ def test_cli_state_partitions_parser():
         ).state_partitions
         == 12
     )
+    # r11 (r10 advisor): 0/negative/garbage die at the CLI with a usage
+    # message instead of flowing into spark.sql.shuffle.partitions and
+    # surfacing as an opaque planner error at query start
+    for bad in ("0", "-3", "eight"):
+        with pytest.raises(SystemExit):
+            pr.parse_args(
+                ["rollup", "--table-dir", "t", "--state-partitions", bad]
+            )
+    # r11: --expected-open-groups defaults to the data-derived 'auto'
+    # (the static int stays the override) and rejects non-positive
+    assert pr.parse_args(["rollup", "--table-dir", "t"]).expected_open_groups == "auto"
+    assert (
+        pr.parse_args(
+            ["rollup", "--table-dir", "t", "--expected-open-groups", "24"]
+        ).expected_open_groups
+        == 24
+    )
+    for bad in ("0", "-1", "many"):
+        with pytest.raises(SystemExit):
+            pr.parse_args(
+                ["rollup", "--table-dir", "t", "--expected-open-groups", bad]
+            )

@@ -279,6 +279,32 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         return 0 if n > 0 else 1
     from .io import load_events_stream
 
+    open_groups = args.expected_open_groups
+    if open_groups == "auto":
+        if args.state_partitions == "auto":
+            # the estimate only feeds the 'auto' state sizing — derive
+            # it from the source itself (r10 verdict item 4: the one
+            # free parameter of the sizing, bounded by one cheap
+            # approx-distinct pre-scan of the batch twin of the same
+            # dir the maintainer streams)
+            from .io import load_table
+            from .streaming.rollup import estimate_open_groups
+
+            open_groups = estimate_open_groups(
+                load_table(spark, args.sf_dir, "events"),
+                size=args.size,
+                watermark=args.watermark,
+            )
+            print(
+                f"estimated expected_open_groups={open_groups} from the "
+                "source (event-type cardinality x open windows); pass "
+                "--expected-open-groups N to override",
+                file=sys.stderr,
+            )
+        else:
+            # explicit/session state sizing never reads the estimate;
+            # don't pay the pre-scan
+            open_groups = 8
     q = start_rollup_maintenance(
         load_events_stream(spark, args.sf_dir),
         args.table_dir,
@@ -287,7 +313,7 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         watermark=args.watermark,
         p=args.sketch_p,
         state_partitions=args.state_partitions,
-        expected_open_groups=args.expected_open_groups,
+        expected_open_groups=open_groups,
     )
     if not q.awaitTermination(args.timeout):
         q.stop()
@@ -360,6 +386,49 @@ def cmd_layout(args: argparse.Namespace) -> int:
     n = spark.read.format(args.format).load(args.output).count()
     print(f"wrote {n} rows to {args.output}")
     return 0 if n > 0 else 1
+
+
+def _open_groups_arg(v: str) -> int | str:
+    """--expected-open-groups value: 'auto' (batch pre-scan of the
+    source estimates event-type cardinality x open windows) or a
+    positive int override."""
+    if v.lower() == "auto":
+        return "auto"
+    try:
+        n = int(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected 'auto' or a positive integer, got {v!r}"
+        ) from None
+    if n <= 0:
+        raise argparse.ArgumentTypeError(
+            f"open-group estimate must be positive, got {n}"
+        )
+    return n
+
+
+def _state_partitions_arg(v: str) -> int | str | None:
+    """--state-partitions value: 'auto', 'session'/'none' (-> None), or
+    a POSITIVE int. Zero/negative used to flow straight into
+    spark.sql.shuffle.partitions at query start and die as an opaque
+    planner error (r10 advisor); ArgumentTypeError keeps the failure an
+    argparse-level usage message."""
+    low = v.lower()
+    if low in ("none", "session"):
+        return None
+    if low == "auto":
+        return "auto"
+    try:
+        n = int(v)
+    except ValueError:
+        raise argparse.ArgumentTypeError(
+            f"expected 'auto', 'session', or a positive integer, got {v!r}"
+        ) from None
+    if n <= 0:
+        raise argparse.ArgumentTypeError(
+            f"state-store partition count must be positive, got {n}"
+        )
+    return n
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -452,8 +521,7 @@ def build_parser() -> argparse.ArgumentParser:
                     "a TABLE FORMAT property: maintenance and backfill "
                     "of one table must agree (default: 12)")
     pr.add_argument("--state-partitions", default="auto",
-                    type=lambda v: None if v.lower() in ("none", "session")
-                    else "auto" if v.lower() == "auto" else int(v),
+                    type=_state_partitions_arg,
                     help="stateful-shuffle partition count for the "
                     "maintainer (number of state stores; each micro-"
                     "batch pays one delta-file commit per store per "
@@ -463,11 +531,16 @@ def build_parser() -> argparse.ArgumentParser:
                     "2^p state bound, existing ones resume the captured "
                     "layout; 'session' keeps the session "
                     "spark.sql.shuffle.partitions untouched")
-    pr.add_argument("--expected-open-groups", type=int, default=8,
+    pr.add_argument("--expected-open-groups", type=_open_groups_arg,
+                    default="auto",
                     help="open (window, event_type) group estimate "
                     "feeding the 'auto' sizing (event-type cardinality "
-                    "x concurrently-open windows); raise for streams "
-                    "with many event types")
+                    "x concurrently-open windows). Default 'auto' "
+                    "derives it from the source itself (one bounded "
+                    "approx-distinct pre-scan, only when the sizing "
+                    "will actually be used); pass an int to override "
+                    "for streams whose landing sample under-represents "
+                    "the type mix")
     pr.add_argument("--limit", type=int, default=10)
     pr.add_argument("--timeout", type=int, default=600,
                     help="max seconds for one maintenance pass; exceeding "
