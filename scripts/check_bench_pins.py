@@ -243,8 +243,15 @@ def classify_cross_round(prev: dict, curr: dict):
 
 
 def print_cross_round(prev_path: str, prev: dict, curr: dict) -> None:
-    rows, summary = classify_cross_round(prev, curr)
     label = os.path.basename(prev_path)
+    if prev.get("sf") != curr.get("sf"):
+        print(
+            f"cross-round vs {label}: sf mismatch ({prev.get('sf')} vs "
+            f"{curr.get('sf')}) — deltas across scale factors mean "
+            "nothing, skipping classification"
+        )
+        return
+    rows, summary = classify_cross_round(prev, curr)
     if not rows:
         print(f"cross-round vs {label}: no shared queries to classify")
         return

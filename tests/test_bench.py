@@ -199,6 +199,59 @@ def test_load_artifact_shapes(tmp_path):
     assert load_artifact(str(dead)) is None
 
 
+def test_check_exit_codes_and_cross_round_print(tmp_path, capsys):
+    """The pin-contract gate the gauntlet exits on: 0 for a comparable
+    in-bar artifact, 1 for an over-2x pin, a missing pin, or a
+    not-comparable stamp — and the cross-round section prints its
+    classified one-liner without ever affecting the exit code."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_bench_pins import check
+
+    base = tmp_path / "BASE.json"
+    base.write_text(
+        json.dumps({"total": 2.0, "sf": 0.1, "queries": {"q1": 1.0, "q2": 1.0}})
+    )
+
+    def art(name, queries, comparable=True):
+        p = tmp_path / name
+        p.write_text(
+            json.dumps(
+                {
+                    "metric": "headline_query_mix_total",
+                    "value": sum(queries.values()),
+                    "queries": queries,
+                    "sf": 0.1,
+                    "comparable": comparable,
+                    "load_1m": 0.1,
+                }
+            )
+        )
+        return str(p)
+
+    prev = art("BENCH_r01.json", {"q1": 1.0, "q2": 1.0})
+    good = art("BENCH_r02.json", {"q1": 1.1, "q2": 0.9})
+    assert check(str(base), good) == 0
+    out = capsys.readouterr().out
+    assert "pin contract: OK" in out
+    # the cross-round classifier found r01 next door and printed its
+    # verdict line (informational)
+    assert "cross-round vs BENCH_r01.json:" in out
+
+    # a single pin over 2x fails even though the sum is in-bar
+    assert check(str(base), art("BENCH_r03.json", {"q1": 2.5, "q2": 0.1})) == 1
+    # a missing pin fails
+    assert check(str(base), art("BENCH_r04.json", {"q1": 1.0})) == 1
+    # a not-comparable stamp fails regardless of numbers
+    assert (
+        check(str(base), art("BENCH_r05.json", {"q1": 1.0, "q2": 1.0}, False))
+        == 1
+    )
+    # --no-prev sentinel: the cross-round section is skipped entirely
+    capsys.readouterr()
+    assert check(str(base), good, prev_path="") == 0
+    assert "cross-round" not in capsys.readouterr().out
+
+
 def _mk_run(queries, spread=None, commit_io=None):
     run = {"queries": queries, "comparable": True}
     if spread is not None:
