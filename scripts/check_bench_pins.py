@@ -63,6 +63,7 @@ from __future__ import annotations
 
 import glob
 import json
+import math
 import os
 import re
 import statistics
@@ -174,7 +175,24 @@ def classify_cross_round(prev: dict, curr: dict):
     rows = []
     counts = {"noise": 0, "fsync-regime": 0, "code": 0}
     for n in shared:
-        d = rel.get(n, 0.0)
+        if pq[n] <= 0:
+            # a sub-0.5ms query rounds to med 0.000 at bench.py's
+            # 3-decimal resolution: the relative delta is undefined,
+            # and substituting 0% would print an affirmatively false
+            # "noise" verdict over an arbitrarily large blow-up
+            # (r11 review)
+            if cq[n] <= 0:
+                cls, why = "noise", "both medians below timing resolution"
+            else:
+                cls = "code"
+                why = (
+                    f"prev median 0.000s (sub-resolution) is now "
+                    f"{cq[n]:.3f}s; relative delta undefined"
+                )
+            counts[cls] += 1
+            rows.append((n, pq[n], cq[n], float("nan"), cls, why))
+            continue
+        d = rel[n]
         sp, sc = ps.get(n), cs.get(n)
         if sp is not None and sc is not None:
             spreads_overlap = sc["min"] <= sp["max"] and sp["min"] <= sc["max"]
@@ -256,14 +274,18 @@ def print_cross_round(prev_path: str, prev: dict, curr: dict) -> None:
         print(f"cross-round vs {label}: no shared queries to classify")
         return
     print(f"cross-round delta classification vs {label}:")
-    if not (prev.get("comparable", True) and curr.get("comparable", True)):
+    # pessimistic like check()'s own gate: a MISSING comparable stamp
+    # is treated as not-comparable, not quietly trusted (r11 review —
+    # the two defaults used to disagree)
+    if not (prev.get("comparable", False) and curr.get("comparable", False)):
         print(
-            "  CAVEAT: at least one artifact is stamped comparable=false "
-            "(hot machine) — classes below lean noise by construction"
+            "  CAVEAT: at least one artifact is stamped (or defaults to) "
+            "comparable=false — classes below lean noise by construction"
         )
     for name, p, c, d, cls, why in rows:
+        d_txt = f"{d:+6.1%}" if math.isfinite(d) else "   n/a"
         print(
-            f"  {name:32s} {p:7.3f}s -> {c:7.3f}s  {d:+6.1%}  "
+            f"  {name:32s} {p:7.3f}s -> {c:7.3f}s  {d_txt}  "
             f"{cls:12s} {why}"
         )
     for key in ("added", "dropped"):
@@ -430,6 +452,8 @@ if __name__ == "__main__":
         prev = ""  # sentinel: skip the cross-round section entirely
     for i, a in enumerate(argv):
         if a == "--prev":
+            if i + 1 >= len(argv):
+                sys.exit("--prev requires a path argument")
             prev = argv[i + 1]
             del argv[i : i + 2]
             break
@@ -437,6 +461,21 @@ if __name__ == "__main__":
             prev = a.split("=", 1)[1]
             argv.remove(a)
             break
-    bench = argv[0] if argv else "BENCH_r10.json"
+    if argv:
+        bench = argv[0]
+    else:
+        # bare invocation: check the NEWEST round-keyed artifact in the
+        # cwd instead of a hardcoded name that goes stale every round
+        # (r11 review — the r08 default had already been bumped once);
+        # a non-round-keyed probe name makes find_prev_artifact return
+        # the highest key present
+        bench = find_prev_artifact(os.path.join(os.getcwd(), "zz-latest"))
+        if bench is None:
+            sys.exit(
+                "usage: check_bench_pins.py BENCH_<tag>.json "
+                "[BASELINE.json] [--prev PATH | --no-prev] "
+                "(no BENCH_r*.json found in cwd to default to)"
+            )
+        print(f"# defaulting to newest artifact: {os.path.basename(bench)}")
     baseline = argv[1] if len(argv) > 1 else "BENCH_BASELINE.json"
     sys.exit(check(baseline, bench, prev_path=prev))

@@ -342,3 +342,14 @@ def test_classify_cross_round_classes():
         _mk_run({"a": 1.0, "old": 1.0}), _mk_run({"a": 1.0, "new": 1.0})
     )
     assert summary["added"] == ["new"] and summary["dropped"] == ["old"]
+
+    # prev median 0.000 (sub-resolution): the relative delta is
+    # undefined — a 0.5s blow-up must NOT print as "+0% noise"
+    # (r11 review), while 0.000 -> 0.000 stays noise
+    rows, _ = classify_cross_round(
+        _mk_run({"tiny": 0.0, "blown": 0.0}),
+        _mk_run({"tiny": 0.0, "blown": 0.5}),
+    )
+    got = classes(rows)
+    assert got == {"tiny": "noise", "blown": "code"}
+    assert "undefined" in [r for r in rows if r[0] == "blown"][0][5]

@@ -1367,6 +1367,7 @@ def test_local_checkpoint_path_shapes():
     assert lp("file:/x/y") == "/x/y"
     assert lp("file:///x/y") == "/x/y"
     assert lp("file://localhost/x/y") == "/x/y"
+    assert lp("file://LOCALHOST/x/y") == "/x/y"  # RFC 3986: hosts case-fold
     with pytest.warns(UserWarning, match="remote file authority 'nas01'"):
         assert lp("file://nas01/x/y") is None
     with warnings.catch_warnings():
@@ -1374,6 +1375,23 @@ def test_local_checkpoint_path_shapes():
         assert lp("hdfs://nn/x") is None
         assert lp("s3a://bucket/x") is None
         assert lp("file:///x/y") == "/x/y"
+
+
+def test_cli_sizing_would_derive(tmp_path):
+    """The CLI's pre-scan gate (r11 review): the open-groups estimate
+    is only paid when the 'auto' sizing would actually read it — a
+    fresh local checkpoint. An existing checkpoint (resumes captured
+    layout) and a remote one (falls back to session conf) both skip."""
+    from video_stream_processor_spark.__main__ import _sizing_would_derive
+
+    assert _sizing_would_derive(str(tmp_path / "fresh_ckpt")) is True
+    assert _sizing_would_derive("hdfs://nn/ckpt") is False
+    ck = tmp_path / "ck"
+    (ck / "offsets").mkdir(parents=True)
+    (ck / "offsets" / "0").write_text(
+        'v1\n{"conf": {"spark.sql.shuffle.partitions": "8"}}\n{}'
+    )
+    assert _sizing_would_derive(str(ck)) is False
 
 
 def test_cli_state_partitions_parser():

@@ -217,6 +217,21 @@ def cmd_prepare_corpus(args: argparse.Namespace) -> int:
     return 0 if n_chunks > 0 else 1
 
 
+def _sizing_would_derive(checkpoint_dir: str) -> bool:
+    """True when start_rollup_maintenance's 'auto' path would actually
+    READ expected_open_groups: a fresh LOCAL checkpoint. An existing
+    checkpoint resumes its captured layout and a remote one falls back
+    to the session conf — in both cases the estimate is discarded, so
+    the caller must not pay the source pre-scan for it."""
+    from .streaming.rollup import (
+        _checkpointed_state_partitions,
+        _local_checkpoint_path,
+    )
+
+    local = _local_checkpoint_path(checkpoint_dir)
+    return local is not None and _checkpointed_state_partitions(local) is None
+
+
 def cmd_rollup(args: argparse.Namespace) -> int:
     """Incrementally-maintained rollup table (streaming/rollup.py) as a
     CLI: the incremental replacement for the reference's 2-hour-cron
@@ -279,14 +294,18 @@ def cmd_rollup(args: argparse.Namespace) -> int:
         return 0 if n > 0 else 1
     from .io import load_events_stream
 
+    ckpt = args.checkpoint or f"{args.table_dir.rstrip('/')}_ckpt"
     open_groups = args.expected_open_groups
     if open_groups == "auto":
-        if args.state_partitions == "auto":
-            # the estimate only feeds the 'auto' state sizing — derive
-            # it from the source itself (r10 verdict item 4: the one
-            # free parameter of the sizing, bounded by one cheap
-            # approx-distinct pre-scan of the batch twin of the same
-            # dir the maintainer streams)
+        open_groups = 8  # the static fallback when the estimate is moot
+        if args.state_partitions == "auto" and _sizing_would_derive(ckpt):
+            # the estimate only feeds the 'auto' state sizing, and only
+            # on a FIRST start (an existing checkpoint resumes its
+            # captured layout; a remote one falls back to session conf)
+            # — derive it from the source itself only then (r10 verdict
+            # item 4; r11 review: the steady-state cron pass must not
+            # pay a full-source pre-scan for a number that is thrown
+            # away)
             from .io import load_table
             from .streaming.rollup import estimate_open_groups
 
@@ -301,14 +320,10 @@ def cmd_rollup(args: argparse.Namespace) -> int:
                 "--expected-open-groups N to override",
                 file=sys.stderr,
             )
-        else:
-            # explicit/session state sizing never reads the estimate;
-            # don't pay the pre-scan
-            open_groups = 8
     q = start_rollup_maintenance(
         load_events_stream(spark, args.sf_dir),
         args.table_dir,
-        args.checkpoint or f"{args.table_dir.rstrip('/')}_ckpt",
+        ckpt,
         size=args.size,
         watermark=args.watermark,
         p=args.sketch_p,
@@ -388,47 +403,44 @@ def cmd_layout(args: argparse.Namespace) -> int:
     return 0 if n > 0 else 1
 
 
-def _open_groups_arg(v: str) -> int | str:
-    """--expected-open-groups value: 'auto' (batch pre-scan of the
-    source estimates event-type cardinality x open windows) or a
-    positive int override."""
-    if v.lower() == "auto":
-        return "auto"
+def _sentinel_or_positive_int(v: str, sentinels: dict, noun: str):
+    """Shared validator for the rollup sizing args: a named sentinel
+    (case-insensitive) or a POSITIVE int. Zero/negative used to flow
+    straight into spark.sql.shuffle.partitions at query start and die
+    as an opaque planner error (r10 advisor); ArgumentTypeError keeps
+    the failure an argparse-level usage message."""
+    low = v.lower()
+    if low in sentinels:
+        return sentinels[low]
+    expected = "/".join(f"'{s}'" for s in sentinels)
     try:
         n = int(v)
     except ValueError:
         raise argparse.ArgumentTypeError(
-            f"expected 'auto' or a positive integer, got {v!r}"
+            f"expected {expected} or a positive integer, got {v!r}"
         ) from None
     if n <= 0:
-        raise argparse.ArgumentTypeError(
-            f"open-group estimate must be positive, got {n}"
-        )
+        raise argparse.ArgumentTypeError(f"{noun} must be positive, got {n}")
     return n
+
+
+def _open_groups_arg(v: str) -> int | str:
+    """--expected-open-groups: 'auto' (batch pre-scan of the source
+    estimates event-type cardinality x open windows) or a positive
+    int override."""
+    return _sentinel_or_positive_int(
+        v, {"auto": "auto"}, "open-group estimate"
+    )
 
 
 def _state_partitions_arg(v: str) -> int | str | None:
-    """--state-partitions value: 'auto', 'session'/'none' (-> None), or
-    a POSITIVE int. Zero/negative used to flow straight into
-    spark.sql.shuffle.partitions at query start and die as an opaque
-    planner error (r10 advisor); ArgumentTypeError keeps the failure an
-    argparse-level usage message."""
-    low = v.lower()
-    if low in ("none", "session"):
-        return None
-    if low == "auto":
-        return "auto"
-    try:
-        n = int(v)
-    except ValueError:
-        raise argparse.ArgumentTypeError(
-            f"expected 'auto', 'session', or a positive integer, got {v!r}"
-        ) from None
-    if n <= 0:
-        raise argparse.ArgumentTypeError(
-            f"state-store partition count must be positive, got {n}"
-        )
-    return n
+    """--state-partitions: 'auto', 'session'/'none' (-> None, the
+    legacy session-conf behavior), or a positive int."""
+    return _sentinel_or_positive_int(
+        v,
+        {"auto": "auto", "none": None, "session": None},
+        "state-store partition count",
+    )
 
 
 def build_parser() -> argparse.ArgumentParser:

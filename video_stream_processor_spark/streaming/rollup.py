@@ -283,7 +283,8 @@ def _local_checkpoint_path(checkpoint_dir: str) -> str | None:
         if not rest.startswith("//"):
             return rest  # file:/x -> /x
         authority, _, path = rest[2:].partition("/")
-        if authority in ("", "localhost"):
+        # hostnames compare case-insensitively (RFC 3986 §3.2.2)
+        if authority.lower() in ("", "localhost"):
             # file:///x and file://localhost/x -> /x
             return "/" + path
         import warnings
