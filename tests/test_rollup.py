@@ -1152,34 +1152,80 @@ def test_derived_state_partitions_formula(spark):
         spark.conf.set(key, prev)
 
 
-def test_estimate_open_groups_formula(spark):
-    """The data-derived form of the auto sizing's one free parameter
-    (r10 verdict item 4): event-type cardinality (NULL counts — it is
-    a real state group) x (ceil(watermark/size) + 1) open windows,
-    from one bounded approx-distinct action on a batch sample."""
+def _ts_type_frame(spark, rows):
+    """(ts string, event_type) rows as a typed batch frame."""
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    return spark.createDataFrame(pdf, schema="ts timestamp, event_type string")
+
+
+def test_estimate_open_groups_occupancy(spark):
+    """The r12 estimator measures CONCURRENT occupancy, pinned by exact
+    arithmetic on known-cardinality frames (r11 verdict item 1's done
+    bar). A group (window, type) is open [first event, win_end + wm);
+    the estimate is ceil(time-averaged open intervals), floored at the
+    busiest single window's group count."""
     from video_stream_processor_spark.streaming.rollup import (
         estimate_open_groups,
     )
 
-    df = spark.range(400).select(
-        F.concat(F.lit("t"), (F.col("id") % 39)).cast("string").alias(
-            "event_type"
-        )
-    ).unionByName(
-        spark.range(3).select(F.lit(None).cast("string").alias("event_type"))
+    # The bench shape in miniature: 5 types, every type active in each
+    # of 10 daily windows (one event at each window start), 30-min wm.
+    # busy = 50 groups x (86400 + 1800) s; span = 10 x 86400 + 1800 s
+    # -> average 5.09 -> ceil 6; peak single window 5 -> estimate 6.
+    # The r11 all-time-cardinality form said 10 here — the over-sizing
+    # the r11 verdict measured at 1.6-1.8x the static default's
+    # state-commit I/O.
+    steady = _ts_type_frame(
+        spark,
+        [
+            (f"2024-01-{d + 1:02d} 00:00:00", f"t{k}")
+            for d in range(10)
+            for k in range(5)
+        ],
     )
-    # 39 named types + the NULL group = 40; wm 30m inside 1h windows
-    # keeps <= 2 windows open
-    assert estimate_open_groups(df, "1 hour", "30 minutes") == 80
-    # a watermark spanning 2 sizes holds 3 windows open
-    assert estimate_open_groups(df, "1 hour", "2 hours") == 120
+    assert estimate_open_groups(steady, "1 day", "30 minutes") == 6
+
+    # All-time cardinality must NOT leak in: 12 all-time types, but the
+    # two bursts are 100 days apart with 6 disjoint types each — only 6
+    # groups are ever open together (the busiest-window floor; the
+    # time average over the idle gap is far below 1).
+    gapped = _ts_type_frame(
+        spark,
+        [("2024-01-01 00:00:00", f"t{k}") for k in range(6)]
+        + [("2024-04-10 00:00:00", f"u{k}") for k in range(6)],
+    )
+    assert estimate_open_groups(gapped, "1 hour", "30 minutes") == 6
+
+    # NULL is a legitimate state group: groupBy keeps the NULL key
+    nullg = _ts_type_frame(
+        spark, [("2024-01-01 00:00:00", "a"), ("2024-01-01 00:00:00", None)]
+    )
+    assert estimate_open_groups(nullg, "1 hour", "30 minutes") == 2
+
     # degenerate empty sample still yields a sane positive estimate
-    empty = spark.range(0).select(F.lit("x").alias("event_type"))
-    assert estimate_open_groups(empty, "1 hour", "30 minutes") == 2
+    empty = _ts_type_frame(spark, []).limit(0)
+    assert estimate_open_groups(empty, "1 hour", "30 minutes") == 1
+
+    # a differently-shaped frame fails loudly instead of estimating a
+    # wrong column's concurrency (r11 verdict item 7)
+    with pytest.raises(ValueError, match="group column 'event_type'"):
+        estimate_open_groups(
+            spark.range(1).select(F.lit("x").alias("category")),
+            "1 hour",
+            "30 minutes",
+        )
+    renamed = nullg.withColumnRenamed("event_type", "category")
+    assert (
+        estimate_open_groups(
+            renamed, "1 hour", "30 minutes", group_col="category"
+        )
+        == 2
+    )
 
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
-        .select(F.lit("a").alias("event_type"))
+        .select(F.col("timestamp").alias("ts"), F.lit("a").alias("event_type"))
     )
     with pytest.raises(ValueError, match="BATCH sample"):
         estimate_open_groups(stream, "1 hour", "30 minutes")
@@ -1212,7 +1258,11 @@ def test_auto_sizing_from_estimated_open_groups(spark, tmp_path):
     est = estimate_open_groups(
         spark.read.parquet(str(src)), "1 hour", "30 minutes"
     )
-    assert est == 24  # 12 types x 2 open windows — not the static 8
+    # the busiest-window floor: all 12 of the 10:00 window's groups are
+    # open together when it closes (the time average alone is ~5.1 —
+    # the 12:30 straggler barely overlaps) — not the static default 8,
+    # and not the r11 form's 24 (all-time cardinality x 2 windows)
+    assert est == 12
 
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
@@ -1220,7 +1270,7 @@ def test_auto_sizing_from_estimated_open_groups(spark, tmp_path):
         spark.conf.set(key, "32")
         # what a human sizing by the 2^p state bound would compute
         hand = derived_state_partitions(spark, p=8, expected_open_groups=est)
-        assert hand == 2  # ceil(24 * 2^8 / 4096), below the cap
+        assert hand == 1  # ceil(12 * 2^8 / 4096), below the cap
         live, ckpt = str(tmp_path / "live"), str(tmp_path / "ckpt")
         q = start_rollup_maintenance(
             _events_stream(spark, src),
