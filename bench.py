@@ -305,6 +305,18 @@ _ROLLUP_PHASES: dict[str, float] = {}
 #: shift (machine); wall up + commit I/O flat = code.
 _ROLLUP_COMMIT_S: list[float] = [0.0]
 
+#: Sizing the LAST _rollup_maintain_serve drain actually ran at —
+#: (state stores, resolved open-groups parameter). The store count is
+#: OBSERVED (max stateOperators[].numShufflePartitions over the
+#: drain's progress events), not re-derived, so the artifact records
+#: what the query really did; open_groups is the resolved value the
+#: auto derivation was fed (the estimate, for the _auto_est leg).
+#: r11 verdict item 1a: the auto_est leg ran 1.1-2.5 s slower with
+#: 1.6-1.8x the commit I/O of the static default and NOTHING in the
+#: artifact said the estimator had derived a different store count —
+#: sizing divergence must be diagnosable from the artifact alone.
+_ROLLUP_SIZING: list[tuple[int, int]] = [(0, 0)]
+
 
 def _rollup_maintain_serve(s, d, state_partitions=None, expected_open_groups=8):
     """The incremental-rollup lifecycle end to end: streaming
@@ -327,7 +339,9 @@ def _rollup_maintain_serve(s, d, state_partitions=None, expected_open_groups=8):
     src = _rollup_events_src(s, d)
     if expected_open_groups == "estimate":
         # data-derived sizing parameter (r10 verdict item 4): one
-        # approx-distinct pre-scan of the staged source's batch twin,
+        # occupancy pre-scan of the staged source's batch twin
+        # (time-averaged concurrently-open (window, type) groups —
+        # the r12 form; the r11 all-time-cardinality form over-sized),
         # inside the timed region so setup honestly carries its cost
         from video_stream_processor_spark.streaming.rollup import (
             estimate_open_groups,
@@ -391,6 +405,17 @@ def _rollup_maintain_serve(s, d, state_partitions=None, expected_open_groups=8):
         )
         / 1000.0,
         3,
+    )
+    _ROLLUP_SIZING[0] = (
+        max(
+            (
+                int(so.get("numShufflePartitions") or 0)
+                for pr in progress
+                for so in (pr.get("stateOperators") or [])
+            ),
+            default=0,
+        ),
+        int(expected_open_groups),
     )
     compact_rollup(s, live, base)
     t2 = time.perf_counter()
@@ -460,7 +485,14 @@ HEADLINE = [
     "zorder_write_pruned_read",
     # New-in-r8: the sketch-bearing rollup lifecycle (format v3),
     # re-pinned under a versioned name (see EXTRA_BUILDERS comment),
-    # and the 3-leg registered sessionization suite:
+    # and the 3-leg registered sessionization suite. Since r12 the v2
+    # session-conf CONTROL is demoted to SPARK_GRAFT_BENCH_CONTROL=1
+    # runs (r11 verdict item 5): it was 26% of every bench wall
+    # re-proving a root cause pinned since r9 on a configuration the
+    # engine no longer ships; the _auto-vs-_sized pair keeps the
+    # sizing-dial tripwire every round. Run the control leg on demand
+    # (or every few rounds) to refresh its bar:
+    #     SPARK_GRAFT_BENCH_CONTROL=1 python bench.py
     "rollup_maintain_serve_v2",
     "stream_session_30m_full",
     # New-in-r9 (no pin; first number sets the bar): the lifecycle
@@ -516,6 +548,16 @@ def _await_quiet_machine() -> tuple[float, bool]:
 
 def main() -> None:
     load_1m, comparable = _await_quiet_machine()
+    # the v2 session-conf control runs only on request (r11 verdict
+    # item 5; see the HEADLINE comment) — the mix drops it by default
+    # so a dropped-query row in the cross-round classification is the
+    # expected record of the demotion, not a silent disappearance
+    mix = [
+        q
+        for q in HEADLINE
+        if q != "rollup_maintain_serve_v2"
+        or os.environ.get("SPARK_GRAFT_BENCH_CONTROL") == "1"
+    ]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     # the sf field is informational; an unconventional dir name (e.g.
     # sf0.1-idle) must not cost the round its one JSON line
@@ -543,7 +585,7 @@ def main() -> None:
         return round(time.perf_counter() - t0, 3)
 
     for _ in range(2):
-        for name in HEADLINE:
+        for name in mix:
             run(name)
 
     # Median of 3 timed passes per query (r8 verdict: two idle
@@ -561,17 +603,23 @@ def main() -> None:
         str, list[tuple[float, dict[str, float], float]]
     ] = {}
     lifecycle_legs = tuple(LEG_ROLES)
-    for name in HEADLINE:
+    for name in mix:
         ts = []
         for _ in range(n_timed):
             ts.append(run(name))
             if name in lifecycle_legs:
-                # _ROLLUP_PHASES/_ROLLUP_COMMIT_S hold the latest
-                # invocation's eager phases + summed state-commit I/O;
-                # capture per pass so the reported decomposition is
-                # the median pass's, not the last one's
+                # _ROLLUP_PHASES/_ROLLUP_COMMIT_S/_ROLLUP_SIZING hold
+                # the latest invocation's eager phases, summed
+                # state-commit I/O, and observed (stores, open_groups)
+                # sizing; capture per pass so the reported
+                # decomposition is the median pass's, not the last one's
                 phase_samples.setdefault(name, []).append(
-                    (ts[-1], dict(_ROLLUP_PHASES), _ROLLUP_COMMIT_S[0])
+                    (
+                        ts[-1],
+                        dict(_ROLLUP_PHASES),
+                        _ROLLUP_COMMIT_S[0],
+                        _ROLLUP_SIZING[0],
+                    )
                 )
         samples[name] = ts
 
@@ -595,12 +643,21 @@ def main() -> None:
         med_t = times.get(leg)
         if med_t is None or not leg_samples:
             continue
-        _, ph, commit_s = min(leg_samples, key=lambda tp: abs(tp[0] - med_t))
+        _, ph, commit_s, (stores, open_groups) = min(
+            leg_samples, key=lambda tp: abs(tp[0] - med_t)
+        )
         eager = round(sum(ph.values()), 3)
         phases[leg] = {
             **ph,
             "serve": round(max(med_t - eager, 0.0), 3),
             "commit_io_s": commit_s,
+            # observed state-store count (stateOperators[].
+            # numShufflePartitions) + the resolved open-groups
+            # parameter the sizing was fed: the r11 auto_est
+            # over-sizing was invisible precisely because neither was
+            # in the artifact (r11 verdict item 1a)
+            "state_stores": stores,
+            "open_groups": open_groups,
         }
         commit_io[leg] = commit_s
 

@@ -52,6 +52,16 @@ REHEARSAL.md r9/r10), so the <=2x pin contract stays the only gate and
 a ``code`` row is a loud pointer for the human, produced mechanically
 instead of by reading four artifacts (r10 verdict, round-11 item 1).
 
+Since round 12 a ``code`` verdict also requires an ABSOLUTE delta of
+at least ``ABS_CODE_FLOOR`` (100 ms): the r11 judge replay produced
+two spurious ``code`` flags on sub-0.3 s pins (+32 ms / -71 ms) at
+provably-unchanged code — on short pins the 20% relative floor is
+pure scheduler jitter. And both artifacts are IDENTIFIED (content
+sha256 + the commit that last touched them, or ``uncommitted``) in
+the classification header and summary line: the r11 builder/judge
+classifications disagreed because each compared different bytes under
+the same "vs BENCH_r11.json" label after a driver refresh.
+
 What this CANNOT catch is a pinned name silently re-routed to a
 different computation — that half of the contract lives in bench.py
 (EXTRA_BUILDERS pins the verbatim builder per name, enriched registry
@@ -78,6 +88,18 @@ import sys
 #: decomposition is delta = common machine mode + per-query noise, and
 #: only what exceeds BOTH is attributed to code.
 NOISE_FLOOR = 0.20
+
+#: Absolute-delta floor for a ``code`` verdict (r11 verdict item 2):
+#: on sub-0.3 s pins the 20% RELATIVE floor is a few tens of ms —
+#: pure scheduler jitter (judge replay flagged +32 ms / -71 ms deltas
+#: as ``code`` on provably-unchanged code). A code claim now needs the
+#: relative residual AND at least this much absolute movement.
+ABS_CODE_FLOOR = 0.100
+
+#: bench.py records 3-decimal medians; anything at or under a few
+#: timing-resolution steps is indistinguishable from zero (r11 advisor:
+#: a prev of 0.000 s with curr at 0.001 s must not print ``code``).
+RES_FLOOR = 0.005
 
 
 def merge_bench_lines(lines: list[str]) -> dict | None:
@@ -181,8 +203,15 @@ def classify_cross_round(prev: dict, curr: dict):
             # and substituting 0% would print an affirmatively false
             # "noise" verdict over an arbitrarily large blow-up
             # (r11 review)
-            if cq[n] <= 0:
-                cls, why = "noise", "both medians below timing resolution"
+            if cq[n] <= RES_FLOOR:
+                cls, why = "noise", "both medians within timing resolution"
+            elif cq[n] < ABS_CODE_FLOOR:
+                cls = "noise"
+                why = (
+                    f"prev median 0.000s (sub-resolution), curr "
+                    f"{cq[n]:.3f}s is under the {ABS_CODE_FLOOR * 1000:.0f}ms "
+                    "absolute code floor"
+                )
             else:
                 cls = "code"
                 why = (
@@ -249,6 +278,15 @@ def classify_cross_round(prev: dict, curr: dict):
                 f"residual ({residual:+.0%}) after the mix's "
                 f"{mix_shift:+.0%} common shift"
             )
+        if cls == "code" and abs(cq[n] - pq[n]) < ABS_CODE_FLOOR:
+            # r11 verdict item 2: a code claim needs absolute movement
+            # too — a 20%-relative blip on a 0.15 s pin is tens of ms
+            # of scheduler jitter, not evidence
+            cls = "noise"
+            why = (
+                f"{cq[n] - pq[n]:+.3f}s absolute delta is under the "
+                f"{ABS_CODE_FLOOR * 1000:.0f}ms code floor (was: {why})"
+            )
         counts[cls] += 1
         rows.append((n, pq[n], cq[n], d, cls, why))
     summary = {
@@ -260,8 +298,62 @@ def classify_cross_round(prev: dict, curr: dict):
     return rows, summary
 
 
-def print_cross_round(prev_path: str, prev: dict, curr: dict) -> None:
+def artifact_id(path: str) -> str:
+    """Compact identity of an artifact FILE: content sha256 prefix plus
+    either the short hash of the commit that last touched it (when the
+    working copy matches HEAD) or ``uncommitted``. r11 verdict item 4:
+    the builder's classification (22/0/0) and the judge's replay
+    (20/0/2) were both labeled "vs BENCH_r11.json" but compared
+    different bytes — a driver refresh had rewritten the file after the
+    gauntlet ran. Naming the exact bytes (and whether git has them) in
+    the classification output makes the two runs distinguishable."""
+    import hashlib
+    import subprocess
+
+    try:
+        with open(path, "rb") as f:
+            digest = hashlib.sha256(f.read()).hexdigest()[:12]
+    except OSError:
+        return "unreadable"
+    git = "no-git"
+    # absolute path on both sides: `git -C` resolves relative pathspecs
+    # against ITS directory, not the caller's cwd
+    apath = os.path.abspath(path)
+    d = os.path.dirname(apath) or "."
+    try:
+        dirty = subprocess.run(
+            ["git", "-C", d, "status", "--porcelain", "--", apath],
+            capture_output=True,
+            text=True,
+            timeout=10,
+        )
+        if dirty.returncode == 0:
+            if dirty.stdout.strip():
+                git = "uncommitted"
+            else:
+                head = subprocess.run(
+                    ["git", "-C", d, "log", "-1", "--format=%h", "--", apath],
+                    capture_output=True,
+                    text=True,
+                    timeout=10,
+                )
+                if head.returncode == 0 and head.stdout.strip():
+                    git = head.stdout.strip()
+    except (OSError, subprocess.SubprocessError):
+        pass
+    return f"sha256:{digest}@{git}"
+
+
+def print_cross_round(
+    prev_path: str, prev: dict, curr: dict, curr_path: str | None = None
+) -> None:
     label = os.path.basename(prev_path)
+    # name the exact bytes being compared on both sides — carried into
+    # the final summary line (which gauntlet.sh copies to REHEARSAL.md)
+    # so two classifications under the same label are distinguishable
+    ids = f"prev {artifact_id(prev_path)}"
+    if curr_path is not None:
+        ids += f", curr {artifact_id(curr_path)}"
     if prev.get("sf") != curr.get("sf"):
         print(
             f"cross-round vs {label}: sf mismatch ({prev.get('sf')} vs "
@@ -271,9 +363,9 @@ def print_cross_round(prev_path: str, prev: dict, curr: dict) -> None:
         return
     rows, summary = classify_cross_round(prev, curr)
     if not rows:
-        print(f"cross-round vs {label}: no shared queries to classify")
+        print(f"cross-round vs {label}: no shared queries to classify ({ids})")
         return
-    print(f"cross-round delta classification vs {label}:")
+    print(f"cross-round delta classification vs {label} ({ids}):")
     # pessimistic like check()'s own gate: a MISSING comparable stamp
     # is treated as not-comparable, not quietly trusted (r11 review —
     # the two defaults used to disagree)
@@ -296,7 +388,8 @@ def print_cross_round(prev_path: str, prev: dict, curr: dict) -> None:
         f"cross-round vs {label}: {counts['noise']} noise / "
         f"{counts['fsync-regime']} fsync-regime / {counts['code']} code "
         f"(mix median shift {summary['mix_shift']:+.1%} over {len(rows)} "
-        "shared queries; informational — the <=2x pin contract gates)"
+        f"shared queries; {ids}; informational — the <=2x pin contract "
+        "gates)"
     )
 
 
@@ -388,8 +481,17 @@ def check(baseline_path: str, bench_path: str, prev_path: str | None = None) -> 
             else "maintain wall n/a (headline-only artifact)"
         )
         cio_txt = f"state-commit I/O {cio:.3f}s" if cio is not None else "state-commit I/O n/a"
+        # r12: the observed store count + resolved open-groups sizing
+        # parameter ride the artifact (r11 verdict item 1a — the
+        # auto_est over-sizing was invisible because neither was
+        # recorded); print them so sizing divergence reads off one line
+        sizing_txt = (
+            f", {ph['state_stores']} stores (open_groups {ph['open_groups']})"
+            if "state_stores" in ph
+            else ""
+        )
         role_txt = f"  [{roles[leg]}]" if leg in roles else ""
-        print(f"  {leg:32s} {wall_txt}, {cio_txt}{role_txt}")
+        print(f"  {leg:32s} {wall_txt}, {cio_txt}{sizing_txt}{role_txt}")
 
     missing_txt = f", {missing} missing counted at pin" if missing else ""
     if spread:
@@ -434,7 +536,7 @@ def check(baseline_path: str, bench_path: str, prev_path: str | None = None) -> 
                         f"{prev_path} (pre-r10 truncated tail?)"
                     )
             if prev is not None:
-                print_cross_round(prev_path, prev, run)
+                print_cross_round(prev_path, prev, run, curr_path=bench_path)
 
     if problems:
         for p in problems:

@@ -150,5 +150,18 @@ python scripts/gen_plan_audit.py 2>/tmp/plan_audit_${TAG}.stderr || fail "gen_pl
 say "step 7/7: gen_coverage -> COVERAGE.md"
 python scripts/gen_coverage.py > COVERAGE.md || fail "gen_coverage"
 
+# End-of-round artifact rule (r11 verdict item 3): evidence artifacts
+# must be COMMITTED before judging — the judge and the cross-round
+# classifier auto-discover "the previous artifact" by filename, and an
+# uncommitted refresh that differs from the committed bytes makes two
+# readers classify different data under one label (r11's spurious
+# cross-artifact `code` flags). Loud reminder, not a gate: the gauntlet
+# itself just produced new artifacts that the builder commits next.
+UNCOMMITTED="$(git status --porcelain -- 'BENCH_r*.json' 'CORRECTNESS_r*.json' LEAKCHECK.json COPYCHECK.json 2>/dev/null || true)"
+if [ -n "$UNCOMMITTED" ]; then
+  say "REMINDER: commit these evidence artifacts before the round is judged:"
+  echo "$UNCOMMITTED" >&2
+fi
+
 echo "- $(STAMP) tag=${TAG} head=${HEAD_SHA} rc=0: GAUNTLET OK (suite sf0.01 + sf0.1 green, scale_smoke appended, ${BENCH_OUT} written + pins OK, PLANS.md + COVERAGE.md regenerated)" >> REHEARSAL.md
 say "OK — all 7 steps green"

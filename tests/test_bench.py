@@ -25,6 +25,12 @@ def test_bench_emits_contract_json():
         # the smoke validates the contract, not timings — never wait
         # for a quiet machine here
         SPARK_GRAFT_BENCH_MAX_WAIT_S="0",
+        # run the demoted v2 session-conf control too (r11 verdict item
+        # 5: default bench runs drop it): the smoke asserts the full
+        # leg surface, and the default mix is a strict subset of this
+        # one so its final line is shorter than the one length-checked
+        # here
+        SPARK_GRAFT_BENCH_CONTROL="1",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -76,7 +82,15 @@ def test_bench_emits_contract_json():
         "rollup_maintain_serve_v2_auto",
     ):
         ph = detail["phases"][leg]
-        assert {"setup", "maintain", "compact", "serve", "commit_io_s"} <= set(ph)
+        assert {
+            "setup",
+            "maintain",
+            "compact",
+            "serve",
+            "commit_io_s",
+            "state_stores",
+            "open_groups",
+        } <= set(ph)
         # commitTimeMs is an integer-ms counter per store per batch;
         # the sized/auto legs' few stores could in principle all
         # report 0 on sub-ms storage, so only require non-negative
@@ -88,9 +102,28 @@ def test_bench_emits_contract_json():
         # itself (which number is the shipped default, which is the
         # pinned session-conf control) — the r10 verdict's labeling nit
         assert leg in detail["roles"], detail.get("roles")
+        # r12 (r11 verdict item 1a): the OBSERVED store count and the
+        # resolved open-groups parameter are stamped per leg, so a
+        # sizing divergence like the r11 auto_est over-sizing is
+        # diagnosable from the artifact alone
+        assert ph["state_stores"] >= 1, (leg, ph)
+        assert ph["open_groups"] >= 1, (leg, ph)
     assert detail["phases"]["rollup_maintain_serve_v2"]["commit_io_s"] > 0
     assert "control" in detail["roles"]["rollup_maintain_serve_v2"]
     assert "default" in detail["roles"]["rollup_maintain_serve_v2_auto"]
+    # the hand-sized leg runs exactly its 8 stores; the session-conf
+    # control runs the session's stateful shuffle (== 8 too at this
+    # smoke's SPARK_GRAFT_CPUS=8 session, wider on the 32-way bench box)
+    assert detail["phases"]["rollup_maintain_serve_v2_sized"]["state_stores"] == 8
+    assert (
+        detail["phases"]["rollup_maintain_serve_v2"]["state_stores"]
+        >= detail["phases"]["rollup_maintain_serve_v2_sized"]["state_stores"]
+    )
+    # the auto_est leg records the ESTIMATE it resolved, not the static
+    # default it replaces
+    est_ph = detail["phases"]["rollup_maintain_serve_v2_auto_est"]
+    assert est_ph["open_groups"] >= 1
+    assert detail["phases"]["rollup_maintain_serve_v2_auto"]["open_groups"] == 8
 
 
 def test_merge_bench_lines_recovery_shapes():
@@ -353,3 +386,66 @@ def test_classify_cross_round_classes():
     got = classes(rows)
     assert got == {"tiny": "noise", "blown": "code"}
     assert "undefined" in [r for r in rows if r[0] == "blown"][0][5]
+
+
+def test_classify_absolute_code_floor():
+    """r11 verdict item 2: a ``code`` verdict needs ABSOLUTE movement
+    too. The judge's replay flagged +32 ms (0.144 -> 0.176 s) and
+    -71 ms deltas as ``code`` on provably-unchanged code — on sub-0.3 s
+    pins the 20% relative floor is scheduler jitter."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_bench_pins import classify_cross_round
+
+    def classes(rows):
+        return {r[0]: r[4] for r in rows}
+
+    sp = lambda t: {"min": t - 0.001, "med": t, "max": t + 0.001}  # noqa: E731
+
+    # a 30ms blip on a 0.15s pin in a flat mix: +21% relative (past the
+    # relative floor, spreads disjoint) but 30ms absolute -> noise
+    qs_prev = {f"q{i}": 1.0 for i in range(5)} | {"blip": 0.146}
+    qs_curr = {f"q{i}": 1.0 for i in range(5)} | {"blip": 0.176}
+    rows, summary = classify_cross_round(
+        _mk_run(qs_prev, spread={k: sp(v) for k, v in qs_prev.items()}),
+        _mk_run(qs_curr, spread={k: sp(v) for k, v in qs_curr.items()}),
+    )
+    assert classes(rows)["blip"] == "noise"
+    assert "absolute delta" in [r for r in rows if r[0] == "blip"][0][5]
+    assert summary["counts"]["code"] == 0
+
+    # the same relative move with real absolute weight stays code
+    qs_prev["blip"], qs_curr["blip"] = 1.46, 1.76
+    rows, _ = classify_cross_round(
+        _mk_run(qs_prev, spread={k: sp(v) for k, v in qs_prev.items()}),
+        _mk_run(qs_curr, spread={k: sp(v) for k, v in qs_curr.items()}),
+    )
+    assert classes(rows)["blip"] == "code"
+
+    # sub-resolution prev (advisor): curr one timing step up is noise,
+    # curr under the 100ms absolute floor is noise, past it is code
+    rows, _ = classify_cross_round(
+        _mk_run({"step": 0.0, "small": 0.0, "big": 0.0}),
+        _mk_run({"step": 0.001, "small": 0.05, "big": 0.2}),
+    )
+    assert classes(rows) == {"step": "noise", "small": "noise", "big": "code"}
+
+
+def test_artifact_id_names_bytes(tmp_path):
+    """r11 verdict item 4: the classification names the exact bytes on
+    both sides. Content hash always; git state when resolvable."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_bench_pins import artifact_id
+
+    p = tmp_path / "BENCH_rX.json"
+    p.write_text('{"queries": {}}')
+    ident = artifact_id(str(p))
+    assert ident.startswith("sha256:")
+    # same bytes -> same id; different bytes -> different id
+    assert artifact_id(str(p)) == ident
+    p.write_text('{"queries": {"q": 1}}')
+    assert artifact_id(str(p)) != ident
+    # a committed artifact of this repo resolves to a commit hash
+    committed = os.path.join(REPO, "BENCH_BASELINE.json")
+    if os.path.exists(committed):
+        ident2 = artifact_id(committed)
+        assert ident2.startswith("sha256:") and "@" in ident2

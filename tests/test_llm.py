@@ -57,14 +57,20 @@ def test_near_dup_prod_golden_checksum(spark):
     """Value-level evidence for ``llm_near_dup_pairs_prod`` (r10
     verdict item 2): the driver's check is rows-only BY DESIGN (DuckDB
     cannot replay xxhash64), so pin the VALUES here instead — an
-    order-insensitive self-checksum (bit_xor of
-    xxhash64(method, doc_a, doc_b, round(score, 6))) over the full
-    result at the driver's own sf0.01 correctness fixture, golden
-    computed 2026-08-15 and deterministic across runs (no rand/uuid in
-    the plan; LSH banding and pigeonhole blocking are pure functions of
-    the text). Any change to the pair set OR any pair's score moves the
-    checksum; the row count alone (what the driver sees) could mask a
-    swapped pair."""
+    order-insensitive self-checksum over the full result at the
+    driver's own sf0.01 correctness fixture, golden computed
+    2026-08-15 and deterministic across runs (no rand/uuid in the
+    plan; LSH banding and pigeonhole blocking are pure functions of
+    the text). Any change to the pair set OR any pair's score moves
+    the checksum; the row count alone (what the driver sees) could
+    mask a swapped pair.
+
+    The fold is an exact decimal SUM of the row hashes, not bit_xor:
+    xor self-cancels on even multiset perturbations (duplicate one
+    pair, drop another — n and the xor both survive), so its pin was
+    weaker than claimed (r11 advisor). A wrap-free additive fold has
+    no such null space short of a hash-sum collision, and the distinct
+    count alongside rules out the duplicate-row degeneracy."""
     import os
 
     sf01 = "/root/testdata/sf0.01"
@@ -75,12 +81,17 @@ def test_near_dup_prod_golden_checksum(spark):
     df = all_specs()["llm_near_dup_pairs_prod"].builder(spark, sf01)
     row = df.agg(
         F.count(F.lit(1)).alias("n"),
+        F.countDistinct("method", "doc_a", "doc_b").alias("n_distinct"),
+        # decimal(38,0) keeps the 42-term sum of 64-bit hashes exact
+        # (max |sum| ~ 2^69) — no ANSI overflow, no wrap ambiguity
         F.expr(
-            "bit_xor(xxhash64(method, doc_a, doc_b, round(score, 6)))"
+            "sum(cast(xxhash64(method, doc_a, doc_b, round(score, 6)) "
+            "as decimal(38,0)))"
         ).alias("checksum"),
     ).first()
     assert row["n"] == 42
-    assert row["checksum"] == 6652373716395265031
+    assert row["n_distinct"] == 42
+    assert int(row["checksum"]) == 14246066871099404251
 
 
 def test_simhash_symmetric_and_bounded(docs):

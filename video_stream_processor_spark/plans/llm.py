@@ -251,10 +251,13 @@ def llm_near_dup_pairs_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
     Value evidence (r10 verdict item 2): the driver row-count rides on
     a VALUE-pinned computation — ``tests/test_llm.py::
     test_near_dup_prod_golden_checksum`` pins the order-insensitive
-    self-checksum ``bit_xor(xxhash64(method, doc_a, doc_b,
-    round(score, 6)))`` = 6652373716395265031 over all 42 rows at the
-    driver's sf0.01 fixture, so a swapped pair or drifted score fails
-    the suite even though DuckDB can't replay the hash family."""
+    self-checksum ``sum(cast(xxhash64(method, doc_a, doc_b,
+    round(score, 6)) as decimal(38,0)))`` = 14246066871099404251 plus
+    the distinct-triple count over all 42 rows at the driver's sf0.01
+    fixture, so a swapped pair or drifted score fails the suite even
+    though DuckDB can't replay the hash family. (An additive fold, not
+    bit_xor: xor self-cancels on even multiset perturbations — r11
+    advisor.)"""
     from ..llm.dedup import minhash_near_dup_pairs, simhash_near_dup_pairs
 
     docs = load_table(spark, sf_dir, "documents")
