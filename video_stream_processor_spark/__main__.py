@@ -316,8 +316,9 @@ def cmd_rollup(args: argparse.Namespace) -> int:
             )
             print(
                 f"estimated expected_open_groups={open_groups} from the "
-                "source (event-type cardinality x open windows); pass "
-                "--expected-open-groups N to override",
+                "source (time-averaged occupancy of concurrently-open "
+                "(window, type) state groups, floored at the busiest "
+                "window); pass --expected-open-groups N to override",
                 file=sys.stderr,
             )
     q = start_rollup_maintenance(
@@ -426,8 +427,8 @@ def _sentinel_or_positive_int(v: str, sentinels: dict, noun: str):
 
 def _open_groups_arg(v: str) -> int | str:
     """--expected-open-groups: 'auto' (batch pre-scan of the source
-    estimates event-type cardinality x open windows) or a positive
-    int override."""
+    estimates the time-averaged occupancy of concurrently-open
+    (window, type) state groups) or a positive int override."""
     return _sentinel_or_positive_int(
         v, {"auto": "auto"}, "open-group estimate"
     )
