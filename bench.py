@@ -310,12 +310,16 @@ _ROLLUP_COMMIT_S: list[float] = [0.0]
 #: OBSERVED (max stateOperators[].numShufflePartitions over the
 #: drain's progress events), not re-derived, so the artifact records
 #: what the query really did; open_groups is the resolved value the
-#: auto derivation was fed (the estimate, for the _auto_est leg).
+#: auto derivation was fed (the estimate, for the _auto_est leg), and
+#: None for legs whose sizing never consumes the parameter (the
+#: session-conf control and the explicit-int sized twin) — stamping
+#: the dead default there would read as a fed-vs-observed divergence,
+#: the exact confusion the stamp exists to remove (r12 review).
 #: r11 verdict item 1a: the auto_est leg ran 1.1-2.5 s slower with
 #: 1.6-1.8x the commit I/O of the static default and NOTHING in the
 #: artifact said the estimator had derived a different store count —
 #: sizing divergence must be diagnosable from the artifact alone.
-_ROLLUP_SIZING: list[tuple[int, int]] = [(0, 0)]
+_ROLLUP_SIZING: list[tuple[int, int | None]] = [(0, None)]
 
 
 def _rollup_maintain_serve(s, d, state_partitions=None, expected_open_groups=8):
@@ -415,7 +419,11 @@ def _rollup_maintain_serve(s, d, state_partitions=None, expected_open_groups=8):
             ),
             default=0,
         ),
-        int(expected_open_groups),
+        # only the auto derivation consumes expected_open_groups; the
+        # control (session conf) and sized (explicit int) legs never
+        # resolve it, so stamping the dead default would fake a
+        # fed-vs-observed divergence (r12 review)
+        int(expected_open_groups) if state_partitions == "auto" else None,
     )
     compact_rollup(s, live, base)
     t2 = time.perf_counter()
@@ -652,13 +660,16 @@ def main() -> None:
             "serve": round(max(med_t - eager, 0.0), 3),
             "commit_io_s": commit_s,
             # observed state-store count (stateOperators[].
-            # numShufflePartitions) + the resolved open-groups
-            # parameter the sizing was fed: the r11 auto_est
-            # over-sizing was invisible precisely because neither was
-            # in the artifact (r11 verdict item 1a)
+            # numShufflePartitions): the r11 auto_est over-sizing was
+            # invisible precisely because it wasn't in the artifact
+            # (r11 verdict item 1a)
             "state_stores": stores,
-            "open_groups": open_groups,
         }
+        if open_groups is not None:
+            # the open-groups parameter is stamped only for legs whose
+            # auto derivation consumed it (r12 review: a dead default
+            # on the control/sized legs would read as divergence)
+            phases[leg]["open_groups"] = open_groups
         commit_io[leg] = commit_s
 
     # Detail line first, compact headline LAST: the driver wrapper

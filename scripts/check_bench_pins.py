@@ -350,7 +350,9 @@ def print_cross_round(
     label = os.path.basename(prev_path)
     # name the exact bytes being compared on both sides — carried into
     # the final summary line (which gauntlet.sh copies to REHEARSAL.md)
-    # so two classifications under the same label are distinguishable
+    # so two classifications under the same label are distinguishable;
+    # the sf-mismatch record carries them too (r12 review: it was the
+    # one cross-round line that couldn't name its bytes)
     ids = f"prev {artifact_id(prev_path)}"
     if curr_path is not None:
         ids += f", curr {artifact_id(curr_path)}"
@@ -358,7 +360,7 @@ def print_cross_round(
         print(
             f"cross-round vs {label}: sf mismatch ({prev.get('sf')} vs "
             f"{curr.get('sf')}) — deltas across scale factors mean "
-            "nothing, skipping classification"
+            f"nothing, skipping classification ({ids})"
         )
         return
     rows, summary = classify_cross_round(prev, curr)
@@ -485,11 +487,13 @@ def check(baseline_path: str, bench_path: str, prev_path: str | None = None) -> 
         # parameter ride the artifact (r11 verdict item 1a — the
         # auto_est over-sizing was invisible because neither was
         # recorded); print them so sizing divergence reads off one line
-        sizing_txt = (
-            f", {ph['state_stores']} stores (open_groups {ph['open_groups']})"
-            if "state_stores" in ph
-            else ""
-        )
+        sizing_txt = ""
+        if "state_stores" in ph:
+            sizing_txt = f", {ph['state_stores']} stores"
+            if "open_groups" in ph:
+                # present only for legs whose auto derivation consumed
+                # the parameter (control/sized legs never resolve it)
+                sizing_txt += f" (open_groups {ph['open_groups']})"
         role_txt = f"  [{roles[leg]}]" if leg in roles else ""
         print(f"  {leg:32s} {wall_txt}, {cio_txt}{sizing_txt}{role_txt}")
 

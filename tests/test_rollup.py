@@ -1223,6 +1223,39 @@ def test_estimate_open_groups_occupancy(spark):
         == 2
     )
 
+    # NULL event times never hold closable state: rows without a ts
+    # must not form a null-window bucket that pushes the busiest-window
+    # floor back up to all-time cardinality (r12 review) — 10 types
+    # seen ONLY on null-ts rows leave the estimate at the 2 windowed
+    # groups
+    nullts = _ts_type_frame(
+        spark,
+        [("2024-01-01 00:00:00", "a"), ("2024-01-01 00:00:00", "b")]
+        + [(None, f"u{k}") for k in range(10)],
+    )
+    assert estimate_open_groups(nullts, "1 hour", "30 minutes") == 2
+    # ... and an all-null-ts sample degrades to the empty-sample floor
+    allnull = _ts_type_frame(spark, [(None, "a"), (None, "b")])
+    assert estimate_open_groups(allnull, "1 hour", "30 minutes") == 1
+
+    # the event-time column is validated like the group column (same
+    # r11-item-7 rationale) and parameterized for renamed sources
+    with pytest.raises(ValueError, match="event-time column 'ts'"):
+        estimate_open_groups(
+            nullg.withColumnRenamed("ts", "event_time"),
+            "1 hour",
+            "30 minutes",
+        )
+    assert (
+        estimate_open_groups(
+            nullg.withColumnRenamed("ts", "event_time"),
+            "1 hour",
+            "30 minutes",
+            ts_col="event_time",
+        )
+        == 2
+    )
+
     stream = (
         spark.readStream.format("rate").option("rowsPerSecond", 1).load()
         .select(F.col("timestamp").alias("ts"), F.lit("a").alias("event_type"))
