@@ -9,6 +9,7 @@ that, plus estimate accuracy against exact counts.
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from video_stream_processor_spark.operators import hll
@@ -115,3 +116,31 @@ def test_small_cardinalities_exact(spark):
         df = spark.range(n).select(F.col("id").alias("u"))
         est = _sketch(df).first()["est"]
         assert abs(est - n) <= (1 if n >= 64 else 0), (n, est)
+
+
+def test_merge_raises_on_null_sketch(spark):
+    """r12 review: collect_list silently SKIPS null arrays, so the
+    per-element size check alone never sees a NULL sketch on the merge
+    path — a NULL-sketch row's events would join the coarse row while
+    its users silently vanish from the merged sketch. The aggregate
+    now detects the null count and raises (the documented 'NULL means
+    format drift' contract, previously honored only by the estimate
+    path)."""
+    good = spark.range(2).select(
+        F.lit("g").alias("g"),
+        F.expr("array_repeat(cast(1 as tinyint), 256)").alias("regs"),
+    )
+    # sanity: all-non-null merge still works
+    merged = good.groupBy("g").agg(hll.merge_registers_agg("regs", p=8).alias("m"))
+    assert merged.select(F.size("m")).first()[0] == 256
+
+    with_null = spark.range(2).select(
+        F.lit("g").alias("g"),
+        F.when(
+            F.col("id") == 0, F.expr("array_repeat(cast(1 as tinyint), 256)")
+        ).alias("regs"),  # id=1 -> NULL sketch
+    )
+    with pytest.raises(Exception, match="NULL sketch"):
+        with_null.groupBy("g").agg(
+            hll.merge_registers_agg("regs", p=8).alias("m")
+        ).collect()

@@ -1223,11 +1223,13 @@ def test_estimate_open_groups_occupancy(spark):
         == 2
     )
 
-    # NULL event times never hold closable state: rows without a ts
-    # must not form a null-window bucket that pushes the busiest-window
-    # floor back up to all-time cardinality (r12 review) — 10 types
-    # seen ONLY on null-ts rows leave the estimate at the 2 windowed
-    # groups
+    # NULL event times never hold closable state, and Spark's window()
+    # grouping drops them natively (no null-window group) — this pins
+    # that engine behavior so 10 types seen ONLY on null-ts rows can
+    # never push the busiest-window floor toward all-time cardinality;
+    # if a Spark upgrade ever started keeping a null-window bucket,
+    # this assertion fails loudly and the estimator needs an explicit
+    # filter (r12 review: the filter itself is redundant today)
     nullts = _ts_type_frame(
         spark,
         [("2024-01-01 00:00:00", "a"), ("2024-01-01 00:00:00", "b")]
@@ -1524,3 +1526,103 @@ def test_cli_state_partitions_parser():
             pr.parse_args(
                 ["rollup", "--table-dir", "t", "--expected-open-groups", bad]
             )
+
+
+def test_writer_p_guard_enforces_format_boundary(spark, tmp_path):
+    """r12 review: the two components that PERSIST rollup rows enforce
+    the p format boundary. The stage-1 state schema is identical at
+    every p, so Spark's own checkpoint validation would pass a
+    mismatched restart silently and corrupt sketches — the guard
+    derives the table's precision from its own rows instead."""
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    pdf = pd.DataFrame(FILE_A, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    table = str(tmp_path / "table")
+    backfill_rollup(ev, table, replace_all=True, p=8)
+
+    # incremental backfill at a disagreeing p raises before writing
+    with pytest.raises(ValueError, match="p is part of the table format"):
+        backfill_rollup(ev, table)  # default p=12 vs the table's 8
+    # the same p passes, and replace_all=True at a NEW p is exempt —
+    # the static overwrite IS the sanctioned boundary crossing
+    backfill_rollup(ev, table, p=8)
+    backfill_rollup(ev, table, replace_all=True)  # rebuild at p=12
+    assert rollup_mod.sketch_p_of(rollup_mod._read_table(spark, table)) == 12
+
+    # the maintainer refuses to start against the p=12 table at p=8
+    src = tmp_path / "src"
+    src.mkdir()
+    _land(src, "a.parquet", FILE_A)
+    with pytest.raises(ValueError, match="p is part of the table format"):
+        start_rollup_maintenance(
+            _events_stream(spark, src),
+            table,
+            str(tmp_path / "ckpt"),
+            watermark="30 minutes",
+            p=8,
+        )
+    # matching p starts fine (and a FRESH table needs no guard at all)
+    q = start_rollup_maintenance(
+        _events_stream(spark, src),
+        str(tmp_path / "fresh_table"),
+        str(tmp_path / "fresh_ckpt"),
+        watermark="30 minutes",
+        p=8,
+    )
+    q.awaitTermination(180)
+
+
+def test_empty_table_dir_reads_as_zero_rows(spark, tmp_path):
+    """r12 review: a sink with metadata/no data files (a pass that
+    closed zero windows) or an empty dir is 0 rows with the canonical
+    schema, not an UNABLE_TO_INFER_SCHEMA traceback — while a MISSING
+    path still raises (returning empty there would fail open on a
+    typo'd path)."""
+    from pyspark.errors import AnalysisException
+
+    from video_stream_processor_spark.streaming import (
+        compact_rollup,
+        read_rollup_tiered,
+    )
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    empty = tmp_path / "empty_live"
+    empty.mkdir()
+    df = rollup_mod._read_table(spark, str(empty))
+    assert df.count() == 0
+    assert df.schema == spark.createDataFrame(
+        [], schema=rollup_mod.ROLLUP_SCHEMA
+    ).schema
+
+    # compaction over the empty live dir returns the (absent) old mark
+    # instead of crashing; no manifest is written
+    base = tmp_path / "base"
+    assert compact_rollup(spark, str(empty), str(base)) is None
+    assert rollup_mod._read_manifest(str(base)) is None
+    # the tiered read serves 0 rows (manifest-less: live IS the table)
+    assert read_rollup_tiered(spark, str(empty), str(base)).count() == 0
+
+    with pytest.raises(AnalysisException):
+        rollup_mod._read_table(spark, str(tmp_path / "does_not_exist"))
+
+
+def test_migrate_rollup_refuses_remote_old_tiers(spark, tmp_path):
+    """r12 review: the old-tier deletes are load-bearing (an old-format
+    live dir has no manifest guard and stays silently readable), so a
+    remote URI old tier raises UP FRONT — before any backfill work —
+    instead of shutil.rmtree silently no-opping on a path it cannot
+    see."""
+    import os
+
+    from video_stream_processor_spark.streaming import migrate_rollup
+
+    pdf = pd.DataFrame(FILE_A, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    new_live = str(tmp_path / "new_live")
+    with pytest.raises(ValueError, match="remote URI"):
+        migrate_rollup(ev, new_live, old_base_dir="s3a://bucket/rollup_base")
+    # raised before the backfill ran — nothing was written
+    assert not os.path.exists(new_live)

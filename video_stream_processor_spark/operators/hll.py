@@ -128,15 +128,32 @@ def merge_registers_agg(regs: str, p: int = DEFAULT_P) -> Column:
     max) — how a coarser rollup tier derives its sketch from a finer
     one without rescanning facts. Idempotent and order-independent,
     so re-running a derivation converges byte-identically. Raises on
-    a size-mismatched input array (wrong ``p``) instead of silently
-    merging padding — see `_checked_registers`."""
+    a size-mismatched input array (wrong ``p``) — see
+    `_checked_registers` — and on a NULL input sketch: collect_list
+    silently SKIPS null arrays (probe-verified on this build), so the
+    per-element check alone would let a NULL-sketch row's events and
+    cents into the coarse row while its users silently vanish from
+    the merged sketch (r12 review); the null count is detected at the
+    aggregate level instead."""
     m = 1 << p
-    return F.aggregate(
+    merged = F.aggregate(
         F.collect_list(regs),
         F.expr(f"array_repeat(cast(0 as tinyint), {m})"),
         lambda acc, x: F.zip_with(
             acc, _checked_registers(x, p), lambda a, b: F.greatest(a, b)
         ),
+    )
+    return F.when(F.count(regs) == F.count(F.lit(1)), merged).otherwise(
+        F.raise_error(
+            F.concat(
+                (F.count(F.lit(1)) - F.count(regs)).cast("string"),
+                F.lit(
+                    " NULL sketch(es) in an hll merge group — rollup "
+                    "writers always emit a sketch; NULL means format "
+                    "drift (operators/hll.py)"
+                ),
+            )
+        )
     )
 
 

@@ -391,12 +391,12 @@ def estimate_open_groups(
     differently-shaped frame fails loudly here instead of silently
     estimating the wrong column's concurrency (r11 verdict item 7).
     NULL group values count — a NULL group holds state like any other,
-    and groupBy keeps the NULL key natively. NULL event times do NOT:
-    a row without an event time never enters a window and never holds
-    closable state, and the null-window bucket groupBy would otherwise
-    keep could push the busiest-window floor back up to all-time
-    cardinality — the exact over-sizing this form removes (r12
-    review).
+    and groupBy keeps the NULL key natively. NULL event times do NOT
+    count, and need no filter: Spark's ``window()`` grouping drops
+    null-event-time rows natively (probe-verified on this build — no
+    null-window group is produced), matching the streaming semantics
+    where such rows never hold closable state; the test suite pins
+    that native behavior so an engine change would fail loudly.
 
     Use: ``start_rollup_maintenance(..., expected_open_groups=
     estimate_open_groups(spark.read.parquet(first_files), size, wm))``.
@@ -436,11 +436,10 @@ def estimate_open_groups(
         return col.cast("timestamp").cast("double")
 
     per_group = (
-        # null event times never enter a window or hold closable state;
-        # unfiltered they'd form a null-window bucket whose group count
-        # feeds the busiest-window floor (r12 review)
-        events.filter(F.col(ts_col).isNotNull())
-        .groupBy(F.window(ts_col, size).alias("_w"), F.col(group_col))
+        # null event times drop out of window() natively (no
+        # null-window group — probe-verified, pinned in tests), the
+        # same fate they meet in the streaming aggregation being sized
+        events.groupBy(F.window(ts_col, size).alias("_w"), F.col(group_col))
         .agg(F.min(_epoch(F.col(ts_col))).alias("_open"))
         .select(
             "_w",
@@ -532,7 +531,10 @@ def start_rollup_maintenance(
     bucket), so worst-case state rows per open (window, etype) are
     min(distinct users, 2^p). Changing p on an existing table needs a
     fresh checkpoint + full backfill at the new p — it is a format
-    boundary, and the state schema would not match anyway.
+    boundary, enforced by deriving the existing table's precision from
+    its own rows at start (`_check_writer_p`; the state SCHEMA is the
+    same at every p, so Spark's own checkpoint validation would pass a
+    mismatched restart silently — r12 review).
 
     ``state_partitions`` sizes the stateful shuffle (and therefore the
     number of state-store instances) for THIS query. Measured on this
@@ -623,6 +625,7 @@ def start_rollup_maintenance(
             )
     else:
         resolved = None
+    _check_writer_p(events_stream.sparkSession, table_dir, p)
     roll = rollup_stats(
         events_stream.withWatermark("ts", watermark), size, p=p
     )
@@ -645,6 +648,44 @@ def start_rollup_maintenance(
         return writer.start()
     finally:
         spark.conf.set(key, prev)
+
+
+def _check_writer_p(
+    spark: SparkSession, table_dir: str, p: int | None
+) -> None:
+    """Loud p guard for the two components that PERSIST rollup rows.
+
+    Every reader/deriver (compact_rollup, read_rollup_tiered,
+    coarsen_rollup) already treats a precision mismatch as a format
+    boundary, but the writers were unguarded, and the streaming
+    state-schema is NOT a backstop: stage-1 state rows are
+    (window, event_type, _b int, _n long, _c long, _r int) at every p,
+    so a maintainer restarted at a different p passes Spark's own
+    state validation and silently merges old-p buckets with new-p
+    rhos (r12 review). Derives the existing table's precision from
+    its own rows (`sketch_p_of`, one bounded limit-1 action on a
+    local-or-remote path — `spark.read` handles either) and raises on
+    disagreement. A table with no rows yet (fresh dir, or a sink that
+    has closed no window) leaves nothing to check — the residual
+    unguarded case is a restart at a new p before the FIRST window
+    ever closed, which only a checkpoint-state reader could catch."""
+    from pyspark.errors import AnalysisException
+
+    from ..operators import hll
+
+    try:
+        existing = sketch_p_of(_read_table(spark, table_dir))
+    except AnalysisException:
+        return  # no table dir yet: first start
+    want = hll.DEFAULT_P if p is None else int(p)
+    if existing is not None and existing != want:
+        raise ValueError(
+            f"rollup writer: requested sketch precision p={want} but the "
+            f"table at {table_dir!r} holds sketches written at "
+            f"p={existing}; p is part of the table format — changing it "
+            "needs a fresh checkpoint + full backfill(replace_all=True) "
+            "+ migrate_rollup (module docstring, 'Version boundary')"
+        )
 
 
 def backfill_rollup(
@@ -670,7 +711,15 @@ def backfill_rollup(
 
     ``upto_epoch`` bounds the backfill to windows that end at or
     before it — the handoff point to the live maintainer.
+
+    An incremental backfill (``replace_all=False``) into a table whose
+    rows carry a different sketch precision raises (`_check_writer_p`);
+    ``replace_all=True`` is exempt — the static overwrite replaces
+    every partition, which is exactly the sanctioned way to move a
+    table across the p format boundary.
     """
+    if not replace_all:
+        _check_writer_p(events_batch.sparkSession, table_dir, p)
     roll = rollup_stats(events_batch, size, p=p)
     if upto_epoch is not None:
         roll = roll.filter(F.col("win_end") <= F.lit(upto_epoch))
@@ -901,17 +950,25 @@ def _write_hwm(base_dir: str, hwm: int, p: int) -> None:
     import os
 
     os.makedirs(base_dir, exist_ok=True)
-    tmp = os.path.join(base_dir, f".{_HWM_FILE}.tmp")
-    with open(tmp, "w") as f:
-        json.dump(
-            {
-                "win_start_hwm": hwm,
-                "format_version": ROLLUP_FORMAT_VERSION,
-                "p": int(p),
-            },
-            f,
-        )
-    os.replace(tmp, os.path.join(base_dir, _HWM_FILE))
+    # per-process tmp name: two overlapping compaction passes sharing
+    # one fixed tmp path would interleave writes and os.replace could
+    # publish torn JSON as the manifest (r12 review) — with unique
+    # names each replace is atomic and last-writer-wins whole-file
+    tmp = os.path.join(base_dir, f".{_HWM_FILE}.{os.getpid()}.tmp")
+    try:
+        with open(tmp, "w") as f:
+            json.dump(
+                {
+                    "win_start_hwm": hwm,
+                    "format_version": ROLLUP_FORMAT_VERSION,
+                    "p": int(p),
+                },
+                f,
+            )
+        os.replace(tmp, os.path.join(base_dir, _HWM_FILE))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
 
 
 def _read_manifest(base_dir: str) -> dict | None:
@@ -994,10 +1051,33 @@ def upgrade_rollup_v3_to_v4(spark: SparkSession, base_dir: str) -> int:
     return derived
 
 
+#: The persisted rollup row schema (constant across p — precision only
+#: changes the register-array LENGTH, not the type). Used to serve a
+#: metadata-only sink as 0 rows: the first availableNow pass of a
+#: short-history source can close no window, leaving the live dir with
+#: a _spark_metadata log and no data files — a documented-normal state
+#: (cmd_rollup's count_table) that spark.read.parquet alone answers
+#: with an opaque UNABLE_TO_INFER_SCHEMA traceback (r12 review).
+ROLLUP_SCHEMA = (
+    "win_start long, win_end long, event_type string, n_events long, "
+    "sum_value double, n_users_approx long, n_users_sketch array<tinyint>"
+)
+
+
 def _read_table(spark: SparkSession, path: str) -> DataFrame:
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(path)
+    except AnalysisException as e:
+        # metadata-only sink (dir EXISTS, no committed data files):
+        # that is 0 rows, not a traceback. A missing/typo'd path still
+        # raises — returning empty there would fail open.
+        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return spark.createDataFrame([], schema=ROLLUP_SCHEMA)
+        raise
     # partition-dir values infer as int; normalize to long so live and
     # backfill frames union/join without implicit casts
-    df = spark.read.parquet(path)
     return df.withColumn("win_start", F.col("win_start").cast("long"))
 
 
@@ -1027,13 +1107,37 @@ def migrate_rollup(
     streaming state-schema incompatibility by design. A fresh dir
     (rather than overwriting the old live dir in place) because the
     file sink's ``_spark_metadata`` log would shadow batch-written
-    files on read."""
+    files on read.
+
+    The old-tier deletes are load-bearing (a surviving old-format live
+    dir stays silently readable with old semantics — live dirs carry
+    no manifest guard), so they run ONLY on local paths and propagate
+    real failures: on a remote URI this raises up front, before the
+    backfill, telling the operator to delete via their storage tooling
+    — a silent rmtree no-op there would report a successful migration
+    that left the old table serving (r12 review)."""
+    import os
     import shutil
 
-    backfill_rollup(events_batch, new_live_dir, size=size, replace_all=True)
+    old_dirs = []
     for d in (old_base_dir, old_live_dir):
-        if d is not None:
-            shutil.rmtree(d, ignore_errors=True)
+        if d is None:
+            continue
+        local = _local_checkpoint_path(d)
+        if local is None:
+            raise ValueError(
+                f"migrate_rollup: old tier {d!r} is a remote URI — this "
+                "local-FS helper cannot delete it, and leaving it would "
+                "keep an old-format table silently serving. Delete it "
+                "with your storage tooling, then re-run with that "
+                "argument omitted"
+            )
+        old_dirs.append(local)
+
+    backfill_rollup(events_batch, new_live_dir, size=size, replace_all=True)
+    for local in old_dirs:
+        if os.path.exists(local):
+            shutil.rmtree(local)
 
 
 def read_rollup(
