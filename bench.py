@@ -234,7 +234,13 @@ LEG_ROLES = {
     ),
     "rollup_maintain_serve_v2_auto_est": (
         "shipped default + data-estimated open groups "
-        "(estimate_open_groups pre-scan in setup)"
+        "(estimate_open_groups pre-scan in setup). Sizing rationale "
+        "(r13 store-count sweep, SCALE.md): the derived 6 stores sit "
+        "ON the wall-optimal 6-8 plateau (spreads overlap) at 0.57x "
+        "the static default's state-commit I/O — the fsync axis that "
+        "dominates at scale with remote checkpoints; wall deltas vs "
+        "_auto are the setup pre-scan (classified separately) + "
+        "machine fsync modes"
     ),
 }
 

@@ -1,0 +1,101 @@
+#!/usr/bin/env python
+"""Store-count sweep for the rollup maintainer's state sizing (r12
+verdict item 1): measure maintain WALL and state-commit I/O as a
+function of the state-store count at fixed data (the bench fixture's
+staged 4-file events source at $SPARK_GRAFT_SF_DIR), so the
+wall-vs-commit-I/O trade the auto_est estimator navigates is a
+MEASURED curve, not an inference from cross-round artifacts.
+
+Why this exists: the occupancy estimator (`estimate_open_groups`)
+derives 6 stores on the bench fixture where the static default is 8 —
+halving state-commit I/O (the fsync axis) but showing a consistently
+slower total wall in all three r12-era artifacts. The curve this
+script prints decides whether that trade is real (a U-shaped wall with
+its minimum above the commit-I/O minimum) and where the wall-optimal
+count sits for THIS machine's fsync regime.
+
+Method per store count: one warm lifecycle pass (codegen/JIT + source
+staging via bench's memo), then N timed passes (default 3) of the full
+lifecycle (maintain + compact + serve noop write — bench.py's exact
+timed unit, same builder); the median pass's phase decomposition and
+summed state-store commitTimeMs are recorded next to the wall median.
+
+Usage: python scripts/rollup_sizing_sweep.py [stores ...]
+       (default sweep: 4 6 8 12 16)
+Prints one JSON line per store count plus a final summary line; the
+curated table lands in SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+import bench  # noqa: E402  (the bench builders ARE the measured unit)
+
+
+def run_once(spark, sf_dir: str, stores: int) -> dict:
+    t0 = time.perf_counter()
+    df = bench._rollup_maintain_serve(spark, sf_dir, state_partitions=stores)
+    df.write.format("noop").mode("overwrite").save()
+    wall = round(time.perf_counter() - t0, 3)
+    phases = dict(bench._ROLLUP_PHASES)
+    eager = round(sum(phases.values()), 3)
+    phases["serve"] = round(max(wall - eager, 0.0), 3)
+    return {
+        "wall": wall,
+        "commit_io_s": bench._ROLLUP_COMMIT_S[0],
+        "observed_stores": bench._ROLLUP_SIZING[0][0],
+        **phases,
+    }
+
+
+def main() -> None:
+    sweep = [int(a) for a in sys.argv[1:]] or [4, 6, 8, 12, 16]
+    n_timed = int(os.environ.get("SWEEP_PASSES", "3"))
+    load_1m, comparable = bench._await_quiet_machine()
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    from video_stream_processor_spark.session import get_spark
+
+    spark = get_spark(app_name="vsp-sizing-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    results: dict[int, dict] = {}
+    for stores in sweep:
+        run_once(spark, sf_dir, stores)  # warm (also stages the source)
+        passes = [run_once(spark, sf_dir, stores) for _ in range(n_timed)]
+        med = sorted(passes, key=lambda r: r["wall"])[len(passes) // 2]
+        med["spread"] = {
+            "min": min(r["wall"] for r in passes),
+            "max": max(r["wall"] for r in passes),
+        }
+        results[stores] = med
+        print(json.dumps({"stores": stores, **med}), flush=True)
+
+    by_wall = min(results, key=lambda s: results[s]["wall"])
+    by_cio = min(results, key=lambda s: results[s]["commit_io_s"])
+    print(
+        json.dumps(
+            {
+                "metric": "rollup_sizing_sweep",
+                "sf_dir": sf_dir,
+                "timed_passes": n_timed,
+                "load_1m": load_1m,
+                "comparable": comparable,
+                "wall_optimal_stores": by_wall,
+                "commit_io_optimal_stores": by_cio,
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()

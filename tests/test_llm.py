@@ -1841,3 +1841,41 @@ def test_bpe_vocab_collect_is_capped(docs):
     m1 = bpe_train(docs, n_merges=8, max_vocab=50)
     m2 = bpe_train(docs, n_merges=8, max_vocab=50)
     assert m1 == m2 and len(m1) > 0
+
+
+def test_bpe_max_vocab_truncates_before_collect(docs, spark):
+    """r12 verdict item 7: ``max_vocab`` is load-bearing for the
+    "driver collect bounded by construction" claim — the cap must land
+    in the PLAN (orderBy + limit ahead of the collect), truncating to
+    the most frequent words with a deterministic tie-break, so an
+    over-cap corpus can never ship its full vocabulary to the driver."""
+    from video_stream_processor_spark.llm.text import (
+        bpe_train,
+        bpe_word_frequencies,
+    )
+
+    full = bpe_word_frequencies(docs)
+    n_words = full.count()
+    assert n_words > 16, "fixture corpus too small to exercise the cap"
+
+    cap = 16
+    capped = bpe_word_frequencies(docs, max_vocab=cap)
+    rows = capped.collect()  # what bpe_train would collect
+    assert len(rows) == cap
+    # the kept words are exactly the global top-cap by (count desc,
+    # word asc) — the deterministic trainer ordering
+    want = [
+        (r["w"], r["count"])
+        for r in full.orderBy(
+            F.col("count").desc(), F.col("w").asc()
+        ).limit(cap).collect()
+    ]
+    assert sorted((r["w"], r["count"]) for r in rows) == sorted(want)
+    # the plan itself carries the bound: a GlobalLimit below the collect
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert "GlobalLimit" in plan or "Limit" in plan
+
+    # end to end: training over the capped vocab still yields merges
+    # and runs the same bounded collect
+    merges = bpe_train(docs, n_merges=4, max_vocab=cap)
+    assert isinstance(merges, list)

@@ -1131,23 +1131,33 @@ def test_maintenance_state_partitions_sized_equals_default(spark, tmp_path):
 
 def test_derived_state_partitions_formula(spark):
     """The volume-derived sizing is the 2^p state bound over the
-    per-store row target, capped at the session's shuffle parallelism
-    — it only ever sizes thin state DOWN, never past the configured
-    width."""
+    per-store row target, floored at the measured wall floor (r13
+    sizing sweep: 4 stores cost +29% wall over the 6-8 plateau for
+    <2 s of commit-I/O savings) and capped at the session's shuffle
+    parallelism — it only ever sizes thin state DOWN, never past the
+    configured width."""
     from video_stream_processor_spark.streaming.rollup import (
+        MIN_DERIVED_STATE_STORES,
         derived_state_partitions,
     )
 
+    assert MIN_DERIVED_STATE_STORES == 6  # SCALE.md r13 sweep provenance
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
     try:
         spark.conf.set(key, "32")
         # default p=12, 8 open groups, 4096 rows/store: 8*4096/4096 = 8
         assert derived_state_partitions(spark) == 8
-        # p=8 shrinks the bound 16x: ceil(8*256/4096) = 1
-        assert derived_state_partitions(spark, p=8) == 1
+        # p=8 shrinks the bound 16x: ceil(8*256/4096) = 1, floored at 6
+        assert derived_state_partitions(spark, p=8) == 6
+        # the raw bound is reachable by lowering the floor explicitly
+        assert derived_state_partitions(spark, p=8, min_stores=1) == 1
         # many open groups derive back up, capped at the session width
         assert derived_state_partitions(spark, expected_open_groups=64) == 32
+        # a session configured BELOW the floor wins over the floor: the
+        # derivation never sizes past the cluster's configured width
+        spark.conf.set(key, "4")
+        assert derived_state_partitions(spark, p=8) == 4
     finally:
         spark.conf.set(key, prev)
 
@@ -1305,7 +1315,8 @@ def test_auto_sizing_from_estimated_open_groups(spark, tmp_path):
         spark.conf.set(key, "32")
         # what a human sizing by the 2^p state bound would compute
         hand = derived_state_partitions(spark, p=8, expected_open_groups=est)
-        assert hand == 1  # ceil(12 * 2^8 / 4096), below the cap
+        # ceil(12 * 2^8 / 4096) = 1, floored at the measured wall floor
+        assert hand == 6
         live, ckpt = str(tmp_path / "live"), str(tmp_path / "ckpt")
         q = start_rollup_maintenance(
             _events_stream(spark, src),
@@ -1626,3 +1637,154 @@ def test_migrate_rollup_refuses_remote_old_tiers(spark, tmp_path):
         migrate_rollup(ev, new_live, old_base_dir="s3a://bucket/rollup_base")
     # raised before the backfill ran — nothing was written
     assert not os.path.exists(new_live)
+
+
+def test_writer_p_stamp_guards_empty_sink_restart(spark, tmp_path):
+    """r12 verdict item 4: the row-derived p guard has a structural
+    gap — a maintainer restarted at a new p before the FIRST window
+    ever closed finds no rows to derive from. The writer stamp closes
+    it: p is declared the moment a writer claims the dir. One landed
+    file advances no watermark (the first availableNow batch computes
+    at the initial watermark), so the drain closes zero windows — the
+    exact empty-sink state the stamp exists for."""
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    src = tmp_path / "src"
+    src.mkdir()
+    _land(src, "a.parquet", FILE_A)
+    table = str(tmp_path / "table")
+    q = start_rollup_maintenance(
+        _events_stream(spark, src),
+        table,
+        str(tmp_path / "ckpt1"),
+        watermark="30 minutes",
+        p=12,
+    )
+    assert q.awaitTermination(180)
+    # precondition of the scenario: the sink really is row-empty (the
+    # single trigger ran at the initial watermark, closing nothing), so
+    # the pre-r13 rows-only guard would have found nothing to check
+    assert rollup_mod._read_table(spark, table).count() == 0
+    assert rollup_mod.sketch_p_of(rollup_mod._read_table(spark, table)) is None
+    assert rollup_mod._read_writer_p(table) == 12
+
+    # restart at a different p on a fresh checkpoint: caught by the
+    # stamp even though no row exists
+    with pytest.raises(ValueError, match="writer stamp"):
+        start_rollup_maintenance(
+            _events_stream(spark, src),
+            table,
+            str(tmp_path / "ckpt2"),
+            watermark="30 minutes",
+            p=14,
+        )
+    # same p restarts fine on the empty sink
+    q = start_rollup_maintenance(
+        _events_stream(spark, src),
+        table,
+        str(tmp_path / "ckpt1"),
+        watermark="30 minutes",
+        p=12,
+    )
+    assert q.awaitTermination(180)
+    # an incremental backfill at a new p is caught by the stamp too;
+    # replace_all (the sanctioned boundary crossing) re-claims the dir
+    pdf = pd.DataFrame(FILE_A, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    with pytest.raises(ValueError, match="writer stamp"):
+        backfill_rollup(ev, table, p=8)
+    backfill_rollup(ev, table, replace_all=True, p=8)
+    assert rollup_mod._read_writer_p(table) == 8
+
+
+def test_check_writer_p_reraises_non_missing_analysis_errors(spark, tmp_path):
+    """r12 advisor: the guard used to treat ANY AnalysisException as
+    'no table dir yet' and skip — a table whose files exist but fail
+    analysis (n_users_sketch missing/renamed, the exact format-drift
+    class the guard targets) silently disabled the p check, failing
+    open. Only a genuinely missing path reads as first start now."""
+    from pyspark.errors import AnalysisException
+
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    # a missing path is a first start: no error, no stamp required
+    rollup_mod._check_writer_p(spark, str(tmp_path / "nope"), p=None)
+
+    # a dir holding parquet that is NOT rollup-shaped (no
+    # n_users_sketch) must raise, not silently skip the guard
+    drifted = str(tmp_path / "drifted")
+    spark.range(3).withColumnRenamed("id", "win_start").write.parquet(drifted)
+    with pytest.raises(AnalysisException):
+        rollup_mod._check_writer_p(spark, drifted, p=None)
+
+
+def test_rollup_schema_constant_matches_builder(spark):
+    """r12 advisor: ROLLUP_SCHEMA (the empty-sink fallback frame) is a
+    hand-maintained twin of rollup_stats' output schema; a column
+    change to the builder must fail here loudly instead of silently
+    desynchronizing the fallback (unionByName would then raise — or a
+    renamed column could slip through)."""
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    pdf = pd.DataFrame(FILE_A, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    built = rollup_stats(ev, "1 hour").schema
+    const = spark.createDataFrame([], schema=rollup_mod.ROLLUP_SCHEMA).schema
+    assert [(f.name, f.dataType.simpleString()) for f in const.fields] == [
+        (f.name, f.dataType.simpleString()) for f in built.fields
+    ]
+
+
+def test_manifest_writers_are_atomic_under_same_pid_concurrency(tmp_path):
+    """r12 advisor: the old pid-suffixed tmp name only de-conflicted
+    cross-PROCESS compaction passes; two threads sharing one session
+    (same pid) could interleave on one tmp path and publish torn JSON.
+    mkstemp makes the tmp unique per WRITER: a reader racing two
+    writing threads must only ever see a whole manifest."""
+    import threading
+
+    from video_stream_processor_spark.streaming import rollup as rollup_mod
+
+    base = str(tmp_path / "base")
+    rollup_mod._write_hwm(base, 0, p=12)  # seed so the reader never 404s
+    stop = threading.Event()
+    errors: list[BaseException] = []
+
+    def writer(hwm0: int):
+        try:
+            for i in range(40):
+                rollup_mod._write_hwm(base, hwm0 + i, p=12)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    def reader():
+        try:
+            while not stop.is_set():
+                m = rollup_mod._read_manifest(base)
+                assert m is not None and isinstance(m["win_start_hwm"], int)
+        except BaseException as e:  # noqa: BLE001 - surfaced below
+            errors.append(e)
+
+    threads = [
+        threading.Thread(target=writer, args=(1000,)),
+        threading.Thread(target=writer, args=(2000,)),
+        threading.Thread(target=reader),
+    ]
+    for t in threads[:2]:
+        t.start()
+    threads[2].start()
+    for t in threads[:2]:
+        t.join()
+    stop.set()
+    threads[2].join()
+    assert not errors, errors
+    final = rollup_mod._read_manifest(base)
+    assert final["win_start_hwm"] in set(range(1000, 1040)) | set(
+        range(2000, 2040)
+    )
+    # no orphaned tmp files survive a clean run
+    import os
+
+    assert [n for n in os.listdir(base) if n.endswith(".tmp")] == []

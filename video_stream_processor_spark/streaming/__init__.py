@@ -19,6 +19,7 @@ from .analytics import (  # noqa: F401
     windowed_to_flat,
 )
 from .rollup import (  # noqa: F401
+    MIN_DERIVED_STATE_STORES,
     backfill_rollup,
     coarsen_rollup,
     compact_rollup,

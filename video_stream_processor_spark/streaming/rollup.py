@@ -466,11 +466,27 @@ def estimate_open_groups(
     return max(math.ceil(avg), int(row["peak"]))
 
 
+#: Wall floor for the derived store count (r12 verdict item 1, settled
+#: with data in round 13): the store-count sweep at fixed bench data
+#: (`scripts/rollup_sizing_sweep.py`, SCALE.md r13 table) measured a
+#: U-shaped wall — 4 stores cost +29% wall over the 6-8 plateau
+#: (maintain 11.4 s vs 9.0 s) while saving under 2 s of commit I/O,
+#: because below the plateau the per-trigger drain loses task
+#: parallelism faster than thin-store fsyncs get cheaper. Above the
+#: plateau the fsync axis takes over (12 stores: +12% wall at 2.8x the
+#: commit I/O; 16: +24% at 6.5x). The occupancy estimate's job is the
+#: HIGH side (don't pay 32 session-default stores for 6 open groups);
+#: this floor guards the LOW side for thin-estimate workloads. A
+#: measured machine-class default, overridable per call.
+MIN_DERIVED_STATE_STORES = 6
+
+
 def derived_state_partitions(
     spark: SparkSession,
     p: int | None = None,
     expected_open_groups: int = 8,
     target_rows_per_store: int = 4096,
+    min_stores: int = MIN_DERIVED_STATE_STORES,
 ) -> int:
     """Volume-derived stateful-shuffle sizing for the rollup
     maintainer, from the one state bound this format guarantees:
@@ -487,10 +503,14 @@ def derived_state_partitions(
     addBatch at 32 stores over ~25k-row triggers; sizing to 8 cut
     summed commit I/O ~20x). So: enough partitions that each store
     stays under ``target_rows_per_store`` state rows, and no more,
-    capped at the session's shuffle parallelism (a 1000-executor
-    cluster with many open groups derives right back up to its
-    configured width — the cap keeps this a sizing-down of thin state,
-    never a sizing-up past the cluster's configured parallelism).
+    floored at ``min_stores`` (`MIN_DERIVED_STATE_STORES` — the
+    measured LOW side of the wall curve, where per-trigger drain
+    parallelism loss outruns the marginal fsync savings) and capped at
+    the session's shuffle parallelism (a 1000-executor cluster with
+    many open groups derives right back up to its configured width —
+    the cap keeps this a sizing-down of thin state, never a sizing-up
+    past the cluster's configured parallelism; a session configured
+    BELOW the floor wins over the floor for the same reason).
     """
     import math
 
@@ -501,7 +521,7 @@ def derived_state_partitions(
     )
     derived = max(1, math.ceil(bound / max(1, int(target_rows_per_store))))
     session = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    return min(derived, session)
+    return min(max(derived, int(min_stores)), session)
 
 
 def start_rollup_maintenance(
@@ -626,6 +646,10 @@ def start_rollup_maintenance(
     else:
         resolved = None
     _check_writer_p(events_stream.sparkSession, table_dir, p)
+    # claim the dir at this p BEFORE the stream starts: a restart at a
+    # different p before the first window ever closes now hits the
+    # stamp (r12 verdict item 4 — rows alone can't guard an empty sink)
+    _stamp_writer_p(table_dir, p)
     roll = rollup_stats(
         events_stream.withWatermark("ts", watermark), size, p=p
     )
@@ -662,22 +686,45 @@ def _check_writer_p(
     (window, event_type, _b int, _n long, _c long, _r int) at every p,
     so a maintainer restarted at a different p passes Spark's own
     state validation and silently merges old-p buckets with new-p
-    rhos (r12 review). Derives the existing table's precision from
-    its own rows (`sketch_p_of`, one bounded limit-1 action on a
-    local-or-remote path — `spark.read` handles either) and raises on
-    disagreement. A table with no rows yet (fresh dir, or a sink that
-    has closed no window) leaves nothing to check — the residual
-    unguarded case is a restart at a new p before the FIRST window
-    ever closed, which only a checkpoint-state reader could catch."""
+    rhos (r12 review). Two layers, each covering the other's gap:
+
+    * the WRITER STAMP (`_read_writer_p`, local dirs) — declared at
+      the moment a writer first claims the dir, so a restart at a new
+      p before the FIRST window ever closed is caught (r12 verdict
+      item 4: the row-derived form alone slipped there, because an
+      empty sink leaves no rows to derive from);
+    * the ROWS themselves (`sketch_p_of`, one bounded limit-1 action
+      on a local-or-remote path — `spark.read` handles either) — the
+      backstop for pre-stamp tables, remote URIs, and a stamp that
+      somehow diverged from the data.
+
+    Only a genuinely MISSING table path reads as "first start"; any
+    other analysis failure (e.g. ``n_users_sketch`` missing/renamed —
+    the exact format-drift class this guard targets) re-raises instead
+    of silently disabling the check (r12 advisor: a blanket
+    AnalysisException catch failed open)."""
     from pyspark.errors import AnalysisException
 
     from ..operators import hll
 
+    want = hll.DEFAULT_P if p is None else int(p)
+    stamped = _read_writer_p(table_dir)
+    if stamped is not None and stamped != want:
+        raise ValueError(
+            f"rollup writer: requested sketch precision p={want} but the "
+            f"dir at {table_dir!r} was claimed by a writer at p={stamped} "
+            "(writer stamp); p is part of the table format — changing it "
+            "needs a fresh checkpoint + full backfill(replace_all=True) "
+            "+ migrate_rollup (module docstring, 'Version boundary')"
+        )
     try:
         existing = sketch_p_of(_read_table(spark, table_dir))
-    except AnalysisException:
-        return  # no table dir yet: first start
-    want = hll.DEFAULT_P if p is None else int(p)
+    except AnalysisException as e:
+        klass = getattr(e, "getCondition", getattr(e, "getErrorClass", None))
+        name = klass() if callable(klass) else None
+        if name == "PATH_NOT_FOUND" or "PATH_NOT_FOUND" in str(e):
+            return  # no table dir yet: first start
+        raise  # format drift / storage error: failing open hides it
     if existing is not None and existing != want:
         raise ValueError(
             f"rollup writer: requested sketch precision p={want} but the "
@@ -731,6 +778,10 @@ def backfill_rollup(
         .partitionBy("win_start")
         .parquet(table_dir)
     )
+    # stamp AFTER the write: a ``replace_all`` static overwrite clears
+    # the whole table dir (including a previous stamp — which is
+    # correct: crossing the p boundary re-claims the dir at the new p)
+    _stamp_writer_p(table_dir, p)
 
 
 def compact_rollup(
@@ -928,6 +979,15 @@ def read_rollup_tiered(
 
 _HWM_FILE = "_rollup_hwm.json"  # leading underscore: invisible to scans
 
+#: Writer-side precision stamp, written into the LIVE table dir at
+#: maintainer/backfill start (r12 verdict item 4). The row-derived
+#: guard (`sketch_p_of`) has one structural gap: a maintainer
+#: restarted at a new p before the FIRST window ever closed finds no
+#: rows to derive from and slips through. The stamp closes it — p is
+#: declared the moment a writer claims the dir, not only once data
+#: lands. Leading underscore: invisible to parquet scans.
+_WRITER_FILE = "_rollup_writer.json"
+
 #: Persisted-row semantics version (module docstring, "Version
 #: boundary"). 4 = identical row bytes to 3, but the manifest is
 #: self-describing on the sketch precision ``p`` (round 9 — readers
@@ -945,30 +1005,90 @@ _HWM_FILE = "_rollup_hwm.json"  # leading underscore: invisible to scans
 ROLLUP_FORMAT_VERSION = 4
 
 
-def _write_hwm(base_dir: str, hwm: int, p: int) -> None:
+def _atomic_write_json(dir_path: str, name: str, payload: dict) -> None:
+    """Write ``payload`` as ``dir_path/name`` via a per-WRITER unique
+    tmp + os.replace. mkstemp (not a pid-suffixed fixed name) because
+    two threads sharing one SparkSession share a pid: a pid-based tmp
+    only de-conflicts cross-process writers, and two same-process
+    compaction passes interleaving on one tmp path could publish torn
+    JSON (r12 advisor). mkstemp is unique per call, so each replace is
+    atomic and last-writer-wins whole-file."""
     import json
     import os
+    import tempfile
 
-    os.makedirs(base_dir, exist_ok=True)
-    # per-process tmp name: two overlapping compaction passes sharing
-    # one fixed tmp path would interleave writes and os.replace could
-    # publish torn JSON as the manifest (r12 review) — with unique
-    # names each replace is atomic and last-writer-wins whole-file
-    tmp = os.path.join(base_dir, f".{_HWM_FILE}.{os.getpid()}.tmp")
+    os.makedirs(dir_path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(prefix=f".{name}.", suffix=".tmp", dir=dir_path)
     try:
-        with open(tmp, "w") as f:
-            json.dump(
-                {
-                    "win_start_hwm": hwm,
-                    "format_version": ROLLUP_FORMAT_VERSION,
-                    "p": int(p),
-                },
-                f,
-            )
-        os.replace(tmp, os.path.join(base_dir, _HWM_FILE))
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, os.path.join(dir_path, name))
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def _write_hwm(base_dir: str, hwm: int, p: int) -> None:
+    _atomic_write_json(
+        base_dir,
+        _HWM_FILE,
+        {
+            "win_start_hwm": hwm,
+            "format_version": ROLLUP_FORMAT_VERSION,
+            "p": int(p),
+        },
+    )
+
+
+def _stamp_writer_p(table_dir: str, p: int | None) -> None:
+    """Declare the sketch precision a writer is about to use for
+    ``table_dir`` (see `_WRITER_FILE`). Local-FS only, like the rest of
+    this module's manifest machinery: on a remote URI the stamp is
+    skipped and the row-derived guard remains the (gapped-at-first-
+    window) backstop — the same graceful degradation as the
+    state_partitions checkpoint guard."""
+    from ..operators import hll
+
+    local = _local_checkpoint_path(table_dir)
+    if local is None:
+        return
+    _atomic_write_json(
+        local,
+        _WRITER_FILE,
+        {
+            "p": hll.DEFAULT_P if p is None else int(p),
+            "format_version": ROLLUP_FORMAT_VERSION,
+        },
+    )
+
+
+def _read_writer_p(table_dir: str) -> int | None:
+    """The precision a previous writer declared for ``table_dir``, or
+    None when no stamp exists (pre-r13 table, remote URI, or a dir no
+    writer has claimed yet). A stamp from another format version raises
+    like `_read_manifest` — mixing semantics across the boundary is the
+    failure this machinery exists to prevent."""
+    import json
+    import os
+
+    local = _local_checkpoint_path(table_dir)
+    if local is None:
+        return None
+    path = os.path.join(local, _WRITER_FILE)
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        stamp = json.load(f)
+    found = stamp.get("format_version", 1)
+    if found != ROLLUP_FORMAT_VERSION:
+        raise ValueError(
+            f"rollup live dir at {table_dir} was claimed by a writer at "
+            f"format version {found}, this code writes version "
+            f"{ROLLUP_FORMAT_VERSION}; writing across the boundary would "
+            "mix aggregation semantics (module docstring, 'Version "
+            "boundary')"
+        )
+    return int(stamp["p"])
 
 
 def _read_manifest(base_dir: str) -> dict | None:
@@ -1072,8 +1192,21 @@ def _read_table(spark: SparkSession, path: str) -> DataFrame:
     except AnalysisException as e:
         # metadata-only sink (dir EXISTS, no committed data files):
         # that is 0 rows, not a traceback. A missing/typo'd path still
-        # raises — returning empty there would fail open.
-        if "UNABLE_TO_INFER_SCHEMA" in str(e):
+        # raises — returning empty there would fail open. Probe-
+        # measured on this build the state arrives under TWO error
+        # shapes: an empty/stamp-only dir raises UNABLE_TO_INFER_SCHEMA
+        # (bracketed error class in the message), but the REAL
+        # zero-windows-closed sink (dir with a _spark_metadata log
+        # listing no committed files) raises the unbracketed legacy
+        # form "Unable to infer schema for Parquet at ." — the r12 fix
+        # matched only the first and missed the exact documented-normal
+        # state it was written for (r13 review).
+        klass = getattr(e, "getCondition", getattr(e, "getErrorClass", None))
+        name = klass() if callable(klass) else None
+        if (
+            name == "UNABLE_TO_INFER_SCHEMA"
+            or "unable to infer schema" in str(e).lower()
+        ):
             return spark.createDataFrame([], schema=ROLLUP_SCHEMA)
         raise
     # partition-dir values infer as int; normalize to long so live and
