@@ -42,8 +42,15 @@ each shared query's median delta as
   * ``fsync-regime`` — a lifecycle leg whose wall moved WITH its
                        summed state-commit I/O (the designed signature
                        of a machine fsync-latency mode);
-  * ``code``         — wall moved beyond all of the above while
-                       commit I/O stayed flat / the mix didn't move.
+  * ``setup``        — (r13, lifecycle legs with per-phase blocks on
+                       both sides) the wall delta lives in the SETUP
+                       phase (estimator pre-scan, staging) while the
+                       core (maintain+compact+serve) stayed inside the
+                       floors — the r12 auto_est `code` flags lumped a
+                       0.5-0.7 s pre-scan into one wall number;
+  * ``code``         — wall (core wall, when phases are present)
+                       moved beyond all of the above while commit I/O
+                       stayed flat / the mix didn't move.
 
 The classification is printed, not gated: cross-round deltas measure
 the machine as much as the code (same-head repeats on this box are
@@ -191,11 +198,12 @@ def classify_cross_round(prev: dict, curr: dict):
     pq, cq = prev.get("queries") or {}, curr.get("queries") or {}
     ps, cs = prev.get("spread") or {}, curr.get("spread") or {}
     pcio, ccio = prev.get("commit_io_s") or {}, curr.get("commit_io_s") or {}
+    pph, cph = prev.get("phases") or {}, curr.get("phases") or {}
     shared = sorted(set(pq) & set(cq))
     rel = {n: (cq[n] - pq[n]) / pq[n] for n in shared if pq[n] > 0}
     mix_shift = statistics.median(rel.values()) if rel else 0.0
     rows = []
-    counts = {"noise": 0, "fsync-regime": 0, "code": 0}
+    counts = {"noise": 0, "fsync-regime": 0, "setup": 0, "code": 0}
     for n in shared:
         if pq[n] <= 0:
             # a sub-0.5ms query rounds to med 0.000 at bench.py's
@@ -239,6 +247,7 @@ def classify_cross_round(prev: dict, curr: dict):
             spreads_overlap = False
             overlap_why = ""
         residual = d - mix_shift
+        phase_attributed = False
         if spreads_overlap:
             cls, why = "noise", overlap_why
         elif n in pcio and n in ccio:
@@ -248,7 +257,60 @@ def classify_cross_round(prev: dict, curr: dict):
             # wall moved past the floor
             d_wall = cq[n] - pq[n]
             d_cio = ccio[n] - pcio[n]
-            if abs(d) <= NOISE_FLOOR:
+            php, phc = pph.get(n) or {}, cph.get(n) or {}
+            if "setup" in php and "setup" in phc:
+                # r12 verdict item 5: the artifact carries per-phase
+                # walls — attribute on the CORE (maintain+compact+
+                # serve) and report the setup phase (estimator
+                # pre-scan, staging) separately instead of lumping it
+                # into one wall number; commit I/O overlaps maintain
+                # only, so it is the core's signature axis
+                phase_attributed = True
+                d_setup = phc["setup"] - php["setup"]
+                d_core = d_wall - d_setup
+                core_prev = pq[n] - php["setup"]
+                core_rel = (
+                    d_core / core_prev if core_prev > 0 else float("inf")
+                )
+                maint_txt = (
+                    f", maintain {phc['maintain'] - php['maintain']:+.2f}s"
+                    if "maintain" in php and "maintain" in phc
+                    else ""
+                )
+                if abs(d_core) < ABS_CODE_FLOOR or abs(core_rel) <= NOISE_FLOOR:
+                    if abs(d_setup) >= ABS_CODE_FLOOR:
+                        cls = "setup"
+                        why = (
+                            f"wall {d_wall:+.2f}s is setup-phase movement "
+                            f"(setup {d_setup:+.2f}s; core {d_core:+.2f}s"
+                            f"{maint_txt} inside floors) — pre-scan/"
+                            "staging cost, not maintain"
+                        )
+                    else:
+                        cls = "noise"
+                        why = (
+                            f"core {d_core:+.2f}s ({core_rel:+.0%}) and "
+                            f"setup {d_setup:+.2f}s both inside the "
+                            "20%/100ms floors"
+                        )
+                elif (d_core > 0) == (d_cio > 0) and abs(d_cio) >= 0.5 * abs(
+                    d_core
+                ):
+                    cls = "fsync-regime"
+                    why = (
+                        f"core wall {d_core:+.2f}s moved WITH commit-I/O "
+                        f"{d_cio:+.2f}s (machine fsync mode; setup "
+                        f"{d_setup:+.2f}s separate)"
+                    )
+                else:
+                    cls = "code"
+                    why = (
+                        f"core wall {d_core:+.2f}s{maint_txt} but "
+                        f"commit-I/O {d_cio:+.2f}s — not the fsync "
+                        f"signature (setup {d_setup:+.2f}s reported "
+                        "separately)"
+                    )
+            elif abs(d) <= NOISE_FLOOR:
                 cls = "noise"
                 why = f"|{d:+.0%}| wall inside the 20% single-pass floor"
             elif (d_wall > 0) == (d_cio > 0) and abs(d_cio) >= 0.5 * abs(d_wall):
@@ -278,10 +340,17 @@ def classify_cross_round(prev: dict, curr: dict):
                 f"residual ({residual:+.0%}) after the mix's "
                 f"{mix_shift:+.0%} common shift"
             )
-        if cls == "code" and abs(cq[n] - pq[n]) < ABS_CODE_FLOOR:
+        if (
+            cls == "code"
+            and not phase_attributed
+            and abs(cq[n] - pq[n]) < ABS_CODE_FLOOR
+        ):
             # r11 verdict item 2: a code claim needs absolute movement
             # too — a 20%-relative blip on a 0.15 s pin is tens of ms
-            # of scheduler jitter, not evidence
+            # of scheduler jitter, not evidence. (The phase-attributed
+            # path applied the floor to the CORE delta already — a
+            # core regression offset by a setup improvement must not
+            # demote on the netted total.)
             cls = "noise"
             why = (
                 f"{cq[n] - pq[n]:+.3f}s absolute delta is under the "
@@ -388,7 +457,8 @@ def print_cross_round(
     counts = summary["counts"]
     print(
         f"cross-round vs {label}: {counts['noise']} noise / "
-        f"{counts['fsync-regime']} fsync-regime / {counts['code']} code "
+        f"{counts['fsync-regime']} fsync-regime / "
+        f"{counts.get('setup', 0)} setup / {counts['code']} code "
         f"(mix median shift {summary['mix_shift']:+.1%} over {len(rows)} "
         f"shared queries; {ids}; informational — the <=2x pin contract "
         "gates)"

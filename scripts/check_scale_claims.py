@@ -1,0 +1,196 @@
+#!/usr/bin/env python
+"""Derive SCALE.md's scaling claims FROM the appended raw data (r12
+verdict item 2): the r12 curated prose asserted "flat-or-falling
+sec/Mrow everywhere" while its own appended raw block recorded
+quality_score rising 63.2 -> 280.2 sec/Mrow at the x8 point — a
+hand-written summary contradicting the evidence it cites, the exact
+class the bench classifier was built to prevent on the bench axis.
+
+This checker parses the LAST (or --tag'd) raw scale_smoke block
+appended to SCALE.md by gauntlet.sh and mechanically derives the two
+claims the curated prose makes:
+
+* **monotone**: sec/Mrow is flat-or-falling through the uniform
+  points (sf0.01 -> sf0.1 -> x8) for every op, within a +25%
+  tolerance (the r10-measured cross-process noise on short legs);
+  any rise beyond it is printed as an OUTLIER with the leg's load
+  stamps when the block carries them (r13 scale_smoke records
+  start/end load per leg and a run-start comparability stamp);
+* **skew**: at the x8skew point every skew-sensitive op stays within
+  the tolerance of its uniform-x8 sec/Mrow, and AQE's skew split
+  engaged at x8skew only.
+
+gauntlet.sh appends this script's output directly under the raw block
+it summarizes, so the committed prose IS the derivation — a curated
+sentence can no longer drift from its own appendix. Exit 0 with
+outliers (they are findings to record, not gates); exit 2 when no
+parseable block exists (evidence missing is a broken gauntlet step).
+
+Usage: python scripts/check_scale_claims.py [SCALE.md] [--tag rNN]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+#: Rise tolerance for "flat-or-falling": short legs carry 15-35%
+#: cross-process noise (REHEARSAL r9-r11); a genuine superlinear term
+#: at an 8x row step shows up far above this.
+TOL = 0.25
+
+_HDR = re.compile(
+    r"^### Gauntlet run (?P<tag>\S+) \((?P<ts>[^,]+), head (?P<head>\S+), "
+    r"load at start (?P<load>[\d.]+)\)"
+)
+
+
+def parse_blocks(text: str) -> list[dict]:
+    """Every appended raw block: {tag, ts, head, load, ops: {op: curve},
+    meta: dict|None} in file order."""
+    blocks = []
+    cur = None
+    in_json = False
+    for line in text.splitlines():
+        m = _HDR.match(line)
+        if m:
+            cur = {**m.groupdict(), "ops": {}, "meta": None}
+            blocks.append(cur)
+            in_json = False
+            continue
+        if cur is None:
+            continue
+        if line.strip() == "```json":
+            in_json = True
+            continue
+        if line.strip() == "```":
+            in_json = False
+            continue
+        if in_json and line.strip().startswith("{"):
+            try:
+                obj = json.loads(line)
+            except ValueError:
+                continue  # torn line: skip, the block check reports sparsity
+            if obj.get("meta") == "scale_smoke":
+                cur["meta"] = obj
+            elif "op" in obj and "curve" in obj:
+                cur["ops"][obj["op"]] = obj["curve"]
+    return [b for b in blocks if b["ops"]]
+
+
+def _load_txt(point: dict) -> str:
+    ld = point.get("load_1m")
+    return f", leg load {ld[0]}->{ld[1]}" if isinstance(ld, list) else ""
+
+
+def derive(block: dict) -> tuple[list[str], int]:
+    """(report lines, outlier count) for one raw block."""
+    lines: list[str] = []
+    outliers = 0
+    mono_ok = []
+    for op, curve in sorted(block["ops"].items()):
+        pts = sorted(
+            (
+                (v["rows_in"], label, v)
+                for label, v in curve.items()
+                if "skipped" not in v and "skew" not in label
+            ),
+        )
+        rising = []
+        for (_, l0, p0), (_, l1, p1) in zip(pts, pts[1:]):
+            if p1["sec_per_mrow"] > p0["sec_per_mrow"] * (1 + TOL):
+                rising.append(
+                    f"{op}: {l0} {p0['sec_per_mrow']} -> {l1} "
+                    f"{p1['sec_per_mrow']} sec/Mrow ({p0['sec']}s -> "
+                    f"{p1['sec']}s{_load_txt(p1)})"
+                )
+        if rising:
+            outliers += len(rising)
+            for r in rising:
+                lines.append(f"  - OUTLIER (rising sec/Mrow): {r}")
+        else:
+            mono_ok.append(op)
+    lines.insert(
+        0,
+        f"- sec/Mrow flat-or-falling (tol +{TOL:.0%}) through the uniform "
+        f"points for {len(mono_ok)}/{len(block['ops'])} ops"
+        + ("" if outliers == 0 else f"; {outliers} outlier(s) below"),
+    )
+
+    skew_bad = []
+    split_flags = {}
+    for op, curve in sorted(block["ops"].items()):
+        uni = curve.get("sf0.1x8")
+        skew = curve.get("sf0.1x8skew")
+        for label, v in curve.items():
+            if "skew_split_engaged" in v:
+                split_flags.setdefault(op, {})[label] = v["skew_split_engaged"]
+        if not uni or not skew or "skipped" in skew or "skipped" in uni:
+            continue
+        if skew["sec_per_mrow"] > uni["sec_per_mrow"] * (1 + TOL):
+            outliers += 1
+            skew_bad.append(
+                f"  - OUTLIER (skew hotspot): {op}: x8 "
+                f"{uni['sec_per_mrow']} -> x8skew {skew['sec_per_mrow']} "
+                f"sec/Mrow{_load_txt(skew)}"
+            )
+    lines.append(
+        "- x8skew sec/Mrow within tolerance of uniform x8 for every "
+        "skew-sensitive op"
+        if not skew_bad
+        else f"- {len(skew_bad)} skew outlier(s) below"
+    )
+    lines.extend(skew_bad)
+    for op, flags in split_flags.items():
+        expected = all(
+            engaged == label.endswith("skew")
+            for label, engaged in flags.items()
+        )
+        lines.append(
+            f"- {op}: skew_split_engaged true at the skew point only "
+            f"({'as designed' if expected else 'UNEXPECTED: ' + json.dumps(flags)})"
+        )
+        if not expected:
+            outliers += 1
+    meta = block["meta"]
+    gate_txt = (
+        f"in-script idle gate: start load {meta['load_1m_start']}, "
+        f"comparable={meta['comparable']}"
+        if meta
+        else "pre-r13 block: no in-script idle gate recorded"
+    )
+    lines.insert(
+        0,
+        f"Derived claims (scripts/check_scale_claims.py over the "
+        f"{block['tag']} block, head {block['head']}, gauntlet start load "
+        f"{block['load']}; {gate_txt}):",
+    )
+    return lines, outliers
+
+
+def main() -> int:
+    args = sys.argv[1:]
+    tag = None
+    if "--tag" in args:
+        i = args.index("--tag")
+        tag = args[i + 1]
+        del args[i : i + 2]
+    path = args[0] if args else "SCALE.md"
+    with open(path) as f:
+        blocks = parse_blocks(f.read())
+    if not blocks:
+        print(f"no parseable scale_smoke block in {path}", file=sys.stderr)
+        return 2
+    if tag is not None:
+        blocks = [b for b in blocks if b["tag"] == tag]
+        if not blocks:
+            print(f"no block tagged {tag} in {path}", file=sys.stderr)
+            return 2
+    lines, outliers = derive(blocks[-1])
+    print("\n".join(lines))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

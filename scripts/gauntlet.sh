@@ -76,7 +76,15 @@ python scripts/scale_smoke.py > "$SMOKE_LOG" 2>/tmp/scale_smoke_stderr.log \
   cat "$SMOKE_LOG"
   echo '```'
 } >> SCALE.md
-say "scale_smoke appended to SCALE.md ($(wc -l < "$SMOKE_LOG") JSON lines)"
+# r12 verdict item 2: the monotonicity/skew claims are DERIVED from the
+# raw block just appended (outliers named with load context), so the
+# committed summary can never again contradict its own appendix the way
+# the r12 hand prose did ("flat-or-falling everywhere" over a 12x
+# quality_score spike recorded 400 lines below it)
+CLAIMS="$(python scripts/check_scale_claims.py SCALE.md --tag "${TAG}")" \
+  || fail "check_scale_claims"
+{ echo ""; echo "$CLAIMS"; } >> SCALE.md
+say "scale_smoke appended to SCALE.md ($(wc -l < "$SMOKE_LOG") JSON lines) + derived claims"
 
 say "step 4/7: bench.py twice (idle-gated; artifact + same-head repeat)"
 await_idle
@@ -162,6 +170,10 @@ if [ -n "$UNCOMMITTED" ]; then
   say "REMINDER: commit these evidence artifacts before the round is judged:"
   echo "$UNCOMMITTED" >&2
 fi
+# ...and the same check is the FIRST action of the NEXT round (README,
+# round-START corollary): the driver writes its refresh after the
+# round's last commit, so next round's builder commits it before any
+# code change.
 
 echo "- $(STAMP) tag=${TAG} head=${HEAD_SHA} rc=0: GAUNTLET OK (suite sf0.01 + sf0.1 green, scale_smoke appended, ${BENCH_OUT} written + pins OK, PLANS.md + COVERAGE.md regenerated)" >> REHEARSAL.md
 say "OK — all 7 steps green"

@@ -39,6 +39,21 @@ one-off salted-join reading that 3 re-passes put at 1.7-2.0 s, the
 same single-pass noise class bench.py's median-of-3 eliminated.
 Curated SCALE.md tables cite the medians.
 
+Idle gating (r13, r12 verdict item 2): both r12-era runs started at
+load 3.6-4.0 under an "idle-gated" label — gauntlet.sh's outer gate
+gives up after 600 s and proceeds hot, and nothing in the output
+recorded it, which is how SCALE.md's curated prose ended up claiming
+flat-or-falling over a 12x quality_score spike its own appendix
+recorded. This script now (a) waits for a quiet machine itself with
+bench.py's exact gate/budget and emits a FIRST meta line stamping the
+start load and ``comparable`` (same contract as the bench artifact:
+a still-hot machine runs anyway but self-describes), and (b) stamps
+each measurement with the 1-minute load sampled at ITS start — context
+for per-leg outliers, not a gate (mid-run the loadavg includes our own
+executor threads by construction; the run-start stamp is the
+comparability claim, the per-leg stamps locate WHICH legs a late
+external load hit).
+
 Usage: python scripts/scale_smoke.py   # writes one JSON line per op
 """
 
@@ -419,6 +434,23 @@ def tables_at(spark, sf_dir: str, mode: str | None) -> dict[str, DataFrame]:
 
 
 def main() -> None:
+    # ONE idle-gate implementation across the timing evidence (bench.py
+    # owns it): sample BEFORE any Spark work, bounded wait, and the
+    # output self-describes comparability instead of trusting the
+    # caller's label (r12 verdict item 2)
+    from bench import _await_quiet_machine
+
+    load_start, comparable = _await_quiet_machine()
+    print(
+        json.dumps(
+            {
+                "meta": "scale_smoke",
+                "load_1m_start": load_start,
+                "comparable": comparable,
+            }
+        ),
+        flush=True,
+    )
     spark = get_spark(app_name="vsp-scale-smoke")
     spark.sparkContext.setLogLevel("ERROR")
     points = [
@@ -465,19 +497,32 @@ def main() -> None:
         # so a reader of the JSON can tell "deliberately skipped here"
         # from "accidentally dropped".
         skipped = {"skipped": "not in the skew-sensitive subset"}
+        def leg_loads(l_start: float) -> dict:
+            """Start/end 1-min load of one leg — per-leg CONTEXT for
+            outliers (module docstring: mid-run loadavg includes our
+            own executors; the run-start gate is the comparability
+            claim)."""
+            return {
+                "load_1m": [l_start, round(os.getloadavg()[0], 2)]
+            }
+
         if mode == "x8skew":
             for name in TRAIN_OPS:
                 results[name][label] = skipped
         else:
             for name, (run_training, table) in TRAIN_OPS.items():
+                l0 = round(os.getloadavg()[0], 2)
                 t0 = time.perf_counter()
                 run_training(t)
                 sec = round(time.perf_counter() - t0, 3)
-                results[name][label] = measured(sec, rows_in(table))
+                results[name][label] = measured(
+                    sec, rows_in(table), **leg_loads(l0)
+                )
         for name, (build, table) in OPS.items():
             if mode == "x8skew" and name not in skew_ops:
                 results[name][label] = skipped
                 continue
+            l0 = round(os.getloadavg()[0], 2)
             confs = OP_CONFS.get(name, {})
             prev = {k: spark.conf.get(k) for k in confs}
             for k, v in confs.items():
@@ -520,7 +565,9 @@ def main() -> None:
             finally:
                 for k, v in prev.items():
                     spark.conf.set(k, v)
-            results[name][label] = measured(sec, rows_in(table), **extra)
+            results[name][label] = measured(
+                sec, rows_in(table), **extra, **leg_loads(l0)
+            )
     for name, curve in results.items():
         print(json.dumps({"op": name, "curve": curve}))
 

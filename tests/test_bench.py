@@ -451,3 +451,118 @@ def test_artifact_id_names_bytes(tmp_path):
     if os.path.exists(committed):
         ident2 = artifact_id(committed)
         assert ident2.startswith("sha256:") and "@" in ident2
+
+
+def test_classify_phase_aware_lifecycle():
+    """r12 verdict item 5: lifecycle legs carry per-phase walls in the
+    artifact — the classifier attributes on the CORE (wall minus the
+    setup phase) and reports setup (estimator pre-scan, staging)
+    separately, instead of lumping a 0.5-0.7 s pre-scan into one wall
+    number and flagging it `code`."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_bench_pins import classify_cross_round
+
+    def classes(rows):
+        return {r[0]: r[4] for r in rows}
+
+    def why(rows, name):
+        return [r for r in rows if r[0] == name][0][5]
+
+    sp = lambda t: {"min": t - 0.01, "med": t, "max": t + 0.01}  # noqa: E731
+
+    def leg_run(wall, setup, cio):
+        run = _mk_run(
+            {"leg": wall}, spread={"leg": sp(wall)}, commit_io={"leg": cio}
+        )
+        run["phases"] = {
+            "leg": {
+                "setup": setup,
+                "maintain": round(wall - setup - 0.2, 3),
+                "compact": 0.1,
+                "serve": 0.1,
+                "commit_io_s": cio,
+            }
+        }
+        return run
+
+    # setup-only move: wall +30% but every added second is the setup
+    # phase (core flat, commit-I/O flat) -> its own category, not code
+    rows, summary = classify_cross_round(
+        leg_run(2.0, 0.1, 1.0), leg_run(2.6, 0.7, 1.0)
+    )
+    assert classes(rows) == {"leg": "setup"}
+    assert "setup-phase movement" in why(rows, "leg")
+    assert summary["counts"]["setup"] == 1 and summary["counts"]["code"] == 0
+
+    # core regression with flat commit-I/O -> code, naming the core
+    rows, _ = classify_cross_round(
+        leg_run(2.0, 0.1, 1.0), leg_run(3.0, 0.1, 1.05)
+    )
+    assert classes(rows) == {"leg": "code"}
+    assert "core wall" in why(rows, "leg")
+
+    # core moving WITH commit-I/O -> fsync-regime (machine mode)
+    rows, _ = classify_cross_round(
+        leg_run(2.0, 0.1, 1.0), leg_run(5.0, 0.1, 4.0)
+    )
+    assert classes(rows) == {"leg": "fsync-regime"}
+
+    # a core regression MASKED by a setup improvement: netted wall is
+    # flat (and under the absolute floor) but the core moved +0.75s
+    # against flat commit-I/O — the phase split must still flag code
+    rows, _ = classify_cross_round(
+        leg_run(3.0, 1.0, 1.0), leg_run(2.95, 0.2, 1.0)
+    )
+    assert classes(rows) == {"leg": "code"}
+
+    # both phases inside floors at a small wall move -> noise
+    rows, _ = classify_cross_round(
+        leg_run(2.0, 0.1, 1.0), leg_run(2.08, 0.14, 1.0)
+    )
+    assert classes(rows) == {"leg": "noise"}
+
+    # a prev artifact WITHOUT phase blocks (driver headline capture)
+    # falls back to the r11 whole-wall rule — no crash, no setup class
+    prev = _mk_run({"leg": 2.0}, commit_io={"leg": 1.0})
+    rows, _ = classify_cross_round(prev, leg_run(2.6, 0.7, 2.5))
+    assert classes(rows)["leg"] in ("noise", "fsync-regime", "code")
+
+
+def test_check_scale_claims_derives_outliers():
+    """r12 verdict item 2: the SCALE.md claims are DERIVED from the
+    appended raw JSON — a rising sec/Mrow leg and a skew hotspot are
+    flagged as outliers (with per-leg load context when recorded)
+    instead of being glossed by hand prose, and the skew-split flag is
+    checked against its designed engage-at-skew-only pattern."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_scale_claims import derive, parse_blocks
+
+    text = (
+        "### Gauntlet run rX (2026-08-16T00:00:00Z, head abc1234, "
+        "load at start 0.5)\n\n"
+        "```json\n"
+        '{"meta": "scale_smoke", "load_1m_start": 0.4, "comparable": true}\n'
+        '{"op": "good", "curve": {"sf0.01": {"rows_in": 100, "sec": 1.0,'
+        ' "sec_per_mrow": 10000.0}, "sf0.1": {"rows_in": 1000, "sec": 1.2,'
+        ' "sec_per_mrow": 1200.0}}}\n'
+        '{"op": "bad", "curve": {"sf0.01": {"rows_in": 100, "sec": 0.1,'
+        ' "sec_per_mrow": 1000.0}, "sf0.1": {"rows_in": 1000, "sec": 5.0,'
+        ' "sec_per_mrow": 5000.0, "load_1m": [3.5, 4.0]}}}\n'
+        '{"op": "skewop", "curve": {"sf0.1x8": {"rows_in": 8000, "sec": 1.0,'
+        ' "sec_per_mrow": 125.0, "skew_split_engaged": false},'
+        ' "sf0.1x8skew": {"rows_in": 8000, "sec": 3.0,'
+        ' "sec_per_mrow": 375.0, "skew_split_engaged": true}}}\n'
+        "```\n"
+    )
+    blocks = parse_blocks(text)
+    assert len(blocks) == 1
+    assert blocks[0]["meta"]["comparable"] is True
+    lines, outliers = derive(blocks[0])
+    joined = "\n".join(lines)
+    assert outliers == 2
+    assert "OUTLIER (rising sec/Mrow): bad" in joined
+    assert "leg load 3.5->4.0" in joined
+    assert "OUTLIER (skew hotspot): skewop" in joined
+    assert "skew_split_engaged true at the skew point only (as designed" in joined
+    # the monotone op is claimed monotone, not flagged
+    assert "flat-or-falling (tol +25%) through the uniform points for 2/3" in joined
