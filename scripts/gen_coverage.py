@@ -93,6 +93,8 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "persisted sketches, p from the v4 manifest/rows, pure plan "
         "builder when p is explicit (oracle leg rollup_1d_derived in "
         "stream_window_counts; tests/test_rollup.py::test_coarsen_rollup_day_equals_direct_from_facts)",
+        "property oracle: sketch(A)+sketch(B) byte-equals sketch(A++B) "
+        "on random multisets (tests/test_properties.py::test_hll_registers_pure_function_of_key_set)",
     ],
 
     "F1": ["functions/scalar.deterministic_uuid (seeded twin of uuid())"],
@@ -105,6 +107,8 @@ SUPPLEMENTAL: dict[str, list[str]] = {
     "J7": [
         "operators/asof.asof_join_cogrouped (cogroup+applyInPandas twin, pinned equal to the JVM path)",
         "tests/test_operators.py::test_asof_cogrouped_twin_equals_jvm_path",
+        "property oracle: pandas merge_asof on random inputs, incl. "
+        "tolerance (tests/test_properties.py)",
     ],
     "J8": [
         "streaming/analytics.signup_purchase_attribution (stream-stream interval join)",
