@@ -320,3 +320,111 @@ def test_scale_claims_parser_roundtrips_gauntlet_block(ops):
     assert blocks[0]["meta"]["comparable"] is True
     report, outliers = csc.derive(blocks[0])
     assert outliers >= 0 and report  # total, and always says something
+
+
+# --------------------------------------------- MinHash LSH exact dups
+
+from video_stream_processor_spark.llm import dedup as dd  # noqa: E402
+
+WORDS = ["alpha", "beta", "gamma", "delta", "eps"]
+DOC = st.lists(st.sampled_from(WORDS), min_size=2, max_size=6).map(" ".join)
+
+
+@settings(max_examples=10, deadline=None, derandomize=True)
+@given(texts=st.lists(DOC, min_size=1, max_size=8), dup_of=st.integers(0, 7))
+def test_minhash_lsh_always_pairs_exact_duplicates(spark, texts, dup_of):
+    """An exact-duplicate pair can NEVER be missed by the banded-LSH
+    path: identical shingle sets give identical signatures, hence the
+    same bucket in every band, hence candidacy; exact verification
+    then scores Jaccard 1.0 >= any threshold. Recall on exact dups is
+    1 by construction — this pins the construction on random corpora
+    (the fixed-fixture recall test covers the probabilistic near-dup
+    band)."""
+    dup_text = texts[dup_of % len(texts)]
+    rows = [(i, t) for i, t in enumerate(texts)]
+    dup_id = len(texts)
+    rows.append((dup_id, dup_text))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r["doc_a"], r["doc_b"], r["jaccard"])
+        for r in dd.minhash_near_dup_pairs(docs, threshold=0.5).collect()
+    }
+    a = dup_of % len(texts)
+    assert (a, dup_id, 1.0) in pairs
+
+
+# ------------------------------- sessionization vs Python + sliced twin
+
+from video_stream_processor_spark.streaming.analytics import (  # noqa: E402
+    session_stats,
+    session_stats_sliced,
+)
+
+EVENTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # user_id
+        st.integers(min_value=0, max_value=36000),  # epoch seconds
+        st.integers(min_value=0, max_value=79),  # value in 0.25 steps
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+GAP_S = 1800  # "30 minutes"
+
+
+def _python_sessions(events):
+    """Independent sessionization: per user, sort by ts, split when the
+    gap is STRICTLY greater than GAP_S (an event exactly GAP_S after
+    the last one merges — the probe-verified session_window rule);
+    window = [first_ts, last_ts + GAP_S)."""
+    out = []
+    by_user = {}
+    for u, t, q in events:
+        by_user.setdefault(u, []).append((t, q * 0.25))
+    for u, evs in by_user.items():
+        evs.sort()
+        start, last, n, total = evs[0][0], evs[0][0], 0, 0.0
+        for t, v in evs:
+            if t - last > GAP_S:
+                out.append((start, last + GAP_S, u, n, round(total, 2)))
+                start, n, total = t, 0, 0.0
+            last, n, total = t, n + 1, total + v
+        out.append((start, last + GAP_S, u, n, round(total, 2)))
+    return sorted(out)
+
+
+@settings(max_examples=12, deadline=None, derandomize=True)
+@given(events=EVENTS)
+def test_sessionization_matches_python_and_sliced_twin(spark, events):
+    """Batch session_stats equals an independent plain-Python
+    sessionizer on random event streams, AND the time-slice-and-stitch
+    hot-user escape (session_stats_sliced) equals both — the stitch
+    pass's merge rule composes back to global sessionization on
+    arbitrary slice-boundary-straddling inputs, not just the fixture's."""
+    df = spark.createDataFrame(
+        events, "user_id int, t long, q int"
+    ).select(
+        "user_id",
+        F.col("t").cast("timestamp").alias("ts"),
+        (F.col("q") * 0.25).alias("value"),
+    )
+    expected = _python_sessions(events)
+
+    def rows_of(res):
+        return sorted(
+            (
+                r["sess_start"],
+                r["sess_end"],
+                r["user_id"],
+                r["n_events"],
+                float(r["sum_value"]),
+            )
+            for r in res.collect()
+        )
+
+    assert rows_of(session_stats(df, gap="30 minutes")) == expected
+    assert (
+        rows_of(session_stats_sliced(df, gap="30 minutes", time_slice="1 hour"))
+        == expected
+    )
