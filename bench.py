@@ -200,12 +200,18 @@ EXTRA_BUILDERS = {
         s, d, state_partitions="auto"
     ),
     # r11: the auto lifecycle with expected_open_groups ESTIMATED from
-    # the staged source itself (estimate_open_groups batch pre-scan,
-    # recorded in the setup phase) instead of the static default 8 —
-    # the r10 verdict's item 4 ("derive the sizing's one free parameter
-    # from data"), measured in the artifact of record next to the
-    # static-default twin. The pinned v2 and the r10 _auto legs are
-    # untouched (artifact-honesty rule).
+    # the staged source itself instead of the static default 8 — the
+    # r10 verdict's item 4 ("derive the sizing's one free parameter
+    # from data"), measured in the artifact of record. Since r14 the
+    # estimate is PERSISTED next to the staged source keyed by a data
+    # fingerprint (cached_open_groups, r13 verdict item 3): the first
+    # warm pass computes and caches it, every later pass — i.e. every
+    # TIMED pass — reads it, which is what ships (a production
+    # maintainer re-estimates only when the landing data changes, not
+    # per start). The setup phase therefore carries the fingerprint
+    # check, not the 0.45-0.68 s occupancy pre-scan, and the artifact
+    # stamps open_groups_src=cached|computed so "read, not recomputed"
+    # is checkable from the artifact alone.
     "rollup_maintain_serve_v2_auto_est": lambda s, d: _rollup_maintain_serve(
         s, d, state_partitions="auto", expected_open_groups="estimate"
     ),
@@ -229,18 +235,20 @@ LEG_ROLES = {
         "hand-sized twin (state_partitions=8; quantifies the dial)"
     ),
     "rollup_maintain_serve_v2_auto": (
-        "shipped default (state_partitions='auto', fresh checkpoint "
-        "per pass derives the sizing; static open-groups default)"
+        "static-open-groups control (state_partitions='auto' with the "
+        "static default 8; demoted since r14 to "
+        "SPARK_GRAFT_BENCH_CONTROL=1 runs — the shipped default is "
+        "the _auto_est leg)"
     ),
     "rollup_maintain_serve_v2_auto_est": (
-        "shipped default + data-estimated open groups "
-        "(estimate_open_groups pre-scan in setup). Sizing rationale "
+        "shipped default (state_partitions='auto' + persisted "
+        "data-estimated open groups: cached_open_groups reads the "
+        "fingerprint-keyed estimate cached at first start — "
+        "open_groups_src says cached vs computed). Sizing rationale "
         "(r13 store-count sweep, SCALE.md): the derived 6 stores sit "
         "ON the wall-optimal 6-8 plateau (spreads overlap) at 0.57x "
         "the static default's state-commit I/O — the fsync axis that "
-        "dominates at scale with remote checkpoints; wall deltas vs "
-        "_auto are the setup pre-scan (classified separately) + "
-        "machine fsync modes"
+        "dominates at scale with remote checkpoints"
     ),
 }
 
@@ -327,6 +335,14 @@ _ROLLUP_COMMIT_S: list[float] = [0.0]
 #: sizing divergence must be diagnosable from the artifact alone.
 _ROLLUP_SIZING: list[tuple[int, int | None]] = [(0, None)]
 
+#: Provenance of the LAST drain's open-groups estimate — "cached"
+#: (read from the fingerprint-keyed sidecar; the shipped steady state)
+#: or "computed" (estimated fresh: first start or stale fingerprint);
+#: None for legs that never estimate. Stamped into the artifact as
+#: open_groups_src (r13 verdict item 3's done-bar: the stamp must show
+#: the estimate was READ, not recomputed).
+_ROLLUP_EST_SRC: list[str | None] = [None]
+
 
 def _rollup_maintain_serve(s, d, state_partitions=None, expected_open_groups=8):
     """The incremental-rollup lifecycle end to end: streaming
@@ -347,18 +363,22 @@ def _rollup_maintain_serve(s, d, state_partitions=None, expected_open_groups=8):
     # tiered-read noop write.
     t_enter = time.perf_counter()
     src = _rollup_events_src(s, d)
+    _ROLLUP_EST_SRC[0] = None
     if expected_open_groups == "estimate":
-        # data-derived sizing parameter (r10 verdict item 4): one
-        # occupancy pre-scan of the staged source's batch twin
-        # (time-averaged concurrently-open (window, type) groups —
-        # the r12 form; the r11 all-time-cardinality form over-sized),
-        # inside the timed region so setup honestly carries its cost
+        # data-derived sizing parameter (r10 verdict item 4), since
+        # r14 via the PERSISTED estimate (r13 verdict item 3): the
+        # occupancy pre-scan runs once per distinct source fingerprint
+        # and is cached next to the staged source; steady-state starts
+        # — every timed pass after the first warm one — read it. Still
+        # inside the timed region so setup honestly carries whatever
+        # the resolution really cost this pass (fingerprint walk when
+        # cached, full pre-scan when not), with the provenance stamped.
         from video_stream_processor_spark.streaming.rollup import (
-            estimate_open_groups,
+            cached_open_groups,
         )
 
-        expected_open_groups = estimate_open_groups(
-            s.read.parquet(src), size="1 day", watermark="30 minutes"
+        expected_open_groups, _ROLLUP_EST_SRC[0] = cached_open_groups(
+            s, src, size="1 day", watermark="30 minutes"
         )
     out = os.path.join(_tmp_root(), "rollup_out")
     shutil.rmtree(out, ignore_errors=True)
@@ -514,16 +534,30 @@ HEADLINE = [
     # state_partitions dial, quantified next to the pinned default.
     "rollup_maintain_serve_v2_sized",
     # New-in-r10 (no pin; first number sets the bar): the lifecycle at
-    # the new auto default — fresh checkpoint per pass, volume-derived
-    # sizing; must measurably match the sized leg (r9 verdict order 3).
+    # the auto default with the STATIC open-groups parameter. Demoted
+    # since r14 to SPARK_GRAFT_BENCH_CONTROL=1 runs alongside the v2
+    # session-conf control (r13 verdict item 3: collapse the three
+    # rollup legs to the pair that measures what ships — the hand-sized
+    # twin and the persisted-estimate default; this leg differed from
+    # _auto_est only by the estimator pre-scan it was there to expose,
+    # which the persisted estimate now amortizes away).
     "rollup_maintain_serve_v2_auto",
     # New-in-r11 (no pin; first number sets the bar): the auto
     # lifecycle with the open-groups parameter estimated from the
-    # source itself (r10 verdict item 4); must measurably match the
-    # static-default auto leg at this fixture (est=10 vs static 8
-    # stores — same regime).
+    # source itself (r10 verdict item 4); since r14 the estimate is
+    # persisted + fingerprint-keyed (cached_open_groups), making this
+    # THE shipped-default leg.
     "rollup_maintain_serve_v2_auto_est",
 ]
+
+#: Legs that re-measure retired/control configurations: run only under
+#: SPARK_GRAFT_BENCH_CONTROL=1 (r11 verdict item 5 demoted the v2
+#: session-conf control; r13 verdict item 3 demoted the static
+#: open-groups _auto twin). A cross-round "dropped" row for these is
+#: the expected record of the demotion, not a regression.
+CONTROL_LEGS = frozenset(
+    {"rollup_maintain_serve_v2", "rollup_maintain_serve_v2_auto"}
+)
 
 
 # Timings are only bar-comparable on a quiet machine (r3 shipped a
@@ -562,14 +596,15 @@ def _await_quiet_machine() -> tuple[float, bool]:
 
 def main() -> None:
     load_1m, comparable = _await_quiet_machine()
-    # the v2 session-conf control runs only on request (r11 verdict
-    # item 5; see the HEADLINE comment) — the mix drops it by default
-    # so a dropped-query row in the cross-round classification is the
-    # expected record of the demotion, not a silent disappearance
+    # control legs run only on request (r11 verdict item 5 / r13
+    # verdict item 3; see CONTROL_LEGS) — the mix drops them by
+    # default so a dropped-query row in the cross-round classification
+    # is the expected record of the demotion, not a silent
+    # disappearance
     mix = [
         q
         for q in HEADLINE
-        if q != "rollup_maintain_serve_v2"
+        if q not in CONTROL_LEGS
         or os.environ.get("SPARK_GRAFT_BENCH_CONTROL") == "1"
     ]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -614,7 +649,7 @@ def main() -> None:
     n_timed = 3
     samples: dict[str, list[float]] = {}
     phase_samples: dict[
-        str, list[tuple[float, dict[str, float], float]]
+        str, list[tuple[float, dict[str, float], float, tuple, str | None]]
     ] = {}
     lifecycle_legs = tuple(LEG_ROLES)
     for name in mix:
@@ -633,6 +668,7 @@ def main() -> None:
                         dict(_ROLLUP_PHASES),
                         _ROLLUP_COMMIT_S[0],
                         _ROLLUP_SIZING[0],
+                        _ROLLUP_EST_SRC[0],
                     )
                 )
         samples[name] = ts
@@ -657,7 +693,7 @@ def main() -> None:
         med_t = times.get(leg)
         if med_t is None or not leg_samples:
             continue
-        _, ph, commit_s, (stores, open_groups) = min(
+        _, ph, commit_s, (stores, open_groups), est_src = min(
             leg_samples, key=lambda tp: abs(tp[0] - med_t)
         )
         eager = round(sum(ph.values()), 3)
@@ -676,6 +712,11 @@ def main() -> None:
             # auto derivation consumed it (r12 review: a dead default
             # on the control/sized legs would read as divergence)
             phases[leg]["open_groups"] = open_groups
+        if est_src is not None:
+            # cached = the fingerprint-keyed sidecar served the
+            # estimate (the shipped steady state); computed = fresh
+            # pre-scan this pass (first start / stale fingerprint)
+            phases[leg]["open_groups_src"] = est_src
         commit_io[leg] = commit_s
 
     # Detail line first, compact headline LAST: the driver wrapper

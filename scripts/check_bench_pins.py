@@ -48,6 +48,12 @@ each shared query's median delta as
                        core (maintain+compact+serve) stayed inside the
                        floors — the r12 auto_est `code` flags lumped a
                        0.5-0.7 s pre-scan into one wall number;
+  * ``setup-code``   — (r14) the same core-flat shape but the setup
+                       delta exceeds ``SETUP_ABS_CEILING`` (~3x the
+                       known pre-scan band): too big to be staging
+                       noise, so it escalates with the same
+                       verify-with-git-diff instruction code flags
+                       carry;
   * ``code``         — wall (core wall, when phases are present)
                        moved beyond all of the above while commit I/O
                        stayed flat / the mix didn't move.
@@ -107,6 +113,18 @@ ABS_CODE_FLOOR = 0.100
 #: timing-resolution steps is indistinguishable from zero (r11 advisor:
 #: a prev of 0.000 s with curr at 0.001 s must not print ``code``).
 RES_FLOOR = 0.005
+
+#: Escalation ceiling for the ``setup`` class (r13 verdict item 2):
+#: attributing a core-flat wall delta to the setup phase is only ever
+#: a benign explanation for movement the SIZE of the known setup work
+#: — the estimator pre-scan's measured band is 0.45-0.68 s (r11-r13
+#: artifacts), so 2.0 s is ~3x its top. A setup delta beyond it is a
+#: setup-PHASE code regression (say the pre-scan going 0.5 s -> 5 s):
+#: without this ceiling it would classify ``setup`` forever and never
+#: trigger the empty-diff dismissal workflow that ``code`` flags get,
+#: so above the ceiling the class escalates to ``setup-code`` and
+#: carries the same verify-with-git-diff instruction.
+SETUP_ABS_CEILING = 2.0
 
 
 def merge_bench_lines(lines: list[str]) -> dict | None:
@@ -203,7 +221,13 @@ def classify_cross_round(prev: dict, curr: dict):
     rel = {n: (cq[n] - pq[n]) / pq[n] for n in shared if pq[n] > 0}
     mix_shift = statistics.median(rel.values()) if rel else 0.0
     rows = []
-    counts = {"noise": 0, "fsync-regime": 0, "setup": 0, "code": 0}
+    counts = {
+        "noise": 0,
+        "fsync-regime": 0,
+        "setup": 0,
+        "setup-code": 0,
+        "code": 0,
+    }
     for n in shared:
         if pq[n] <= 0:
             # a sub-0.5ms query rounds to med 0.000 at bench.py's
@@ -278,7 +302,26 @@ def classify_cross_round(prev: dict, curr: dict):
                     else ""
                 )
                 if abs(d_core) < ABS_CODE_FLOOR or abs(core_rel) <= NOISE_FLOOR:
-                    if abs(d_setup) >= ABS_CODE_FLOOR:
+                    if abs(d_setup) > SETUP_ABS_CEILING:
+                        # r13 verdict item 2: the setup class had no
+                        # upper bound, so a genuine pre-scan code
+                        # regression would hide in it forever —
+                        # beyond ~3x the known pre-scan band it gets
+                        # the code-flag treatment (escalated, with the
+                        # dismissal instruction)
+                        cls = "setup-code"
+                        why = (
+                            f"setup {d_setup:+.2f}s exceeds the "
+                            f"{SETUP_ABS_CEILING:.1f}s setup ceiling "
+                            f"(~3x the 0.45-0.68s pre-scan band; core "
+                            f"{d_core:+.2f}s{maint_txt} inside floors) "
+                            "— a setup-PHASE code change, not staging "
+                            "noise: verify with git diff over the "
+                            "estimator/setup path (estimate_open_groups"
+                            "/cached_open_groups/_rollup_events_src) "
+                            "and a same-head repeat"
+                        )
+                    elif abs(d_setup) >= ABS_CODE_FLOOR:
                         cls = "setup"
                         why = (
                             f"wall {d_wall:+.2f}s is setup-phase movement "
@@ -458,7 +501,8 @@ def print_cross_round(
     print(
         f"cross-round vs {label}: {counts['noise']} noise / "
         f"{counts['fsync-regime']} fsync-regime / "
-        f"{counts.get('setup', 0)} setup / {counts['code']} code "
+        f"{counts.get('setup', 0)} setup / "
+        f"{counts.get('setup-code', 0)} setup-code / {counts['code']} code "
         f"(mix median shift {summary['mix_shift']:+.1%} over {len(rows)} "
         f"shared queries; {ids}; informational — the <=2x pin contract "
         "gates)"

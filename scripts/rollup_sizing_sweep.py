@@ -62,6 +62,36 @@ def main() -> None:
     load_1m, comparable = bench._await_quiet_machine()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+    from video_stream_processor_spark.streaming.rollup import (
+        MIN_DERIVED_STATE_STORES,
+        SIZING_SWEEP_CPUS,
+    )
+
+    cpus = os.cpu_count()
+    if cpus != SIZING_SWEEP_CPUS:
+        # r13 verdict item 5: the floor's U-curve (and therefore
+        # MIN_DERIVED_STATE_STORES) was measured on a specific machine
+        # class — the low-side parallelism-loss knee moves with core
+        # count, so a sweep on a different box is a NEW measurement,
+        # not a comparison against the stamped one.
+        print(
+            json.dumps(
+                {
+                    "warning": "machine-class mismatch",
+                    "detail": (
+                        f"this box has {cpus} CPUs; the stamped sweep "
+                        f"behind MIN_DERIVED_STATE_STORES="
+                        f"{MIN_DERIVED_STATE_STORES} ran on "
+                        f"{SIZING_SWEEP_CPUS} (SCALE.md r13 block). "
+                        "Treat this run as a fresh measurement and "
+                        "re-derive the floor; update SIZING_SWEEP_CPUS "
+                        "when adopting it."
+                    ),
+                }
+            ),
+            flush=True,
+        )
+
     from video_stream_processor_spark.session import get_spark
 
     spark = get_spark(app_name="vsp-sizing-sweep")

@@ -528,6 +528,61 @@ def test_classify_phase_aware_lifecycle():
     assert classes(rows)["leg"] in ("noise", "fsync-regime", "code")
 
 
+def test_classify_setup_code_escalation():
+    """r13 verdict item 2: the `setup` class had no upper bound — a
+    genuine code regression in the pre-scan itself (0.5 s -> 5 s) would
+    classify `setup` forever and never trigger the empty-diff dismissal
+    workflow `code` flags get. Beyond SETUP_ABS_CEILING (~3x the known
+    pre-scan band) the class escalates to `setup-code` and carries the
+    verify-with-git-diff instruction."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_bench_pins import SETUP_ABS_CEILING, classify_cross_round
+
+    sp = lambda t: {"min": t - 0.01, "med": t, "max": t + 0.01}  # noqa: E731
+
+    def leg_run(wall, setup, cio):
+        run = _mk_run(
+            {"leg": wall}, spread={"leg": sp(wall)}, commit_io={"leg": cio}
+        )
+        run["phases"] = {
+            "leg": {
+                "setup": setup,
+                "maintain": round(wall - setup - 0.2, 3),
+                "compact": 0.1,
+                "serve": 0.1,
+                "commit_io_s": cio,
+            }
+        }
+        return run
+
+    # the verdict's example: pre-scan 0.5 s -> 5 s at flat core and
+    # flat commit-I/O — escalates instead of hiding in `setup`
+    rows, summary = classify_cross_round(
+        leg_run(2.5, 0.5, 1.0), leg_run(7.0, 5.0, 1.0)
+    )
+    name, _, _, _, cls, why = rows[0]
+    assert (name, cls) == ("leg", "setup-code")
+    assert "git diff" in why and "estimator" in why
+    assert summary["counts"]["setup-code"] == 1
+    assert summary["counts"]["code"] == 0
+
+    # a setup IMPROVEMENT of the same magnitude escalates too (the
+    # r14 persisted-estimate change is exactly this shape: the reader
+    # should verify it against the diff that claims it, not wave it by)
+    rows, summary = classify_cross_round(
+        leg_run(7.0, 5.0, 1.0), leg_run(2.5, 0.5, 1.0)
+    )
+    assert rows[0][4] == "setup-code"
+
+    # at/below the ceiling the benign `setup` class is unchanged
+    just_under = SETUP_ABS_CEILING - 0.1
+    rows, summary = classify_cross_round(
+        leg_run(2.0, 0.1, 1.0), leg_run(2.0 + just_under, 0.1 + just_under, 1.0)
+    )
+    assert rows[0][4] == "setup"
+    assert summary["counts"]["setup-code"] == 0
+
+
 def test_check_scale_claims_derives_outliers():
     """r12 verdict item 2: the SCALE.md claims are DERIVED from the
     appended raw JSON — a rising sec/Mrow leg and a skew hotspot are
