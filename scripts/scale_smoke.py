@@ -88,14 +88,24 @@ COPIES = 8
 STRIDE = 100_000_000  # key shift per copy; far above any fixture id
 
 
-def _multiply(df: DataFrame, id_cols: list[str], text_col: str | None = None) -> DataFrame:
-    """Union COPIES key-remapped copies of a table (one narrow
+def _multiply(
+    df: DataFrame,
+    id_cols: list[str],
+    text_col: str | None = None,
+    copies: int = COPIES,
+) -> DataFrame:
+    """Union ``copies`` key-remapped copies of a table (one narrow
     explode — no shuffle), keeping join keys consistent across tables
     multiplied with the same stride."""
-    c = F.explode(F.array(*[F.lit(i) for i in range(COPIES)])).alias("__copy")
+    c = F.explode(F.array(*[F.lit(i) for i in range(copies)])).alias("__copy")
     out = df.select("*", c)
     for col in id_cols:
-        out = out.withColumn(col, F.col(col) + F.col("__copy") * STRIDE)
+        # long arithmetic: at copies>21 the int32 product copy*STRIDE
+        # overflows under ANSI mode (hit by scale_x64.py's 64 copies);
+        # the remapped key column widens int->long, same join semantics
+        out = out.withColumn(
+            col, F.col(col) + F.col("__copy").cast("long") * F.lit(STRIDE)
+        )
     if text_col is not None:
         # preserve NULL text as NULL (concat_ws would silently turn a
         # NULL doc into the one-token string "c<copy>", changing the

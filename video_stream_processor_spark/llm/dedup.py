@@ -403,6 +403,54 @@ def minhash_signatures_oph(
     )
 
 
+def _lsh_banded(sig: DataFrame, bands: int, rows: int) -> DataFrame:
+    """(doc_id, band, bucket) from a signature frame: each band's
+    bucket key is the xxhash64 of its ``rows`` signature slots, derived
+    map-side and exploded — no shuffle until the caller groups on
+    (band, bucket). Shared by the pair generator and the bucket-size
+    probe (`minhash_bucket_sizes`) so the measured distribution is the
+    production banding, not a re-implementation."""
+    band_cols = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(*[F.col(f"h{b * rows + j}") for j in range(rows)]).alias(
+                    "bucket"
+                ),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def minhash_bucket_sizes(
+    docs: DataFrame,
+    k: int = MINHASH_K,
+    bands: int = MINHASH_BANDS,
+    one_perm: bool = False,
+) -> DataFrame:
+    """(band, bucket, n_docs) over the EXACT banding
+    `minhash_near_dup_pairs` joins on — the per-bucket occupancy whose
+    tail bounds candidate-pair explosion (a bucket of n docs explodes
+    C(n,2) candidate structs in the pair stage). The 100 TB design
+    claim "bucket sizes are small by LSH construction" is a
+    distributional statement; this probe makes it measurable on any
+    corpus (scripts/scale_x64.py stamps max + percentiles at the x64
+    point)."""
+    rows = k // bands
+    arr = _memo_checkpoint(_doc_shingle_arrays(docs), "minhash_arr")
+    sig_fn = minhash_signatures_oph if one_perm else minhash_signatures
+    sig = sig_fn(arr, k).drop("sh_arr")
+    return (
+        _lsh_banded(sig, bands, rows)
+        .groupBy("band", "bucket")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 def minhash_near_dup_pairs(
     docs: DataFrame,
     threshold: float = 0.5,
@@ -444,20 +492,7 @@ def minhash_near_dup_pairs(
     arr = _memo_checkpoint(_doc_shingle_arrays(docs), "minhash_arr")
     sig_fn = minhash_signatures_oph if one_perm else minhash_signatures
     sig = sig_fn(arr, k).drop("sh_arr")
-    band_cols = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(*[F.col(f"h{b * rows + j}") for j in range(rows)]).alias(
-                    "bucket"
-                ),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sig.select("doc_id", F.explode(band_cols).alias("bb")).select(
-        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
-    )
+    banded = _lsh_banded(sig, bands, rows)
     # Pair generation by bucket grouping (not a self-join): one shuffle
     # on (band, bucket), pairs exploded from each bucket's sorted doc
     # list. Bucket sizes are small by LSH construction, so the in-row
