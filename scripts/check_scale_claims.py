@@ -40,9 +40,16 @@ import sys
 #: at an 8x row step shows up far above this.
 TOL = 0.25
 
+#: Two header generations (r14 verdict-item-6 change): the pre-r14
+#: shape stamped one ambiguous "load at start" (sampled AFTER the
+#: smoke run — r13's "9.35"); since r14 gauntlet.sh prints the
+#: governing in-script gate load and the post-run append-time load,
+#: labeled. Old blocks in SCALE.md keep their shape, so both parse.
 _HDR = re.compile(
-    r"^### Gauntlet run (?P<tag>\S+) \((?P<ts>[^,]+), head (?P<head>\S+), "
-    r"load at start (?P<load>[\d.]+)\)"
+    r"^### Gauntlet run (?P<tag>\S+) \((?P<ts>[^,;]+), head (?P<head>[^,;\s]+)"
+    r"(?:, load at start (?P<load>[\d.]+)"
+    r"|; scale_smoke idle-gated at load (?P<gate_load>\S+), "
+    r"post-run load at append (?P<append_load>[\d.]+))\)"
 )
 
 
@@ -160,11 +167,20 @@ def derive(block: dict) -> tuple[list[str], int]:
         if meta
         else "pre-r13 block: no in-script idle gate recorded"
     )
+    if block.get("load") is not None:
+        hdr_load_txt = f"gauntlet start load {block['load']}"
+    else:
+        # r14+ header: the gate load leads, the append-time load is
+        # context (verdict r13 item 6 — the governing number first)
+        hdr_load_txt = (
+            f"header gate load {block['gate_load']}, post-run append "
+            f"load {block['append_load']}"
+        )
     lines.insert(
         0,
         f"Derived claims (scripts/check_scale_claims.py over the "
-        f"{block['tag']} block, head {block['head']}, gauntlet start load "
-        f"{block['load']}; {gate_txt}):",
+        f"{block['tag']} block, head {block['head']}, {hdr_load_txt}; "
+        f"{gate_txt}):",
     )
     return lines, outliers
 
