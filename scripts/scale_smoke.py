@@ -451,12 +451,29 @@ def main() -> None:
     from bench import _await_quiet_machine
 
     load_start, comparable = _await_quiet_machine()
+    # Fixed-work CPU calibration (r14): BOTH r14 gauntlet smokes ran
+    # 2-17x slow on the x8 doc legs with the loadavg gate green at
+    # 0.11-0.15 — a post-suite machine mode loadavg cannot see. A
+    # single-thread fixed numpy workload timed here puts the machine's
+    # effective speed IN the artifact: this box idles at ~1.8 s
+    # (measured at r14 head, load 0.1); a meaningfully higher stamp
+    # marks the whole block suspect before any curve is read.
+    import numpy as np
+
+    rng = np.random.default_rng(42)
+    a = rng.random((1200, 1200))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a
+        a /= np.linalg.norm(a)
+    calib_ms = round((time.perf_counter() - t0) * 1000, 1)
     print(
         json.dumps(
             {
                 "meta": "scale_smoke",
                 "load_1m_start": load_start,
                 "comparable": comparable,
+                "calib_ms": calib_ms,
             }
         ),
         flush=True,
