@@ -122,6 +122,35 @@ def test_cli_rollup_maintain_backfill_read(spark, sf_dir, tmp_path, capsys):
     assert main(["rollup", "--table-dir", live, "--compact"]) == 1  # missing --base-dir
 
 
+def test_cli_rollup_rebuild_reads_persisted_estimate(
+    spark, sf_dir, tmp_path, capsys
+):
+    """r13 verdict item 3 in the CLI: the first auto-sized start
+    computes the open-groups estimate and persists it beside the
+    checkpoint (<ckpt>_sizing/); a table REBUILD — fresh checkpoint,
+    same landing data, the only case that re-enters the derivation —
+    reads it back instead of re-paying the occupancy pre-scan, and
+    says so in its provenance line."""
+    import os
+    import shutil
+
+    live = str(tmp_path / "live")
+    ckpt = f"{live}_ckpt"  # the CLI's default checkpoint path
+    assert main(["rollup", "--sf-dir", sf_dir, "--table-dir", live]) == 0
+    err = capsys.readouterr().err
+    assert "expected_open_groups=" in err and "(computed:" in err
+    assert os.path.isdir(f"{ckpt}_sizing")
+    # rebuild: drop table + checkpoint, keep the sizing sidecar
+    shutil.rmtree(live)
+    shutil.rmtree(ckpt)
+    assert main(["rollup", "--sf-dir", sf_dir, "--table-dir", live]) == 0
+    err = capsys.readouterr().err
+    assert "(cached:" in err, err
+    # same estimate either way — the cache is an amortization, never a
+    # different answer (both lines name the same derived value)
+    assert spark.read.parquet(live).count() > 0
+
+
 def test_cli_layout_zorder_roundtrip(spark, sf_dir, tmp_path, capsys):
     """layout --zorder-by rewrites a fixture table losslessly through
     the sink's Morton path; bad flag combinations exit 1 with a

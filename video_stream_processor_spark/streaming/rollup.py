@@ -491,15 +491,25 @@ def _source_fingerprint(local_dir: str) -> str:
     import os
 
     entries = []
-    for root, dirs, files in os.walk(local_dir):
-        dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
-        for name in sorted(files):
-            if name.startswith(("_", ".")):
-                continue
-            p = os.path.join(root, name)
-            st = os.stat(p)
-            rel = os.path.relpath(p, local_dir)
-            entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    if os.path.isfile(local_dir):
+        # single-file source (the fixture tables are one parquet file
+        # each): fingerprint that file — an empty walk here would give
+        # every file source the SAME fingerprint, silently serving one
+        # source's estimate for another
+        st = os.stat(local_dir)
+        entries.append(
+            f"{os.path.basename(local_dir)}:{st.st_size}:{st.st_mtime_ns}"
+        )
+    else:
+        for root, dirs, files in os.walk(local_dir):
+            dirs[:] = sorted(d for d in dirs if not d.startswith(("_", ".")))
+            for name in sorted(files):
+                if name.startswith(("_", ".")):
+                    continue
+                p = os.path.join(root, name)
+                st = os.stat(p)
+                rel = os.path.relpath(p, local_dir)
+                entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
     return hashlib.sha256("\n".join(entries).encode()).hexdigest()
 
 
@@ -511,6 +521,7 @@ def cached_open_groups(
     group_col: str = "event_type",
     ts_col: str = "ts",
     cache_dir: str | None = None,
+    events: DataFrame | None = None,
 ) -> tuple[int, str]:
     """`estimate_open_groups` with the result PERSISTED next to the
     source (r13 verdict item 3): the occupancy pre-scan is a real
@@ -534,11 +545,19 @@ def cached_open_groups(
     The cache file lives IN the source dir by default
     (``_rollup_open_groups.json`` — the leading underscore keeps it
     invisible to parquet scans, like the compaction manifest); pass
-    ``cache_dir`` to keep a read-only landing dir pristine. A remote
+    ``cache_dir`` to keep a read-only landing dir pristine (the CLI
+    caches beside the checkpoint, ``<ckpt>_sizing/``). A remote
     source URI (hdfs://, s3a://) has no local listing to fingerprint,
-    so the estimate is computed fresh each call there — at cluster
-    scale persist it beside the checkpoint via ``cache_dir`` on a
-    local scratch path, or carry the returned int explicitly."""
+    so staleness cannot be detected and the estimate is computed
+    fresh each call there — carry the returned int explicitly at
+    cluster scale (caching without a fingerprint would silently serve
+    a stale estimate, the one failure mode worse than re-scanning).
+
+    ``events`` overrides the frame the estimator scans while the
+    FINGERPRINT still comes from ``source_dir``'s listing: sources
+    whose raw files need a normalizing loader (the fixture's
+    TIMESTAMP(NANOS) events need ``io.load_table``, which a bare
+    ``spark.read.parquet`` refuses) pass their loaded frame here."""
     import json
     import os
     import warnings
@@ -552,8 +571,9 @@ def cached_open_groups(
     }
 
     def _compute() -> int:
+        sample = spark.read.parquet(source_dir) if events is None else events
         return estimate_open_groups(
-            spark.read.parquet(source_dir),
+            sample,
             size=size,
             watermark=watermark,
             group_col=group_col,
@@ -562,7 +582,21 @@ def cached_open_groups(
 
     if local_src is None and cache_dir is None:
         return _compute(), "computed"
-    cache_home = cache_dir if cache_dir is not None else local_src
+    if cache_dir is not None:
+        cache_home = cache_dir
+    elif local_src is not None and os.path.isdir(local_src):
+        cache_home = local_src
+    else:
+        # single-FILE source with no cache_dir: the file's parent may
+        # be a read-only fixture dir this code must not write into —
+        # compute fresh and say how to amortize
+        warnings.warn(
+            f"cached_open_groups: source {source_dir!r} is a single "
+            "file and no cache_dir was given; computing fresh — pass "
+            "cache_dir= to persist the estimate",
+            stacklevel=2,
+        )
+        return _compute(), "computed"
     fingerprint = None if local_src is None else _source_fingerprint(local_src)
     cache_path = os.path.join(cache_home, _OPEN_GROUPS_FILE)
     if os.path.exists(cache_path):
