@@ -39,13 +39,16 @@ suffix, which leaves the copies 8-way NEAR-duplicates — fine at
 C(8,2)=28 injected pairs per base doc, but at 64 copies that is
 C(64,2)=2016 pairs per doc (~10M verified pairs from 5k docs): the
 leg would measure pair-list materialization, not bucket behavior. The
-x64 document multiplication therefore interleaves a per-copy token
-BETWEEN every word (``regexp_replace`` of each space), which puts the
-copy token inside every bigram shingle: copies share no shingles, so
-the x64 corpus is 320k pairwise-distinct docs and the measured bucket
-distribution is the honest hash-dispersion behavior. Within-copy
-seeded near-dups survive per copy, so the verified-pair output stays
-linear in copies (64x the base corpus's).
+x64 document multiplication therefore SUFFIXES a per-copy tag onto
+every word (``w1 w2`` -> ``w1~c5 w2`` in copy 5, one ``regexp_replace``
+of each space — see ``_distinct_docs_x64``), which puts the copy tag
+inside every bigram shingle: copies share no shingles, so the x64
+corpus is 320k pairwise-distinct docs and the measured bucket
+distribution is the honest hash-dispersion behavior. (The rejected
+first cut interleaved the token BETWEEN words, which degraded bigram
+similarity to per-copy unigram overlap and exploded to 4.8M pairs.)
+Within-copy seeded near-dups survive per copy, so the verified-pair
+output stays linear in copies (64x the base corpus's).
 
 Classifier-silent by design: these are one-off SCALE.md measurements,
 not bench-artifact legs (they appear in no BENCH_r*.json, so the

@@ -1869,3 +1869,86 @@ def test_manifest_writers_are_atomic_under_same_pid_concurrency(tmp_path):
     import os
 
     assert [n for n in os.listdir(base) if n.endswith(".tmp")] == []
+
+
+def test_source_fingerprint_empty_listing_is_none(tmp_path):
+    """r14 advisor: an empty or nonexistent local source must not hash
+    the EMPTY listing — every such source would share one constant
+    fingerprint, so with a shared cache_dir two distinct empty-dir
+    sources could serve each other's cached estimate. None makes the
+    caller compute fresh and never cache (same contract as a remote
+    URI)."""
+    from video_stream_processor_spark.streaming.rollup import (
+        _source_fingerprint,
+    )
+
+    empty = tmp_path / "empty_landing"
+    empty.mkdir()
+    assert _source_fingerprint(str(empty)) is None
+    assert _source_fingerprint(str(tmp_path / "never_created")) is None
+    # sidecar-only dirs list as empty too (underscore entries are
+    # skipped by design) — also no fingerprint
+    side = tmp_path / "sidecars_only"
+    side.mkdir()
+    (side / "_rollup_open_groups.json").write_text("{}")
+    assert _source_fingerprint(str(side)) is None
+    # a real data file still fingerprints, and distinctly per content
+    d = tmp_path / "real"
+    d.mkdir()
+    (d / "part-0.parquet").write_text("x")
+    fp = _source_fingerprint(str(d))
+    assert isinstance(fp, str) and len(fp) == 64
+
+
+def test_cached_open_groups_empty_sources_never_share(spark, tmp_path):
+    """Behavioral half of the r14 advisor fix: two DISTINCT empty-dir
+    sources pointing at one shared cache_dir (the unreachable-today
+    cross-serving setup) each compute from their own events= frame —
+    neither reads the other's estimate, and nothing is cached under
+    the constant empty fingerprint."""
+    import os
+
+    from video_stream_processor_spark.streaming.rollup import (
+        _OPEN_GROUPS_FILE,
+        cached_open_groups,
+    )
+
+    a = tmp_path / "src_a"
+    b = tmp_path / "src_b"
+    a.mkdir()
+    b.mkdir()
+    shared = str(tmp_path / "shared_cache")
+    few = _ts_type_frame(spark, [("2024-01-01 00:00:00", "t0")])
+    many = _ts_type_frame(
+        spark,
+        [("2024-01-01 00:00:00", f"t{k}") for k in range(12)],
+    )
+    est_a, prov_a = cached_open_groups(
+        spark, str(a), size="1 day", watermark="30 minutes",
+        cache_dir=shared, events=few,
+    )
+    est_b, prov_b = cached_open_groups(
+        spark, str(b), size="1 day", watermark="30 minutes",
+        cache_dir=shared, events=many,
+    )
+    assert prov_a == prov_b == "computed"
+    assert est_b > est_a  # b saw ITS data, not a's cached answer
+    assert not os.path.exists(os.path.join(shared, _OPEN_GROUPS_FILE))
+
+
+def test_cli_sizing_cache_dir_resolves_file_scheme(tmp_path):
+    """r14 advisor: the sizing cache dir is an OS-level path, so a
+    file:-scheme --checkpoint (supported everywhere else) must resolve
+    to its local path before '_sizing' is appended — the raw string
+    made os.makedirs create a cwd-relative './file:/...' junk dir that
+    only round-tripped while cwd was stable."""
+    from video_stream_processor_spark.__main__ import _sizing_cache_dir
+
+    plain = str(tmp_path / "ckpt")
+    assert _sizing_cache_dir(plain) == plain + "_sizing"
+    assert _sizing_cache_dir(plain + "/") == plain + "_sizing"
+    assert _sizing_cache_dir(f"file://{plain}") == plain + "_sizing"
+    assert _sizing_cache_dir(f"file:{plain}") == plain + "_sizing"
+    assert (
+        _sizing_cache_dir(f"file://localhost{plain}") == plain + "_sizing"
+    )

@@ -232,6 +232,25 @@ def _sizing_would_derive(checkpoint_dir: str) -> bool:
     return local is not None and _checkpointed_state_partitions(local) is None
 
 
+def _sizing_cache_dir(checkpoint_dir: str) -> str:
+    """The sizing-estimate sidecar dir beside a checkpoint:
+    ``<ckpt>_sizing`` as an OS-LEVEL path. Resolves a file:-scheme
+    checkpoint through `_local_checkpoint_path` first (r14 advisor: the
+    raw string made os.makedirs treat ``file:///x_sizing`` as a
+    cwd-relative junk path ``./file:/...``, so the cache never
+    round-tripped). Callers reach here only after `_sizing_would_derive`
+    passed, which guarantees the local resolution is non-None."""
+    from .streaming.rollup import _local_checkpoint_path
+
+    local = _local_checkpoint_path(checkpoint_dir)
+    if local is None:  # pragma: no cover — guarded by _sizing_would_derive
+        raise ValueError(
+            f"_sizing_cache_dir: {checkpoint_dir!r} has no local path; "
+            "callers must gate on _sizing_would_derive first"
+        )
+    return f"{local.rstrip('/')}_sizing"
+
+
 def cmd_rollup(args: argparse.Namespace) -> int:
     """Incrementally-maintained rollup table (streaming/rollup.py) as a
     CLI: the incremental replacement for the reference's 2-hour-cron
@@ -322,7 +341,7 @@ def cmd_rollup(args: argparse.Namespace) -> int:
                 os.path.join(args.sf_dir, "events.parquet"),
                 size=args.size,
                 watermark=args.watermark,
-                cache_dir=f"{ckpt.rstrip('/')}_sizing",
+                cache_dir=_sizing_cache_dir(ckpt),
                 events=load_table(spark, args.sf_dir, "events"),
             )
             print(

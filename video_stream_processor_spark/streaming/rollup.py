@@ -478,15 +478,22 @@ _OPEN_GROUPS_FILE = "_rollup_open_groups.json"
 _OPEN_GROUPS_CACHE_VERSION = 1
 
 
-def _source_fingerprint(local_dir: str) -> str:
+def _source_fingerprint(local_dir: str) -> str | None:
     """Content-identity of a landing dir for estimate staleness: the
     sha256 of its sorted (relative path, size, mtime_ns) data-file
-    listing. Metadata-only — no file is opened, so fingerprinting a
-    100 TB table costs one directory walk, the same listing cost
-    Spark's own file index pays every read. Underscore/dot-prefixed
-    entries are skipped: sidecars (including the estimate cache
-    itself) and ``_spark_metadata`` must not churn the fingerprint
-    they key."""
+    listing, or None when the path has no data files to fingerprint
+    (nonexistent, or a dir whose walk yields nothing). Metadata-only —
+    no file is opened, so fingerprinting a 100 TB table costs one
+    directory walk, the same listing cost Spark's own file index pays
+    every read. Underscore/dot-prefixed entries are skipped: sidecars
+    (including the estimate cache itself) and ``_spark_metadata`` must
+    not churn the fingerprint they key.
+
+    The None (instead of hashing the empty listing) matters: every
+    empty source would otherwise share ONE constant fingerprint, so
+    with a shared cache_dir two distinct empty-dir sources could serve
+    each other's cached estimate (r14 advisor). None makes the caller
+    compute fresh and never cache, same as a remote URI."""
     import hashlib
     import os
 
@@ -510,6 +517,8 @@ def _source_fingerprint(local_dir: str) -> str:
                 st = os.stat(p)
                 rel = os.path.relpath(p, local_dir)
                 entries.append(f"{rel}:{st.st_size}:{st.st_mtime_ns}")
+    if not entries:
+        return None
     return hashlib.sha256("\n".join(entries).encode()).hexdigest()
 
 
