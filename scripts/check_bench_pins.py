@@ -127,6 +127,26 @@ RES_FLOOR = 0.005
 SETUP_ABS_CEILING = 2.0
 
 
+def calib_state(artifact: dict) -> tuple[bool | None, str]:
+    """(machine_mode, description) from an artifact's run-bracketing
+    calibration stamps (r14 verdict item 2: bench.py stamps
+    `calib_ms`/`calib_ms_end` from bench.calibrate_ms plus the
+    `calib_band_ms` idle band it is read against). machine_mode is
+    None for pre-r15 artifacts without the stamp — 'unknown', which is
+    different from 'idle-verified'."""
+    start_ms = artifact.get("calib_ms")
+    band = artifact.get("calib_band_ms")
+    end_ms = artifact.get("calib_ms_end")
+    if start_ms is None or band is None:
+        return None, "no calib stamp (pre-r15 artifact): machine mode unknown"
+    degraded = start_ms > band or (end_ms is not None and end_ms > band)
+    ends = f", end {end_ms}" if end_ms is not None else ", no end stamp"
+    return degraded, (
+        f"calib_ms start {start_ms}{ends} vs idle band {band} — "
+        + ("DEGRADED machine window" if degraded else "idle-band machine")
+    )
+
+
 def merge_bench_lines(lines: list[str]) -> dict | None:
     """Recover bench.py's artifact from raw stdout lines: the compact
     headline (metric=headline_query_mix_total, the LAST such line) with
@@ -488,11 +508,28 @@ def print_cross_round(
             "  CAVEAT: at least one artifact is stamped (or defaults to) "
             "comparable=false — classes below lean noise by construction"
         )
+    # r14 verdict item 2: when either side's calibration stamps record
+    # a degraded machine window, every escalating class below carries
+    # the attribution mechanically — cross-window walls on a machine
+    # the stamps themselves show is bimodal are machine evidence first
+    degraded_sides = []
+    for side, art in (("prev", prev), ("curr", curr)):
+        mode, txt = calib_state(art)
+        if mode:
+            degraded_sides.append(side)
+            print(f"  CAVEAT: {side} artifact taken in a degraded machine window ({txt})")
+    mm_attrib = (
+        f" [auto-attributed to machine mode: {'/'.join(degraded_sides)} "
+        "calib stamp outside the idle band]"
+        if degraded_sides
+        else ""
+    )
     for name, p, c, d, cls, why in rows:
         d_txt = f"{d:+6.1%}" if math.isfinite(d) else "   n/a"
+        escal = mm_attrib if cls in ("code", "setup-code") else ""
         print(
             f"  {name:32s} {p:7.3f}s -> {c:7.3f}s  {d_txt}  "
-            f"{cls:12s} {why}"
+            f"{cls:12s} {why}{escal}"
         )
     for key in ("added", "dropped"):
         if summary[key]:
@@ -632,6 +669,11 @@ def check(baseline_path: str, bench_path: str, prev_path: str | None = None) -> 
         f"({len(rows)}/{len(pins)} pins present{missing_txt}, "
         f"load_1m={run.get('load_1m')}{spread_txt})"
     )
+    # machine-mode stamp (informational, never gates — the <=2x pin
+    # contract stays the only gate; a breach in a degraded window still
+    # fails and still means re-run idle)
+    _, calib_txt = calib_state(run)
+    print(f"machine window: {calib_txt}")
 
     # Cross-round classification (informational; r10 verdict item 1).
     # Any failure to find/load the previous artifact is reported, never

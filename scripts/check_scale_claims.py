@@ -55,14 +55,14 @@ _HDR = re.compile(
 
 def parse_blocks(text: str) -> list[dict]:
     """Every appended raw block: {tag, ts, head, load, ops: {op: curve},
-    meta: dict|None} in file order."""
+    meta: dict|None, meta_end: dict|None} in file order."""
     blocks = []
     cur = None
     in_json = False
     for line in text.splitlines():
         m = _HDR.match(line)
         if m:
-            cur = {**m.groupdict(), "ops": {}, "meta": None}
+            cur = {**m.groupdict(), "ops": {}, "meta": None, "meta_end": None}
             blocks.append(cur)
             in_json = False
             continue
@@ -81,9 +81,40 @@ def parse_blocks(text: str) -> list[dict]:
                 continue  # torn line: skip, the block check reports sparsity
             if obj.get("meta") == "scale_smoke":
                 cur["meta"] = obj
+            elif obj.get("meta") == "scale_smoke_end":
+                # r15: end-of-run calibration rides its own meta line
+                # so the start line's fields survive
+                cur["meta_end"] = obj
             elif "op" in obj and "curve" in obj:
                 cur["ops"][obj["op"]] = obj["curve"]
     return [b for b in blocks if b["ops"]]
+
+
+def calib_state(block: dict) -> tuple[bool | None, str]:
+    """(machine_mode, description) from the block's calibration stamps
+    (r14 verdict item 2). machine_mode is None when the block predates
+    the calib stamp (or carries one without its band — the short-lived
+    r14 matmul form, whose baseline never reproduced: r14 advisor), so
+    callers distinguish 'idle-verified' from 'unknown'."""
+    meta = block.get("meta") or {}
+    end = block.get("meta_end") or {}
+    start_ms = meta.get("calib_ms")
+    band = meta.get("calib_band_ms")
+    end_ms = end.get("calib_ms_end")
+    if start_ms is None or band is None:
+        if start_ms is not None:
+            return None, (
+                f"calib_ms {start_ms} stamped without a band (r14 "
+                "matmul-form stamp, unreliable baseline): machine mode "
+                "unknown"
+            )
+        return None, "no calib stamp (pre-r15 block): machine mode unknown"
+    degraded = start_ms > band or (end_ms is not None and end_ms > band)
+    ends = f", end {end_ms}" if end_ms is not None else ", no end stamp"
+    return degraded, (
+        f"calib_ms start {start_ms}{ends} vs idle band {band} — "
+        + ("DEGRADED machine window" if degraded else "idle-band machine")
+    )
 
 
 def _load_txt(point: dict) -> str:
@@ -95,6 +126,17 @@ def derive(block: dict) -> tuple[list[str], int]:
     """(report lines, outlier count) for one raw block."""
     lines: list[str] = []
     outliers = 0
+    machine_mode, calib_txt = calib_state(block)
+    # r14 verdict item 2: when the block's own calibration stamps say
+    # the machine window was degraded, each outlier carries the
+    # attribution mechanically — the r14 slow smokes cost three manual
+    # dismissal runs for movement the stamp now names
+    attrib = (
+        " [auto-attributed to machine mode: calib stamp outside the "
+        "idle band — re-measure idle before reading this as code]"
+        if machine_mode
+        else ""
+    )
     mono_ok = []
     for op, curve in sorted(block["ops"].items()):
         pts = sorted(
@@ -115,7 +157,7 @@ def derive(block: dict) -> tuple[list[str], int]:
         if rising:
             outliers += len(rising)
             for r in rising:
-                lines.append(f"  - OUTLIER (rising sec/Mrow): {r}")
+                lines.append(f"  - OUTLIER (rising sec/Mrow): {r}{attrib}")
         else:
             mono_ok.append(op)
     lines.insert(
@@ -140,7 +182,7 @@ def derive(block: dict) -> tuple[list[str], int]:
             skew_bad.append(
                 f"  - OUTLIER (skew hotspot): {op}: x8 "
                 f"{uni['sec_per_mrow']} -> x8skew {skew['sec_per_mrow']} "
-                f"sec/Mrow{_load_txt(skew)}"
+                f"sec/Mrow{_load_txt(skew)}{attrib}"
             )
     lines.append(
         "- x8skew sec/Mrow within tolerance of uniform x8 for every "
@@ -167,6 +209,15 @@ def derive(block: dict) -> tuple[list[str], int]:
         if meta
         else "pre-r13 block: no in-script idle gate recorded"
     )
+    gate_txt += f"; {calib_txt}"
+    if machine_mode and outliers:
+        lines.append(
+            f"- MACHINE-MODE WINDOW: {outliers} outlier(s) above are "
+            "auto-attributed to the degraded window the calib stamps "
+            "record, not to code — the supplemental-dismissal recipe "
+            "(idle re-probe) applies only if an idle re-run reproduces "
+            "them"
+        )
     if block.get("load") is not None:
         hdr_load_txt = f"gauntlet start load {block['load']}"
     else:

@@ -4,13 +4,22 @@
 # makes it one.  Chains, failing fast with a nonzero exit on the first
 # broken step:
 #
-#   1. full pytest suite at sf0.01   (driver correctness scale)   -> REHEARSAL.md
-#   2. full pytest suite at sf0.1    (scale rehearsal)            -> REHEARSAL.md
-#   3. idle-gated scale_smoke        (scaling curves)             -> SCALE.md appendix
-#   4. idle-gated bench.py, twice    (artifact + same-head repeat) -> BENCH_<tag>.json
+#   1. calm-gated scale_smoke        (scaling curves)             -> SCALE.md appendix
+#   2. full pytest suite at sf0.01   (driver correctness scale)   -> REHEARSAL.md
+#   3. full pytest suite at sf0.1    (scale rehearsal)            -> REHEARSAL.md
+#   4. calm-gated bench.py, twice    (artifact + same-head repeat) -> BENCH_<tag>.json
 #   5. check_bench_pins.py           (executable pin contract)
 #   6. gen_plan_audit.py             (plan fingerprints)          -> PLANS.md
 #   7. gen_coverage.py               (SURVEY-ID evidence map)     -> COVERAGE.md
+#
+# scale_smoke runs FIRST (r14 verdict item 3): in r9, r13, and twice
+# in r14 a smoke that followed the ~70 min of full-width suites hit a
+# post-suite machine-slow mode the loadavg gate (green at 0.11-0.15)
+# provably cannot see, costing supplemental dismissal runs each time.
+# Running it before the suites takes the smoke out of that window
+# entirely; the calm gate (loadavg AND the fixed-work calibration
+# inside its idle band) guards both timing steps against walking into
+# a degraded window from the previous activity.
 #
 # The bench step records TWO back-to-back runs at the same head and
 # appends the worst per-pin median delta to REHEARSAL.md — the
@@ -52,6 +61,33 @@ await_idle() {
   done
 }
 
+# r15 (r14 verdict items 2-3): loadavg passed green (0.11-0.15) during
+# both r14 degraded smokes, so "calm" also requires bench.calibrate_ms
+# inside its idle band — the single-thread fixed-work stamp that DOES
+# see the post-suite machine mode. Bounded like await_idle: a machine
+# that never calms still produces the round's artifacts, which
+# self-describe via their own calib stamps.
+await_calm() {
+  await_idle
+  local waited=0
+  while :; do
+    local probe
+    probe="$(python - <<'PY'
+import sys
+sys.path.insert(0, ".")
+from bench import CALIB_IDLE_BAND_MS, calibrate_ms
+ms = calibrate_ms()
+print(f"{ms}:{'ok' if ms <= CALIB_IDLE_BAND_MS else 'hot'}")
+PY
+)"
+    case "$probe" in
+      *:ok) say "calib in idle band (${probe%:ok} ms)"; return 0;;
+    esac
+    [ "$waited" -ge 600 ] && { say "WARN: calib still ${probe%:hot} ms after 600s; proceeding (artifact self-describes via its calib stamps)"; return 0; }
+    sleep 30; waited=$((waited + 30))
+  done
+}
+
 # r13 verdict item 8: the gauntlet's evidence runs buy a 4x hypothesis
 # example budget (tests/test_properties.py scales every max_examples;
 # derandomize stays on, so the bigger budget extends the deterministic
@@ -60,16 +96,8 @@ await_idle() {
 # leg, inside the r11-r13 wall-time band's headroom.
 export VSP_HYPOTHESIS_SCALE="${VSP_HYPOTHESIS_SCALE:-4}"
 
-say "step 1/7: pytest at sf0.01 (hypothesis scale ${VSP_HYPOTHESIS_SCALE})"
-VSP_TEST_SF_DIR=/root/testdata/sf0.01 bash scripts/dress_rehearsal.sh "${TAG}-sf001" \
-  || fail "pytest sf0.01"
-
-say "step 2/7: pytest at sf0.1 (hypothesis scale ${VSP_HYPOTHESIS_SCALE})"
-VSP_TEST_SF_DIR=/root/testdata/sf0.1 bash scripts/dress_rehearsal.sh "${TAG}-sf01" \
-  || fail "pytest sf0.1"
-
-say "step 3/7: scale_smoke (idle-gated)"
-await_idle
+say "step 1/7: scale_smoke (calm-gated; BEFORE the full-width suites — r14 verdict item 3)"
+await_calm
 SMOKE_LOG="$(mktemp /tmp/scale_smoke_${TAG}_XXXX.log)"
 python scripts/scale_smoke.py > "$SMOKE_LOG" 2>/tmp/scale_smoke_stderr.log \
   || fail "scale_smoke (stderr: /tmp/scale_smoke_stderr.log)"
@@ -110,8 +138,16 @@ CLAIMS="$(python scripts/check_scale_claims.py SCALE.md --tag "${TAG}")" \
 { echo ""; echo "$CLAIMS"; } >> SCALE.md
 say "scale_smoke appended to SCALE.md ($(wc -l < "$SMOKE_LOG") JSON lines) + derived claims"
 
-say "step 4/7: bench.py twice (idle-gated; artifact + same-head repeat)"
-await_idle
+say "step 2/7: pytest at sf0.01 (hypothesis scale ${VSP_HYPOTHESIS_SCALE})"
+VSP_TEST_SF_DIR=/root/testdata/sf0.01 bash scripts/dress_rehearsal.sh "${TAG}-sf001" \
+  || fail "pytest sf0.01"
+
+say "step 3/7: pytest at sf0.1 (hypothesis scale ${VSP_HYPOTHESIS_SCALE})"
+VSP_TEST_SF_DIR=/root/testdata/sf0.1 bash scripts/dress_rehearsal.sh "${TAG}-sf01" \
+  || fail "pytest sf0.1"
+
+say "step 4/7: bench.py twice (calm-gated; artifact + same-head repeat)"
+await_calm
 BENCH_OUT="BENCH_${TAG}.json"
 BENCH_RAW="$(mktemp /tmp/bench_${TAG}_raw_XXXX.out)"
 python bench.py 2>/tmp/bench_${TAG}_a.stderr > "$BENCH_RAW" \

@@ -43,7 +43,7 @@ SUPPLEMENTAL: dict[str, list[str]] = {
         "pipeline/sink.foreach_batch_overwrite (checkpointed overwrite-by-batch)",
         "pipeline/sink.write_partitioned (maxRecordsPerFile sizing + cluster_by, tests/test_scale_paths.py; zorder_by Morton layout for multi-dim stats pruning — one stats pass for all columns, operators/zorder.py + tests/test_zorder.py incl. the sf0.1 cluster_by-vs-zorder row-group pruning comparison; benched as zorder_write_pruned_read)",
     ],
-    "S8": ["pipeline/sink (exceptAll change detection)", "set_ops_suite query (O7 form)"],
+    "S8": ["plans/setops.set_ops_suite (exceptAll change detection)", "set_ops_suite query (O7 form)"],
     "S9": ["io.load_table — every registered query scans parquet"],
     "S10": ["pipeline/sink round-trip read", "tests/test_station.py"],
     "S11": ["io.load_events_stream", "tests/test_streaming.py"],

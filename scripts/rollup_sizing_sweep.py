@@ -20,10 +20,21 @@ lifecycle (maintain + compact + serve noop write — bench.py's exact
 timed unit, same builder); the median pass's phase decomposition and
 summed state-store commitTimeMs are recorded next to the wall median.
 
-Usage: python scripts/rollup_sizing_sweep.py [stores ...]
+Usage: python scripts/rollup_sizing_sweep.py [--fsync-stress] [stores ...]
        (default sweep: 4 6 8 12 16)
 Prints one JSON line per store count plus a final summary line; the
 curated table lands in SCALE.md.
+
+--fsync-stress (r14 verdict item 4): runs the timed passes with a
+background fsync hammer on the same filesystem as the checkpoints —
+the deliberate degraded-window data point. BENCH_r14_CONTROL_DIAG
+observed that in fsync-degraded windows fewer/fatter stores
+CONCENTRATE per-commit latency (auto_est 6.6 s/store vs auto's 1.4),
+which means the quiet-window 6-8 wall plateau may invert when the
+disk is slow; this flag measures that regime on purpose instead of
+waiting to catch it by accident. The hammer's own achieved fsync
+latency is stamped in the output so "how degraded" is in the
+artifact.
 """
 
 from __future__ import annotations
@@ -31,6 +42,8 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
+import threading
 import time
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -38,6 +51,59 @@ if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
 import bench  # noqa: E402  (the bench builders ARE the measured unit)
+
+
+class _FsyncHammer:
+    """Background fsync-pressure inducer: N threads each rewriting and
+    fsyncing a small file in a tight loop on the target filesystem.
+    Small files + fsync is exactly the state-store delta-commit I/O
+    shape, so the induced contention degrades the same queue the
+    maintainer's commits sit in. Tracks its own per-fsync latency so
+    the artifact records the achieved degradation, not just the
+    intent."""
+
+    def __init__(self, dirpath: str, threads: int = 4):
+        self._dir = dirpath
+        self._stop = threading.Event()
+        self._lat_ms: list[float] = []
+        self._lock = threading.Lock()
+        self._threads = [
+            threading.Thread(target=self._loop, args=(i,), daemon=True)
+            for i in range(threads)
+        ]
+
+    def _loop(self, i: int) -> None:
+        payload = os.urandom(64 * 1024)
+        path = os.path.join(self._dir, f"stress_{i}.bin")
+        while not self._stop.is_set():
+            t0 = time.perf_counter()
+            with open(path, "wb") as f:
+                f.write(payload)
+                f.flush()
+                os.fsync(f.fileno())
+            with self._lock:
+                self._lat_ms.append((time.perf_counter() - t0) * 1000)
+
+    def __enter__(self) -> "_FsyncHammer":
+        for t in self._threads:
+            t.start()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self._stop.set()
+        for t in self._threads:
+            t.join(timeout=10)
+
+    def stats(self) -> dict:
+        with self._lock:
+            lat = sorted(self._lat_ms)
+        if not lat:
+            return {"fsyncs": 0}
+        return {
+            "fsyncs": len(lat),
+            "fsync_p50_ms": round(lat[len(lat) // 2], 2),
+            "fsync_p99_ms": round(lat[int(len(lat) * 0.99)], 2),
+        }
 
 
 def run_once(spark, sf_dir: str, stores: int) -> dict:
@@ -57,7 +123,11 @@ def run_once(spark, sf_dir: str, stores: int) -> dict:
 
 
 def main() -> None:
-    sweep = [int(a) for a in sys.argv[1:]] or [4, 6, 8, 12, 16]
+    argv = list(sys.argv[1:])
+    fsync_stress = "--fsync-stress" in argv
+    if fsync_stress:
+        argv.remove("--fsync-stress")
+    sweep = [int(a) for a in argv] or [4, 6, 8, 12, 16]
     n_timed = int(os.environ.get("SWEEP_PASSES", "3"))
     load_1m, comparable = bench._await_quiet_machine()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -98,14 +168,32 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[int, dict] = {}
+    stress_stats: dict[int, dict] = {}
     for stores in sweep:
         run_once(spark, sf_dir, stores)  # warm (also stages the source)
-        passes = [run_once(spark, sf_dir, stores) for _ in range(n_timed)]
+        if fsync_stress:
+            # the stress dir lives inside bench's scratch root, which
+            # is where the checkpoints live too — same filesystem,
+            # same fsync queue (the whole point); hammer runs ONLY
+            # around the timed passes, fresh per store count so the
+            # achieved degradation is stamped per point
+            stress_dir = tempfile.mkdtemp(
+                prefix="fsync_stress_", dir=bench._tmp_root()
+            )
+            with _FsyncHammer(stress_dir) as hammer:
+                passes = [
+                    run_once(spark, sf_dir, stores) for _ in range(n_timed)
+                ]
+            stress_stats[stores] = hammer.stats()
+        else:
+            passes = [run_once(spark, sf_dir, stores) for _ in range(n_timed)]
         med = sorted(passes, key=lambda r: r["wall"])[len(passes) // 2]
         med["spread"] = {
             "min": min(r["wall"] for r in passes),
             "max": max(r["wall"] for r in passes),
         }
+        if fsync_stress:
+            med["fsync_stress"] = stress_stats[stores]
         results[stores] = med
         print(json.dumps({"stores": stores, **med}), flush=True)
 
@@ -119,6 +207,7 @@ def main() -> None:
                 "timed_passes": n_timed,
                 "load_1m": load_1m,
                 "comparable": comparable,
+                "fsync_stress": fsync_stress,
                 "wall_optimal_stores": by_wall,
                 "commit_io_optimal_stores": by_cio,
             }

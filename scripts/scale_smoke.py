@@ -448,32 +448,27 @@ def main() -> None:
     # owns it): sample BEFORE any Spark work, bounded wait, and the
     # output self-describes comparability instead of trusting the
     # caller's label (r12 verdict item 2)
-    from bench import _await_quiet_machine
+    from bench import CALIB_IDLE_BAND_MS, _await_quiet_machine, calibrate_ms
 
     load_start, comparable = _await_quiet_machine()
-    # Fixed-work CPU calibration (r14): BOTH r14 gauntlet smokes ran
-    # 2-17x slow on the x8 doc legs with the loadavg gate green at
-    # 0.11-0.15 — a post-suite machine mode loadavg cannot see. A
-    # single-thread fixed numpy workload timed here puts the machine's
-    # effective speed IN the artifact: this box idles at ~1.8 s
-    # (measured at r14 head, load 0.1); a meaningfully higher stamp
-    # marks the whole block suspect before any curve is read.
-    import numpy as np
-
-    rng = np.random.default_rng(42)
-    a = rng.random((1200, 1200))
-    t0 = time.perf_counter()
-    for _ in range(3):
-        a = a @ a
-        a /= np.linalg.norm(a)
-    calib_ms = round((time.perf_counter() - t0) * 1000, 1)
+    # Fixed-work CPU calibration (r14, reworked r15): BOTH r14 gauntlet
+    # smokes ran 2-17x slow on the x8 doc legs with the loadavg gate
+    # green at 0.11-0.15 — a post-suite machine mode loadavg cannot
+    # see. bench.calibrate_ms (min-of-5 of a BLAS-free single-thread
+    # numpy pass; the r14 matmul form spread 3.5x run-to-run and its
+    # ~1.8 s baseline never reproduced — r14 advisor) puts the
+    # machine's effective speed IN the artifact, start AND end, with
+    # the idle band it is read against; check_scale_claims
+    # auto-attributes outliers to the machine when either stamp
+    # exceeds the band.
     print(
         json.dumps(
             {
                 "meta": "scale_smoke",
                 "load_1m_start": load_start,
                 "comparable": comparable,
-                "calib_ms": calib_ms,
+                "calib_ms": calibrate_ms(),
+                "calib_band_ms": CALIB_IDLE_BAND_MS,
             }
         ),
         flush=True,
@@ -597,6 +592,16 @@ def main() -> None:
             )
     for name, curve in results.items():
         print(json.dumps({"op": name, "curve": curve}))
+    # end-of-run calibration, its own meta line so the start line's
+    # fields survive parsers that keep one object per meta tag: the
+    # r14 degraded windows ARRIVED mid-run (gate green at start, leg
+    # loads 9-12 later), which only an end-side stamp can show
+    print(
+        json.dumps(
+            {"meta": "scale_smoke_end", "calib_ms_end": calibrate_ms()}
+        ),
+        flush=True,
+    )
 
 
 if __name__ == "__main__":

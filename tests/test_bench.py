@@ -63,6 +63,13 @@ def test_bench_emits_contract_json():
         isinstance(v, float) for v in payload["queries"].values()
     )
     assert {"load_1m", "comparable"} <= set(payload)
+    # r15 (r14 verdict item 2): run-bracketing CPU calibration rides
+    # the HEADLINE line (so driver tail captures keep it) with the
+    # idle band it is read against — the artifact self-describes its
+    # machine window instead of relying on the loadavg gate both r14
+    # degraded smokes passed
+    assert {"calib_ms", "calib_ms_end", "calib_band_ms"} <= set(payload)
+    assert payload["calib_ms"] > 0 and payload["calib_ms_end"] > 0
     # r9: per-query noise-floor fields — 3 timed passes, min<=med<=max
     # per query, and the headline per-query number IS the median
     assert payload["timed_passes"] == 3
@@ -621,3 +628,171 @@ def test_check_scale_claims_derives_outliers():
     assert "skew_split_engaged true at the skew point only (as designed" in joined
     # the monotone op is claimed monotone, not flagged
     assert "flat-or-falling (tol +25%) through the uniform points for 2/3" in joined
+
+
+def test_calibrate_ms_fixed_work_smoke():
+    """bench.calibrate_ms: deterministic fixed work, min-of-N, BLAS-free
+    (r14 advisor: the matmul form spread 3.5x run-to-run on 2-thread
+    OpenBLAS, so its documented baseline never reproduced). The smoke
+    pins the contract — positive, finite, and fast enough to bracket
+    every timing artifact — not a timing band (machine-dependent)."""
+    sys.path.insert(0, REPO)
+    from bench import CALIB_IDLE_BAND_MS, calibrate_ms
+
+    ms = calibrate_ms(runs=3)
+    assert 0 < ms < 60_000
+    assert CALIB_IDLE_BAND_MS > 0
+
+
+def test_calib_state_three_generations():
+    """Both checkers read the same three-way contract: no stamp ->
+    unknown (None), stamp without band (the short-lived r14 matmul
+    form) -> unknown, v2 stamp -> boolean against the artifact's OWN
+    band (each artifact carries the band its workload was measured
+    against, so a future workload change can't misread old stamps)."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_bench_pins import calib_state as bench_calib
+    from check_scale_claims import calib_state as smoke_calib
+
+    mode, txt = bench_calib({})
+    assert mode is None and "no calib stamp" in txt
+    # band-less stamp (the r14 matmul form never shipped in a bench
+    # artifact, but the reader must not invent a band for one)
+    assert bench_calib({"calib_ms": 1800.0})[0] is None
+    ok = {"calib_ms": 150.0, "calib_ms_end": 160.0, "calib_band_ms": 230.0}
+    mode, txt = bench_calib(ok)
+    assert mode is False and "idle-band machine" in txt
+    # either bracket stamp above the band marks the window degraded
+    assert bench_calib({**ok, "calib_ms": 900.0})[0] is True
+    assert bench_calib({**ok, "calib_ms_end": 900.0})[0] is True
+    # no end stamp: judged on start alone, said out loud
+    mode, txt = bench_calib({"calib_ms": 150.0, "calib_band_ms": 230.0})
+    assert mode is False and "no end stamp" in txt
+
+    # the smoke-side reader consumes the block shape (meta + meta_end
+    # lines) with the identical three-way contract
+    blk = lambda meta, end=None: {"meta": meta, "meta_end": end}  # noqa: E731
+    assert smoke_calib(blk(None))[0] is None
+    assert smoke_calib(blk({"load_1m_start": 0.1}))[0] is None
+    assert (
+        smoke_calib(blk({"calib_ms": 1800.0}))[0] is None
+    )  # r14 matmul form: band-less stamp stays unknown
+    assert (
+        smoke_calib(blk({"calib_ms": 150.0, "calib_band_ms": 230.0}))[0]
+        is False
+    )
+    assert (
+        smoke_calib(
+            blk(
+                {"calib_ms": 150.0, "calib_band_ms": 230.0},
+                {"calib_ms_end": 900.0},
+            )
+        )[0]
+        is True
+    )
+
+
+def test_scale_claims_auto_attribute_r14_slow_block():
+    """r14 verdict item 2's done-bar, run against the REAL r14
+    slow-smoke block committed in SCALE.md (minhash_pairs 83.1 s at x8,
+    leg load 12.3): as committed it predates the calib stamp, so the
+    checker says machine mode is UNKNOWN and the outliers stand
+    un-attributed (that block cost three manual dismissal runs); the
+    same block bearing r15 calib stamps outside the idle band gets its
+    outliers auto-attributed to the machine window mechanically."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_scale_claims import derive, parse_blocks
+
+    with open(os.path.join(REPO, "SCALE.md")) as f:
+        blocks = parse_blocks(f.read())
+    slow = [
+        b
+        for b in blocks
+        if b["tag"] == "r14"
+        and b["ops"].get("minhash_pairs", {}).get("sf0.1x8", {}).get("sec", 0)
+        > 50
+    ]
+    assert len(slow) == 1, "the r14 slow block of record should be unique"
+    block = slow[0]
+
+    # as committed: pre-calib block -> unknown, outliers un-attributed
+    lines, outliers = derive(block)
+    joined = "\n".join(lines)
+    assert outliers == 2
+    assert "machine mode unknown" in joined
+    assert "auto-attributed" not in joined
+
+    # the identical data under r15 degraded-window stamps: the two
+    # outliers carry the attribution and the summary names the window
+    stamped = {
+        **block,
+        "meta": {
+            **(block["meta"] or {}),
+            "calib_ms": 151.0,
+            "calib_band_ms": 230.0,
+        },
+        "meta_end": {"meta": "scale_smoke_end", "calib_ms_end": 2100.0},
+    }
+    lines, outliers = derive(stamped)
+    joined = "\n".join(lines)
+    assert outliers == 2
+    assert "DEGRADED machine window" in joined
+    assert joined.count("auto-attributed to machine mode") == 2
+    assert "MACHINE-MODE WINDOW: 2 outlier(s)" in joined
+
+    # in-band stamps: no attribution, the window is called idle-band
+    calm = {
+        **block,
+        "meta": {
+            **(block["meta"] or {}),
+            "calib_ms": 151.0,
+            "calib_band_ms": 230.0,
+        },
+        "meta_end": {"meta": "scale_smoke_end", "calib_ms_end": 160.0},
+    }
+    lines, _ = derive(calm)
+    joined = "\n".join(lines)
+    assert "idle-band machine" in joined
+    assert "auto-attributed" not in joined
+
+
+def test_pins_cross_round_calib_caveat(tmp_path, capsys):
+    """check_bench_pins: a current artifact whose calib stamps record a
+    degraded window prints the CAVEAT and suffixes escalating rows
+    (code/setup-code) with the machine-mode auto-attribution; noise
+    rows and in-band artifacts are untouched."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_bench_pins import print_cross_round
+
+    prev = {
+        "queries": {"flat": 1.0, "moved": 1.0},
+        "comparable": True,
+        "calib_ms": 150.0,
+        "calib_band_ms": 230.0,
+    }
+    curr_degraded = {
+        "queries": {"flat": 1.02, "moved": 1.9},
+        "comparable": True,
+        "calib_ms": 150.0,
+        "calib_ms_end": 1200.0,
+        "calib_band_ms": 230.0,
+    }
+    pp = tmp_path / "BENCH_prev.json"
+    cp = tmp_path / "BENCH_curr.json"
+    pp.write_text(json.dumps(prev))
+    cp.write_text(json.dumps(curr_degraded))
+    print_cross_round(str(pp), prev, curr_degraded, curr_path=str(cp))
+    out = capsys.readouterr().out
+    assert "CAVEAT: curr artifact taken in a degraded machine window" in out
+    moved_line = [ln for ln in out.splitlines() if ln.strip().startswith("moved")][0]
+    assert "code" in moved_line
+    assert "auto-attributed to machine mode" in moved_line
+    flat_line = [ln for ln in out.splitlines() if ln.strip().startswith("flat")][0]
+    assert "auto-attributed" not in flat_line
+
+    curr_ok = {**curr_degraded, "calib_ms_end": 160.0}
+    cp.write_text(json.dumps(curr_ok))
+    print_cross_round(str(pp), prev, curr_ok, curr_path=str(cp))
+    out = capsys.readouterr().out
+    assert "CAVEAT" not in out
+    assert "auto-attributed" not in out
