@@ -48,7 +48,7 @@ TOL = 0.25
 _HDR = re.compile(
     r"^### Gauntlet run (?P<tag>\S+) \((?P<ts>[^,;]+), head (?P<head>[^,;\s]+)"
     r"(?:, load at start (?P<load>[\d.]+)"
-    r"|; scale_smoke idle-gated at load (?P<gate_load>\S+), "
+    r"|; scale_(?:smoke|x64) (?:idle|calm)-gated at load (?P<gate_load>\S+), "
     r"post-run load at append (?P<append_load>[\d.]+))\)"
 )
 
@@ -79,15 +79,19 @@ def parse_blocks(text: str) -> list[dict]:
                 obj = json.loads(line)
             except ValueError:
                 continue  # torn line: skip, the block check reports sparsity
-            if obj.get("meta") == "scale_smoke":
+            if obj.get("meta") in ("scale_smoke", "scale_x64"):
                 cur["meta"] = obj
-            elif obj.get("meta") == "scale_smoke_end":
+            elif obj.get("meta") in ("scale_smoke_end", "scale_x64_end"):
                 # r15: end-of-run calibration rides its own meta line
                 # so the start line's fields survive
                 cur["meta_end"] = obj
             elif "op" in obj and "curve" in obj:
                 cur["ops"][obj["op"]] = obj["curve"]
-    return [b for b in blocks if b["ops"]]
+            elif "op" in obj:
+                # flat x64 leg lines (scripts/scale_x64.py): bounds and
+                # histograms stamped next to one wall, no SF curve
+                cur.setdefault("x64_ops", {})[obj["op"]] = obj
+    return [b for b in blocks if b["ops"] or b.get("x64_ops")]
 
 
 def calib_state(block: dict) -> tuple[bool | None, str]:
@@ -122,11 +126,125 @@ def _load_txt(point: dict) -> str:
     return f", leg load {ld[0]}->{ld[1]}" if isinstance(ld, list) else ""
 
 
+def _hdr_line(block: dict, label: str) -> str:
+    _, calib_txt = calib_state(block)
+    meta = block["meta"]
+    gate_txt = (
+        f"in-script idle gate: start load {meta['load_1m_start']}, "
+        f"comparable={meta['comparable']}"
+        if meta
+        else "no in-script idle gate recorded"
+    )
+    if block.get("load") is not None:
+        hdr_load_txt = f"gauntlet start load {block['load']}"
+    else:
+        hdr_load_txt = (
+            f"header gate load {block['gate_load']}, post-run append "
+            f"load {block['append_load']}"
+        )
+    return (
+        f"Derived claims (scripts/check_scale_claims.py over the "
+        f"{block['tag']} {label}, head {block['head']}, {hdr_load_txt}; "
+        f"{gate_txt}; {calib_txt}):"
+    )
+
+
+def derive_x64(block: dict) -> tuple[list[str], int]:
+    """(report lines, outlier count) for a flat x64 stateful-leg block
+    (scripts/scale_x64.py output; r14 verdict item 8): the design-bound
+    claims are re-derived from the stamped numbers, never read off the
+    script's own boolean, so the committed summary is an independent
+    check of the same bytes."""
+    ops = block.get("x64_ops", {})
+    lines: list[str] = [_hdr_line(block, "x64 block")]
+    outliers = 0
+    machine_mode, _ = calib_state(block)
+    attrib = (
+        " [auto-attributed to machine mode: calib stamp outside the "
+        "idle band — re-measure idle before reading this as code]"
+        if machine_mode
+        else ""
+    )
+
+    ru = ops.get("rollup_maintain_x64")
+    if ru is not None:
+        peak, bound = ru.get("peak_state_rows"), ru.get("state_bound_rows")
+        if peak is not None and bound:
+            held = peak <= bound
+            occ = peak / bound
+            line = (
+                f"rollup state bound: peak {peak} rows vs derived bound "
+                f"{bound} (open_groups x 2^p + open_groups; occupancy "
+                f"{occ:.1%}) — {'HELD' if held else 'VIOLATED'}"
+            )
+            if held:
+                lines.append(f"- {line}")
+            else:
+                outliers += 1
+                lines.append(f"  - OUTLIER (state bound): {line}{attrib}")
+        else:
+            lines.append(
+                "- rollup_maintain_x64 present but missing "
+                "peak_state_rows/state_bound_rows stamps"
+            )
+
+    for label in ("x64", "x64skew"):
+        plain = ops.get(f"session_30m_{label}")
+        sliced = ops.get(f"session_30m_sliced_{label}")
+        if not plain or not sliced:
+            continue
+        pm = plain.get("per_task_rows", {}).get("max")
+        sm = sliced.get("per_task_rows", {}).get("max")
+        if pm is None or sm is None:
+            continue
+        if sm < pm:
+            lines.append(
+                f"- session slicing bounds per-task state at {label}: "
+                f"max rows/task {pm} (plain, per-user) -> {sm} (sliced, "
+                f"per user x slice), {pm / sm:.0f}x tighter"
+            )
+        else:
+            outliers += 1
+            lines.append(
+                f"  - OUTLIER (slicing ineffective at {label}): sliced "
+                f"max rows/task {sm} >= plain {pm}{attrib}"
+            )
+
+    mh = ops.get("minhash_pairs_x64")
+    if mh is not None:
+        n = mh.get("rows_in", 0)
+        bd = mh.get("bucket_docs", {})
+        implied = bd.get("candidate_pairs_implied")
+        if n and implied is not None:
+            all_pairs = n * (n - 1) // 2
+            reduction = all_pairs / implied if implied else float("inf")
+            # LSH that prunes less than 100x of the all-pairs space is
+            # measuring pair materialization, not bucket dispersion
+            if implied <= all_pairs / 100:
+                lines.append(
+                    f"- LSH candidate space bounded: {implied} implied "
+                    f"pairs vs {all_pairs} all-pairs ({reduction:,.0f}x "
+                    f"reduction; max bucket {bd.get('max')} docs, "
+                    f"p999 {bd.get('p999')})"
+                )
+            else:
+                outliers += 1
+                lines.append(
+                    f"  - OUTLIER (candidate explosion): {implied} "
+                    f"implied pairs is within 100x of the {all_pairs} "
+                    f"all-pairs space (max bucket {bd.get('max')})"
+                    f"{attrib}"
+                )
+    if len(lines) == 1:
+        lines.append("- no recognized x64 legs in the block")
+    return lines, outliers
+
+
 def derive(block: dict) -> tuple[list[str], int]:
     """(report lines, outlier count) for one raw block."""
     lines: list[str] = []
     outliers = 0
-    machine_mode, calib_txt = calib_state(block)
+    machine_mode, _ = calib_state(block)
     # r14 verdict item 2: when the block's own calibration stamps say
     # the machine window was degraded, each outlier carries the
     # attribution mechanically — the r14 slow smokes cost three manual
@@ -202,14 +320,6 @@ def derive(block: dict) -> tuple[list[str], int]:
         )
         if not expected:
             outliers += 1
-    meta = block["meta"]
-    gate_txt = (
-        f"in-script idle gate: start load {meta['load_1m_start']}, "
-        f"comparable={meta['comparable']}"
-        if meta
-        else "pre-r13 block: no in-script idle gate recorded"
-    )
-    gate_txt += f"; {calib_txt}"
     if machine_mode and outliers:
         lines.append(
             f"- MACHINE-MODE WINDOW: {outliers} outlier(s) above are "
@@ -218,21 +328,7 @@ def derive(block: dict) -> tuple[list[str], int]:
             "(idle re-probe) applies only if an idle re-run reproduces "
             "them"
         )
-    if block.get("load") is not None:
-        hdr_load_txt = f"gauntlet start load {block['load']}"
-    else:
-        # r14+ header: the gate load leads, the append-time load is
-        # context (verdict r13 item 6 — the governing number first)
-        hdr_load_txt = (
-            f"header gate load {block['gate_load']}, post-run append "
-            f"load {block['append_load']}"
-        )
-    lines.insert(
-        0,
-        f"Derived claims (scripts/check_scale_claims.py over the "
-        f"{block['tag']} block, head {block['head']}, {hdr_load_txt}; "
-        f"{gate_txt}):",
-    )
+    lines.insert(0, _hdr_line(block, "block"))
     return lines, outliers
 
 
@@ -254,7 +350,11 @@ def main() -> int:
         if not blocks:
             print(f"no block tagged {tag} in {path}", file=sys.stderr)
             return 2
-    lines, outliers = derive(blocks[-1])
+    block = blocks[-1]
+    if block.get("x64_ops") and not block["ops"]:
+        lines, outliers = derive_x64(block)
+    else:
+        lines, outliers = derive(block)
     print("\n".join(lines))
     return 0
 

@@ -119,7 +119,7 @@ PY
 )"
 {
   echo ""
-  echo "### Gauntlet run ${TAG} ($(STAMP), head ${HEAD_SHA}; scale_smoke idle-gated at load ${SMOKE_GATE_LOAD:-n/a}, post-run load at append $(awk '{print $1}' /proc/loadavg))"
+  echo "### Gauntlet run ${TAG} ($(STAMP), head ${HEAD_SHA}; scale_smoke calm-gated at load ${SMOKE_GATE_LOAD:-n/a}, post-run load at append $(awk '{print $1}' /proc/loadavg))"
   echo ""
   echo "Raw scale_smoke output (one JSON line per op; appended verbatim by"
   echo "scripts/gauntlet.sh — the curated tables above interpret these):"
@@ -217,6 +217,43 @@ python scripts/gen_plan_audit.py 2>/tmp/plan_audit_${TAG}.stderr || fail "gen_pl
 
 say "step 7/7: gen_coverage -> COVERAGE.md"
 python scripts/gen_coverage.py > COVERAGE.md || fail "gen_coverage"
+
+# Optional x64 stateful-leg stage (r14 verdict item 8): repeatable
+# re-verification of the design bounds (rollup state bound, session
+# slice histograms, LSH bucket dispersion) whenever the stateful
+# legs' code changes — opt-in because it adds ~20-30 min.
+if [ "${SPARK_GRAFT_GAUNTLET_X64:-0}" = "1" ]; then
+  say "optional step: scale_x64 (calm-gated; SPARK_GRAFT_GAUNTLET_X64=1)"
+  await_calm
+  X64_LOG="$(mktemp /tmp/scale_x64_${TAG}_XXXX.log)"
+  python scripts/scale_x64.py > "$X64_LOG" 2>/tmp/scale_x64_stderr.log \
+    || fail "scale_x64 (stderr: /tmp/scale_x64_stderr.log)"
+  X64_GATE_LOAD="$(python - "$X64_LOG" <<'PY' || true
+import json, sys
+for ln in open(sys.argv[1]):
+    ln = ln.strip()
+    if ln.startswith("{"):
+        o = json.loads(ln)
+        if "load_1m_start" in o:
+            print(o["load_1m_start"]); break
+PY
+)"
+  {
+    echo ""
+    echo "### Gauntlet run ${TAG}-x64 ($(STAMP), head ${HEAD_SHA}; scale_x64 calm-gated at load ${X64_GATE_LOAD:-n/a}, post-run load at append $(awk '{print $1}' /proc/loadavg))"
+    echo ""
+    echo "Raw scale_x64 output (one JSON line per leg; appended verbatim by"
+    echo "scripts/gauntlet.sh — design bounds stamped next to the walls):"
+    echo ""
+    echo '```json'
+    cat "$X64_LOG"
+    echo '```'
+  } >> SCALE.md
+  X64_CLAIMS="$(python scripts/check_scale_claims.py SCALE.md --tag "${TAG}-x64")" \
+    || fail "check_scale_claims (x64)"
+  { echo ""; echo "$X64_CLAIMS"; } >> SCALE.md
+  say "scale_x64 appended to SCALE.md ($(wc -l < "$X64_LOG") JSON lines) + derived bound claims"
+fi
 
 # End-of-round artifact rule (r11 verdict item 3): evidence artifacts
 # must be COMMITTED before judging — the judge and the cross-round

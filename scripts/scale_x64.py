@@ -1,5 +1,10 @@
 #!/usr/bin/env python
-"""One-off x64 scale point for the stateful legs (r13 verdict item 4).
+"""x64 scale point for the stateful legs (r13 verdict item 4; since
+r15 a REPEATABLE gauntlet-optional stage — SPARK_GRAFT_GAUNTLET_X64=1
+makes gauntlet.sh run it calm-gated, append the raw block to SCALE.md,
+and derive the bound claims mechanically via check_scale_claims'
+derive_x64, so the x64 bounds re-verify whenever the stateful legs'
+code changes).
 
 SCALE.md's curves stop at sf0.1x8 (800k events / 40k docs); the 100 TB
 design claims for the rollup maintainer ("streaming state is bounded
@@ -382,7 +387,7 @@ def minhash_leg(spark, docs: DataFrame) -> None:
 
 
 def main() -> None:
-    from bench import _await_quiet_machine
+    from bench import CALIB_IDLE_BAND_MS, _await_quiet_machine, calibrate_ms
 
     # optional leg filter: `scale_x64.py rollup minhash` re-runs only
     # those legs (sessions|rollup|minhash) — selective re-measurement
@@ -401,6 +406,12 @@ def main() -> None:
                 "sf_dir": SF_DIR,
                 "load_1m_start": load_start,
                 "comparable": comparable,
+                # r15: the same run-bracketing calibration the smoke
+                # and bench stamps carry — check_scale_claims
+                # auto-attributes any bound/histogram outlier to the
+                # machine when a stamp exceeds the band
+                "calib_ms": calibrate_ms(),
+                "calib_band_ms": CALIB_IDLE_BAND_MS,
             }
         ),
         flush=True,
@@ -428,6 +439,15 @@ def main() -> None:
         if "minhash" in legs:
             docs64 = _distinct_docs_x64(load_table(spark, SF_DIR, "documents"))
             minhash_leg(spark, docs64)
+        # end-of-run calibration on its own meta line (same convention
+        # as scale_smoke): the degraded modes this exists to expose
+        # arrive mid-run
+        print(
+            json.dumps(
+                {"meta": "scale_x64_end", "calib_ms_end": calibrate_ms()}
+            ),
+            flush=True,
+        )
     finally:
         shutil.rmtree(scratch, ignore_errors=True)
 

@@ -796,3 +796,73 @@ def test_pins_cross_round_calib_caveat(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "CAVEAT" not in out
     assert "auto-attributed" not in out
+
+
+def test_derive_x64_bound_claims():
+    """r14 verdict item 8: the x64 stateful-leg block is a repeatable
+    gauntlet-optional stage whose design-bound claims are DERIVED from
+    the stamped numbers (never read off the script's own boolean) —
+    held bounds become claims, violated ones become outliers, and a
+    degraded calib window auto-attributes them like any other block."""
+    sys.path.insert(0, os.path.join(REPO, "scripts"))
+    from check_scale_claims import derive_x64, parse_blocks
+
+    def block_text(peak, sliced_max, implied, calib_end=160.0):
+        lines = [
+            {"meta": "scale_x64", "copies": 64, "load_1m_start": 0.2,
+             "comparable": True, "calib_ms": 150.0, "calib_band_ms": 230.0},
+            {"op": "session_30m_x64skew", "rows_in": 6400000, "sec": 3.3,
+             "per_task_rows": {"groups": 96000, "p50": 40, "p99": 56,
+                               "max": 2560035}},
+            {"op": "session_30m_sliced_x64skew", "rows_in": 6400000,
+             "sec": 4.8, "per_task_rows": {"groups": 2393764, "p50": 1,
+                                           "p99": 16, "max": sliced_max}},
+            {"op": "rollup_maintain_x64", "rows_in": 6400000, "sec": 80.5,
+             "peak_state_rows": peak, "state_bound_rows": 61455,
+             "bound_held": True},
+            {"op": "minhash_pairs_x64", "rows_in": 320000, "sec": 25.0,
+             "verified_pairs": 16305,
+             "bucket_docs": {"max": 17, "p999": 3,
+                             "candidate_pairs_implied": implied}},
+            {"meta": "scale_x64_end", "calib_ms_end": calib_end},
+        ]
+        return (
+            "### Gauntlet run rT-x64 (2026-08-16T00:00:00Z, head abc1234; "
+            "scale_x64 calm-gated at load 0.2, post-run load at append "
+            "3.0)\n\n```json\n"
+            + "\n".join(json.dumps(ln) for ln in lines)
+            + "\n```\n"
+        )
+
+    # all bounds held (the real r14 re-run numbers): three claims,
+    # zero outliers, new header generation parses
+    blocks = parse_blocks(block_text(61414, 23040, 113934))
+    assert len(blocks) == 1 and blocks[0]["gate_load"] == "0.2"
+    lines, outliers = derive_x64(blocks[0])
+    joined = "\n".join(lines)
+    assert outliers == 0
+    assert "rollup state bound" in joined and "HELD" in joined
+    assert "occupancy 99.9%" in joined
+    assert "session slicing bounds per-task state at x64skew" in joined
+    assert "111x tighter" in joined
+    assert "LSH candidate space bounded" in joined
+    assert "idle-band machine" in joined
+
+    # every bound violated: three outliers, each re-derived (the
+    # stamped bound_held:true lie is ignored — peak > bound decides)
+    exploded = 320000 * 319999 // 2 // 50
+    blocks = parse_blocks(block_text(70000, 3000000, exploded))
+    lines, outliers = derive_x64(blocks[0])
+    joined = "\n".join(lines)
+    assert outliers == 3
+    assert "OUTLIER (state bound)" in joined and "VIOLATED" in joined
+    assert "OUTLIER (slicing ineffective at x64skew)" in joined
+    assert "OUTLIER (candidate explosion)" in joined
+    assert "auto-attributed" not in joined  # calib in band: real findings
+
+    # same violations in a stamped degraded window: auto-attributed
+    lines, outliers = derive_x64(
+        parse_blocks(block_text(70000, 3000000, exploded, calib_end=2100.0))[0]
+    )
+    assert outliers == 3
+    assert "\n".join(lines).count("auto-attributed to machine mode") == 3

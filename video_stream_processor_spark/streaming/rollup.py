@@ -708,6 +708,20 @@ def derived_state_partitions(
     the cap keeps this a sizing-down of thin state, never a sizing-up
     past the cluster's configured parallelism; a session configured
     BELOW the floor wins over the floor for the same reason).
+
+    Fsync-regime caveat (r15, measured — SCALE.md "Degraded-window
+    6-vs-8 point"): the quiet-window 6-8 wall plateau INVERTS when
+    the checkpoint disk is fsync-contended — under a deliberate
+    fsync hammer 8 stores beat 6 on wall by 16% (10.7 vs 12.4 s at
+    the bench fixture), because fewer/fatter stores serialize more
+    commit latency behind the contended queue (the
+    BENCH_r14_CONTROL_DIAG concentration effect, reproduced on
+    purpose). The floor stays 6 because summed commit VOLUME — still
+    0.59x at 6 — is the axis that scales to remote checkpoint stores,
+    where per-commit latency is a storage round-trip a local hammer
+    does not model and total I/O dominates; a deployment whose
+    checkpoint disk is known-contended passes ``min_stores=8`` (or
+    sizes explicitly) to buy the wall back.
     """
     import math
 
