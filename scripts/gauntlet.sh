@@ -28,18 +28,44 @@
 # delta is reported, not gated: it measures the machine, not the code;
 # the pin contract (step 5, <=2x bars) is what gates.
 #
-# Usage:   bash scripts/gauntlet.sh <round-tag>     # e.g. r09-final
+# Usage:   bash scripts/gauntlet.sh <round-tag> [<resume-from-step>]
+#          e.g. bash scripts/gauntlet.sh r09-final
+#               bash scripts/gauntlet.sh r15 3     # resume at step 3
 # Output:  REHEARSAL.md / SCALE.md entries appended, BENCH_<tag>.json
 #          written, PLANS.md + COVERAGE.md regenerated — all at the
 #          invoking head, by this single invocation.
+#
+# Resume (r15): the ~2 h chain can be interrupted (the r15 run lost
+# its driving session mid-step-3 and the remaining steps had to be
+# replayed from a hand-extracted copy).  Passing a second argument
+# skips the steps below it and runs the rest unchanged, so a resumed
+# gauntlet is the SAME script, not a fork that can drift.  Resume at
+# the same head the earlier steps ran at — the appended evidence all
+# stamps HEAD, and a cross-head resume would mislabel it (the final
+# OK line records the resume point so an auditor can line the two
+# invocations up).
 set -u -o pipefail
 cd "$(dirname "$0")/.."
 
-TAG="${1:?usage: bash scripts/gauntlet.sh <round-tag>}"
+TAG="${1:?usage: bash scripts/gauntlet.sh <round-tag> [<resume-from-step>]}"
+FROM_STEP="${2:-1}"
+case "$FROM_STEP" in
+  [1-7]) ;;
+  *) echo "resume-from-step must be 1-7, got: ${FROM_STEP}" >&2; exit 2;;
+esac
 HEAD_SHA="$(git rev-parse --short HEAD)"
 STAMP() { date -u +%Y-%m-%dT%H:%M:%SZ; }
 
 say() { echo "[gauntlet ${TAG}] $*" >&2; }
+
+# Step gate for resume: true when step $1 is at or past the resume
+# point.  Skipped steps are announced so the log still shows the full
+# 7-step shape.
+should_run() {
+  if [ "$1" -ge "$FROM_STEP" ]; then return 0; fi
+  say "step $1/7: skipped (resuming from step ${FROM_STEP})"
+  return 1
+}
 
 fail() {
   say "FAILED at step: $*"
@@ -49,14 +75,18 @@ fail() {
 
 # Wait (bounded) for a quiet machine before the timing-sensitive
 # steps.  bench.py has its own gate and self-describes comparability;
-# this outer gate just avoids starting scale_smoke hot.
+# this outer gate just avoids starting scale_smoke hot.  The wait
+# budget is overridable so the harness test (tests/test_gauntlet.py)
+# can drive the script on a busy machine without a 10-min stall; real
+# runs keep the 600 s default.
+CALM_BUDGET_S="${GAUNTLET_CALM_BUDGET_S:-600}"
 await_idle() {
   local waited=0
   while :; do
     local l1
     l1="$(awk '{print $1}' /proc/loadavg)"
     awk -v l="$l1" 'BEGIN{exit !(l < 0.5)}' && { say "idle (load ${l1})"; return 0; }
-    [ "$waited" -ge 600 ] && { say "WARN: still load ${l1} after 600s; proceeding"; return 0; }
+    [ "$waited" -ge "$CALM_BUDGET_S" ] && { say "WARN: still load ${l1} after ${CALM_BUDGET_S}s; proceeding"; return 0; }
     sleep 20; waited=$((waited + 20))
   done
 }
@@ -83,7 +113,7 @@ PY
     case "$probe" in
       *:ok) say "calib in idle band (${probe%:ok} ms)"; return 0;;
     esac
-    [ "$waited" -ge 600 ] && { say "WARN: calib still ${probe%:hot} ms after 600s; proceeding (artifact self-describes via its calib stamps)"; return 0; }
+    [ "$waited" -ge "$CALM_BUDGET_S" ] && { say "WARN: calib still ${probe%:hot} ms after ${CALM_BUDGET_S}s; proceeding (artifact self-describes via its calib stamps)"; return 0; }
     sleep 30; waited=$((waited + 30))
   done
 }
@@ -96,18 +126,19 @@ PY
 # leg, inside the r11-r13 wall-time band's headroom.
 export VSP_HYPOTHESIS_SCALE="${VSP_HYPOTHESIS_SCALE:-4}"
 
-say "step 1/7: scale_smoke (calm-gated; BEFORE the full-width suites — r14 verdict item 3)"
-await_calm
-SMOKE_LOG="$(mktemp /tmp/scale_smoke_${TAG}_XXXX.log)"
-python scripts/scale_smoke.py > "$SMOKE_LOG" 2>/tmp/scale_smoke_stderr.log \
-  || fail "scale_smoke (stderr: /tmp/scale_smoke_stderr.log)"
-# r13 verdict item 6: the old header sampled /proc/loadavg AFTER the
-# smoke run finished ("load at start 9.35" — our own just-ended
-# executor threads), while the GOVERNING gate is scale_smoke's internal
-# one (bench._await_quiet_machine, stamped as load_1m_start in the
-# log's first JSON line). Print both, labeled, so an idle-discipline
-# auditor reads the in-script gate value first.
-SMOKE_GATE_LOAD="$(python - "$SMOKE_LOG" <<'PY' || true
+if should_run 1; then
+  say "step 1/7: scale_smoke (calm-gated; BEFORE the full-width suites — r14 verdict item 3)"
+  await_calm
+  SMOKE_LOG="$(mktemp /tmp/scale_smoke_${TAG}_XXXX.log)"
+  python scripts/scale_smoke.py > "$SMOKE_LOG" 2>/tmp/scale_smoke_stderr.log \
+    || fail "scale_smoke (stderr: /tmp/scale_smoke_stderr.log)"
+  # r13 verdict item 6: the old header sampled /proc/loadavg AFTER the
+  # smoke run finished ("load at start 9.35" — our own just-ended
+  # executor threads), while the GOVERNING gate is scale_smoke's internal
+  # one (bench._await_quiet_machine, stamped as load_1m_start in the
+  # log's first JSON line). Print both, labeled, so an idle-discipline
+  # auditor reads the in-script gate value first.
+  SMOKE_GATE_LOAD="$(python - "$SMOKE_LOG" <<'PY' || true
 import json, sys
 for ln in open(sys.argv[1]):
     ln = ln.strip()
@@ -117,48 +148,57 @@ for ln in open(sys.argv[1]):
             print(o["load_1m_start"]); break
 PY
 )"
-{
-  echo ""
-  echo "### Gauntlet run ${TAG} ($(STAMP), head ${HEAD_SHA}; scale_smoke calm-gated at load ${SMOKE_GATE_LOAD:-n/a}, post-run load at append $(awk '{print $1}' /proc/loadavg))"
-  echo ""
-  echo "Raw scale_smoke output (one JSON line per op; appended verbatim by"
-  echo "scripts/gauntlet.sh — the curated tables above interpret these):"
-  echo ""
-  echo '```json'
-  cat "$SMOKE_LOG"
-  echo '```'
-} >> SCALE.md
-# r12 verdict item 2: the monotonicity/skew claims are DERIVED from the
-# raw block just appended (outliers named with load context), so the
-# committed summary can never again contradict its own appendix the way
-# the r12 hand prose did ("flat-or-falling everywhere" over a 12x
-# quality_score spike recorded 400 lines below it)
-CLAIMS="$(python scripts/check_scale_claims.py SCALE.md --tag "${TAG}")" \
-  || fail "check_scale_claims"
-{ echo ""; echo "$CLAIMS"; } >> SCALE.md
-say "scale_smoke appended to SCALE.md ($(wc -l < "$SMOKE_LOG") JSON lines) + derived claims"
+  {
+    echo ""
+    echo "### Gauntlet run ${TAG} ($(STAMP), head ${HEAD_SHA}; scale_smoke calm-gated at load ${SMOKE_GATE_LOAD:-n/a}, post-run load at append $(awk '{print $1}' /proc/loadavg))"
+    echo ""
+    echo "Raw scale_smoke output (one JSON line per op; appended verbatim by"
+    echo "scripts/gauntlet.sh — the curated tables above interpret these):"
+    echo ""
+    echo '```json'
+    cat "$SMOKE_LOG"
+    echo '```'
+  } >> SCALE.md
+  # r12 verdict item 2: the monotonicity/skew claims are DERIVED from the
+  # raw block just appended (outliers named with load context), so the
+  # committed summary can never again contradict its own appendix the way
+  # the r12 hand prose did ("flat-or-falling everywhere" over a 12x
+  # quality_score spike recorded 400 lines below it)
+  CLAIMS="$(python scripts/check_scale_claims.py SCALE.md --tag "${TAG}")" \
+    || fail "check_scale_claims"
+  { echo ""; echo "$CLAIMS"; } >> SCALE.md
+  say "scale_smoke appended to SCALE.md ($(wc -l < "$SMOKE_LOG") JSON lines) + derived claims"
+fi
 
-say "step 2/7: pytest at sf0.01 (hypothesis scale ${VSP_HYPOTHESIS_SCALE})"
-VSP_TEST_SF_DIR=/root/testdata/sf0.01 bash scripts/dress_rehearsal.sh "${TAG}-sf001" \
-  || fail "pytest sf0.01"
+if should_run 2; then
+  say "step 2/7: pytest at sf0.01 (hypothesis scale ${VSP_HYPOTHESIS_SCALE})"
+  VSP_TEST_SF_DIR=/root/testdata/sf0.01 bash scripts/dress_rehearsal.sh "${TAG}-sf001" \
+    || fail "pytest sf0.01"
+fi
 
-say "step 3/7: pytest at sf0.1 (hypothesis scale ${VSP_HYPOTHESIS_SCALE})"
-VSP_TEST_SF_DIR=/root/testdata/sf0.1 bash scripts/dress_rehearsal.sh "${TAG}-sf01" \
-  || fail "pytest sf0.1"
+if should_run 3; then
+  say "step 3/7: pytest at sf0.1 (hypothesis scale ${VSP_HYPOTHESIS_SCALE})"
+  VSP_TEST_SF_DIR=/root/testdata/sf0.1 bash scripts/dress_rehearsal.sh "${TAG}-sf01" \
+    || fail "pytest sf0.1"
+fi
 
-say "step 4/7: bench.py twice (calm-gated; artifact + same-head repeat)"
-await_calm
+# Defined outside the step guard: step 5 and the final OK line name the
+# artifact even when a resume skips step 4.
 BENCH_OUT="BENCH_${TAG}.json"
-BENCH_RAW="$(mktemp /tmp/bench_${TAG}_raw_XXXX.out)"
-python bench.py 2>/tmp/bench_${TAG}_a.stderr > "$BENCH_RAW" \
-  || fail "bench.py first run"
-# bench.py emits a detail line (spread/phases) then a compact headline
-# line LAST (guaranteed to fit the driver's 2000-char tail capture,
-# trailing newline included — r9's single fat line truncated there).
-# The committed artifact of record merges both via the same helper the
-# pin checker's tail recovery uses (one merge implementation, no
-# drift), keeping the r8/r9 one-object shape.
-python - "$BENCH_RAW" "$BENCH_OUT" <<'PY' || fail "bench artifact merge"
+
+if should_run 4; then
+  say "step 4/7: bench.py twice (calm-gated; artifact + same-head repeat)"
+  await_calm
+  BENCH_RAW="$(mktemp /tmp/bench_${TAG}_raw_XXXX.out)"
+  python bench.py 2>/tmp/bench_${TAG}_a.stderr > "$BENCH_RAW" \
+    || fail "bench.py first run"
+  # bench.py emits a detail line (spread/phases) then a compact headline
+  # line LAST (guaranteed to fit the driver's 2000-char tail capture,
+  # trailing newline included — r9's single fat line truncated there).
+  # The committed artifact of record merges both via the same helper the
+  # pin checker's tail recovery uses (one merge implementation, no
+  # drift), keeping the r8/r9 one-object shape.
+  python - "$BENCH_RAW" "$BENCH_OUT" <<'PY' || fail "bench artifact merge"
 import json, sys
 sys.path.insert(0, "scripts")
 from check_bench_pins import merge_bench_lines
@@ -177,11 +217,11 @@ if "spread" not in head or "phases" not in head:
     sys.exit("detail line missing/unmerged")
 json.dump(head, open(sys.argv[2], "w"))
 PY
-python -c "import json;json.load(open('$BENCH_OUT'))" || fail "bench artifact not valid JSON"
-REPEAT_OUT="$(mktemp /tmp/bench_${TAG}_repeat_XXXX.json)"
-python bench.py 2>/tmp/bench_${TAG}_b.stderr | tail -1 > "$REPEAT_OUT" \
-  || fail "bench.py repeat run"
-REPEAT_LINE="$(python - "$BENCH_OUT" "$REPEAT_OUT" <<'PY'
+  python -c "import json;json.load(open('$BENCH_OUT'))" || fail "bench artifact not valid JSON"
+  REPEAT_OUT="$(mktemp /tmp/bench_${TAG}_repeat_XXXX.json)"
+  python bench.py 2>/tmp/bench_${TAG}_b.stderr | tail -1 > "$REPEAT_OUT" \
+    || fail "bench.py repeat run"
+  REPEAT_LINE="$(python - "$BENCH_OUT" "$REPEAT_OUT" <<'PY'
 import json, sys
 a = json.load(open(sys.argv[1])); b = json.load(open(sys.argv[2]))
 qa, qb = a["queries"], b["queries"]
@@ -195,28 +235,39 @@ print(
 )
 PY
 )" || fail "repeat comparison"
-echo "- $(STAMP) tag=${TAG} head=${HEAD_SHA} rc=0: ${REPEAT_LINE}" >> REHEARSAL.md
-say "$REPEAT_LINE"
-
-say "step 5/7: check_bench_pins"
-PINS_LOG="$(mktemp /tmp/pins_${TAG}_XXXX.log)"
-python scripts/check_bench_pins.py "$BENCH_OUT" | tee "$PINS_LOG" \
-  || fail "pin contract on ${BENCH_OUT}"
-# the classified cross-round verdict (r10 verdict item 1: the r10-vs-r9
-# "regression" took a human four artifacts to dismiss as cross-process
-# noise; the classifier's one-liner is the mechanical record of that
-# dismissal — or the loud pointer when a delta really is code)
-XROUND_LINE="$(grep '^cross-round' "$PINS_LOG" | tail -1 || true)"
-if [ -n "$XROUND_LINE" ]; then
-  echo "- $(STAMP) tag=${TAG} head=${HEAD_SHA} rc=0: ${XROUND_LINE}" >> REHEARSAL.md
-  say "$XROUND_LINE"
+  echo "- $(STAMP) tag=${TAG} head=${HEAD_SHA} rc=0: ${REPEAT_LINE}" >> REHEARSAL.md
+  say "$REPEAT_LINE"
 fi
 
-say "step 6/7: gen_plan_audit -> PLANS.md"
-python scripts/gen_plan_audit.py 2>/tmp/plan_audit_${TAG}.stderr || fail "gen_plan_audit"
+if should_run 5; then
+  # A resume that lands here without step 4 must find the artifact the
+  # earlier invocation wrote — pinning a stale or absent file would
+  # certify the wrong bytes.
+  [ -f "$BENCH_OUT" ] || fail "check_bench_pins: ${BENCH_OUT} not found (resume from step ${FROM_STEP} expects the earlier invocation's step 4 to have written it)"
+  say "step 5/7: check_bench_pins"
+  PINS_LOG="$(mktemp /tmp/pins_${TAG}_XXXX.log)"
+  python scripts/check_bench_pins.py "$BENCH_OUT" | tee "$PINS_LOG" \
+    || fail "pin contract on ${BENCH_OUT}"
+  # the classified cross-round verdict (r10 verdict item 1: the r10-vs-r9
+  # "regression" took a human four artifacts to dismiss as cross-process
+  # noise; the classifier's one-liner is the mechanical record of that
+  # dismissal — or the loud pointer when a delta really is code)
+  XROUND_LINE="$(grep '^cross-round' "$PINS_LOG" | tail -1 || true)"
+  if [ -n "$XROUND_LINE" ]; then
+    echo "- $(STAMP) tag=${TAG} head=${HEAD_SHA} rc=0: ${XROUND_LINE}" >> REHEARSAL.md
+    say "$XROUND_LINE"
+  fi
+fi
 
-say "step 7/7: gen_coverage -> COVERAGE.md"
-python scripts/gen_coverage.py > COVERAGE.md || fail "gen_coverage"
+if should_run 6; then
+  say "step 6/7: gen_plan_audit -> PLANS.md"
+  python scripts/gen_plan_audit.py 2>/tmp/plan_audit_${TAG}.stderr || fail "gen_plan_audit"
+fi
+
+if should_run 7; then
+  say "step 7/7: gen_coverage -> COVERAGE.md"
+  python scripts/gen_coverage.py > COVERAGE.md || fail "gen_coverage"
+fi
 
 # Optional x64 stateful-leg stage (r14 verdict item 8): repeatable
 # re-verification of the design bounds (rollup state bound, session
@@ -272,5 +323,9 @@ fi
 # round's last commit, so next round's builder commits it before any
 # code change.
 
-echo "- $(STAMP) tag=${TAG} head=${HEAD_SHA} rc=0: GAUNTLET OK (suite sf0.01 + sf0.1 green, scale_smoke appended, ${BENCH_OUT} written + pins OK, PLANS.md + COVERAGE.md regenerated)" >> REHEARSAL.md
-say "OK — all 7 steps green"
+RESUME_NOTE=""
+if [ "$FROM_STEP" -gt 1 ]; then
+  RESUME_NOTE="; resumed from step ${FROM_STEP} — steps 1-$((FROM_STEP - 1)) ran in a prior invocation at the same head"
+fi
+echo "- $(STAMP) tag=${TAG} head=${HEAD_SHA} rc=0: GAUNTLET OK (suite sf0.01 + sf0.1 green, scale_smoke appended, ${BENCH_OUT} written + pins OK, PLANS.md + COVERAGE.md regenerated${RESUME_NOTE})" >> REHEARSAL.md
+say "OK — all 7 steps green${RESUME_NOTE}"
