@@ -127,23 +127,44 @@ RES_FLOOR = 0.005
 SETUP_ABS_CEILING = 2.0
 
 
-def calib_state(artifact: dict) -> tuple[bool | None, str]:
-    """(machine_mode, description) from an artifact's run-bracketing
-    calibration stamps (r14 verdict item 2: bench.py stamps
-    `calib_ms`/`calib_ms_end` from bench.calibrate_ms plus the
-    `calib_band_ms` idle band it is read against). machine_mode is
-    None for pre-r15 artifacts without the stamp — 'unknown', which is
-    different from 'idle-verified'."""
-    start_ms = artifact.get("calib_ms")
-    band = artifact.get("calib_band_ms")
-    end_ms = artifact.get("calib_ms_end")
+def classify_calib(
+    start_ms, band, end_ms, *, source: str
+) -> tuple[bool | None, str]:
+    """The three-way calibration-stamp contract, shared by this checker
+    and check_scale_claims (r15 review: the two re-implementations had
+    already diverged — the bench side described a band-less calib_ms as
+    'no calib stamp', affirmatively false for an artifact that DOES
+    carry one).  machine_mode is None when the stamp predates the
+    calib (or carries one without its band — the short-lived r14
+    matmul form, whose baseline never reproduced: r14 advisor), so
+    callers distinguish 'idle-verified' from 'unknown'.  `source`
+    names the stamped object in the messages ('artifact' | 'block')."""
     if start_ms is None or band is None:
-        return None, "no calib stamp (pre-r15 artifact): machine mode unknown"
+        if start_ms is not None:
+            return None, (
+                f"calib_ms {start_ms} stamped without a band (r14 "
+                "matmul-form stamp, unreliable baseline): machine mode "
+                "unknown"
+            )
+        return None, f"no calib stamp (pre-r15 {source}): machine mode unknown"
     degraded = start_ms > band or (end_ms is not None and end_ms > band)
     ends = f", end {end_ms}" if end_ms is not None else ", no end stamp"
     return degraded, (
         f"calib_ms start {start_ms}{ends} vs idle band {band} — "
         + ("DEGRADED machine window" if degraded else "idle-band machine")
+    )
+
+
+def calib_state(artifact: dict) -> tuple[bool | None, str]:
+    """(machine_mode, description) from an artifact's run-bracketing
+    calibration stamps (r14 verdict item 2: bench.py stamps
+    `calib_ms`/`calib_ms_end` from bench.calibrate_ms plus the
+    `calib_band_ms` idle band it is read against)."""
+    return classify_calib(
+        artifact.get("calib_ms"),
+        artifact.get("calib_band_ms"),
+        artifact.get("calib_ms_end"),
+        source="artifact",
     )
 
 

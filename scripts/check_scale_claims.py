@@ -96,28 +96,25 @@ def parse_blocks(text: str) -> list[dict]:
 
 def calib_state(block: dict) -> tuple[bool | None, str]:
     """(machine_mode, description) from the block's calibration stamps
-    (r14 verdict item 2). machine_mode is None when the block predates
-    the calib stamp (or carries one without its band — the short-lived
-    r14 matmul form, whose baseline never reproduced: r14 advisor), so
-    callers distinguish 'idle-verified' from 'unknown'."""
+    (r14 verdict item 2), via the shared three-way contract in
+    check_bench_pins.classify_calib — one implementation for both
+    checkers so the stamp semantics can't drift (r15 review found the
+    two copies already disagreeing on the band-less case)."""
+    try:
+        from check_bench_pins import classify_calib
+    except ImportError:  # invoked with scripts/ not on sys.path
+        import os
+
+        sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+        from check_bench_pins import classify_calib
+
     meta = block.get("meta") or {}
     end = block.get("meta_end") or {}
-    start_ms = meta.get("calib_ms")
-    band = meta.get("calib_band_ms")
-    end_ms = end.get("calib_ms_end")
-    if start_ms is None or band is None:
-        if start_ms is not None:
-            return None, (
-                f"calib_ms {start_ms} stamped without a band (r14 "
-                "matmul-form stamp, unreliable baseline): machine mode "
-                "unknown"
-            )
-        return None, "no calib stamp (pre-r15 block): machine mode unknown"
-    degraded = start_ms > band or (end_ms is not None and end_ms > band)
-    ends = f", end {end_ms}" if end_ms is not None else ", no end stamp"
-    return degraded, (
-        f"calib_ms start {start_ms}{ends} vs idle band {band} — "
-        + ("DEGRADED machine window" if degraded else "idle-band machine")
+    return classify_calib(
+        meta.get("calib_ms"),
+        meta.get("calib_band_ms"),
+        end.get("calib_ms_end"),
+        source="block",
     )
 
 
@@ -159,9 +156,18 @@ def derive_x64(block: dict) -> tuple[list[str], int]:
     lines: list[str] = [_hdr_line(block, "x64 block")]
     outliers = 0
     machine_mode, _ = calib_state(block)
+    # Every x64 design-bound check below is COUNT-based (state rows,
+    # rows-per-task, implied candidate pairs) — determined by data and
+    # code, not CPU speed, so a degraded machine window can slow the
+    # stamped walls but cannot inflate a count.  Unlike derive()'s
+    # timing outliers these therefore NEVER get the machine-mode
+    # auto-attribution; in a stamped-degraded window the suffix says so
+    # explicitly, because the reader's trained instinct for that stamp
+    # is to dismiss (r15 review: the first cut auto-attributed these,
+    # which would have filed a real bound violation as machine noise).
     attrib = (
-        " [auto-attributed to machine mode: calib stamp outside the "
-        "idle band — re-measure idle before reading this as code]"
+        " [count-based invariant: the degraded calib window cannot "
+        "inflate a count — treat as code/data, not machine mode]"
         if machine_mode
         else ""
     )
@@ -309,6 +315,7 @@ def derive(block: dict) -> tuple[list[str], int]:
         else f"- {len(skew_bad)} skew outlier(s) below"
     )
     lines.extend(skew_bad)
+    behavior_outliers = 0
     for op, flags in split_flags.items():
         expected = all(
             engaged == label.endswith("skew")
@@ -319,15 +326,27 @@ def derive(block: dict) -> tuple[list[str], int]:
             f"({'as designed' if expected else 'UNEXPECTED: ' + json.dumps(flags)})"
         )
         if not expected:
-            outliers += 1
+            behavior_outliers += 1
+    # Only TIMING outliers (rising sec/Mrow, skew-hotspot walls) are
+    # machine-attributable — a split-flag inversion is planner behavior
+    # that cannot move with CPU speed, so it must never ride the
+    # degraded-window dismissal (r15 review: the first cut counted it
+    # in this tally).
     if machine_mode and outliers:
         lines.append(
-            f"- MACHINE-MODE WINDOW: {outliers} outlier(s) above are "
-            "auto-attributed to the degraded window the calib stamps "
-            "record, not to code — the supplemental-dismissal recipe "
-            "(idle re-probe) applies only if an idle re-run reproduces "
-            "them"
+            f"- MACHINE-MODE WINDOW: the {outliers} timing outlier(s) "
+            "above are auto-attributed to the degraded window the calib "
+            "stamps record, not to code — the supplemental-dismissal "
+            "recipe (idle re-probe) applies only if an idle re-run "
+            "reproduces them"
         )
+    if machine_mode and behavior_outliers:
+        lines.append(
+            f"- NOTE: {behavior_outliers} skew_split_engaged outlier(s) "
+            "above are NOT covered by the machine-mode attribution — a "
+            "planner flag cannot move with machine speed; treat as code"
+        )
+    outliers += behavior_outliers
     lines.insert(0, _hdr_line(block, "block"))
     return lines, outliers
 

@@ -99,23 +99,37 @@ await_idle() {
 # self-describe via their own calib stamps.
 await_calm() {
   await_idle
-  local waited=0
-  while :; do
-    local probe
-    probe="$(python - <<'PY'
+  # One python process loops internally until in-band or budget —
+  # the first cut re-spawned python (and bench's import chain) every
+  # 30 s poll, paying a multi-second import on the very box being
+  # measured for idleness (r15 review; rollup_ab_interleaved's
+  # _await_calm already used the in-process pattern).
+  local result
+  result="$(GAUNTLET_CALM_BUDGET="$CALM_BUDGET_S" python - <<'PY'
+import os
 import sys
+import time
+
 sys.path.insert(0, ".")
 from bench import CALIB_IDLE_BAND_MS, calibrate_ms
-ms = calibrate_ms()
-print(f"{ms}:{'ok' if ms <= CALIB_IDLE_BAND_MS else 'hot'}")
+
+deadline = time.monotonic() + float(os.environ["GAUNTLET_CALM_BUDGET"])
+while True:
+    ms = calibrate_ms()
+    if ms <= CALIB_IDLE_BAND_MS:
+        print(f"ok:{ms}")
+        break
+    if time.monotonic() >= deadline:
+        print(f"hot:{ms}")
+        break
+    time.sleep(30)
 PY
 )"
-    case "$probe" in
-      *:ok) say "calib in idle band (${probe%:ok} ms)"; return 0;;
-    esac
-    [ "$waited" -ge "$CALM_BUDGET_S" ] && { say "WARN: calib still ${probe%:hot} ms after ${CALM_BUDGET_S}s; proceeding (artifact self-describes via its calib stamps)"; return 0; }
-    sleep 30; waited=$((waited + 30))
-  done
+  case "$result" in
+    ok:*) say "calib in idle band (${result#ok:} ms)";;
+    hot:*) say "WARN: calib still ${result#hot:} ms after ${CALM_BUDGET_S}s budget; proceeding (artifact self-describes via its calib stamps)";;
+    *) say "WARN: calm probe did not report (${result:-empty}); proceeding";;
+  esac
 }
 
 # r13 verdict item 8: the gauntlet's evidence runs buy a 4x hypothesis
@@ -126,19 +140,57 @@ PY
 # leg, inside the r11-r13 wall-time band's headroom.
 export VSP_HYPOTHESIS_SCALE="${VSP_HYPOTHESIS_SCALE:-4}"
 
-if should_run 1; then
-  say "step 1/7: scale_smoke (calm-gated; BEFORE the full-width suites — r14 verdict item 3)"
-  await_calm
-  SMOKE_LOG="$(mktemp /tmp/scale_smoke_${TAG}_XXXX.log)"
-  python scripts/scale_smoke.py > "$SMOKE_LOG" 2>/tmp/scale_smoke_stderr.log \
-    || fail "scale_smoke (stderr: /tmp/scale_smoke_stderr.log)"
-  # r13 verdict item 6: the old header sampled /proc/loadavg AFTER the
-  # smoke run finished ("load at start 9.35" — our own just-ended
-  # executor threads), while the GOVERNING gate is scale_smoke's internal
-  # one (bench._await_quiet_machine, stamped as load_1m_start in the
-  # log's first JSON line). Print both, labeled, so an idle-discipline
-  # auditor reads the in-script gate value first.
-  SMOKE_GATE_LOAD="$(python - "$SMOKE_LOG" <<'PY' || true
+# Resume precheck (r15 review): the final OK line asserts the skipped
+# steps ran "in a prior invocation at the same head" — so before
+# running anything, verify each skipped step actually left its
+# evidence at THIS tag and THIS head.  Without this, a typo'd resume
+# (wrong tag, wrong head, no prior run at all) would write a GAUNTLET
+# OK record certifying suites and artifacts that never ran anywhere.
+if [ "$FROM_STEP" -gt 1 ]; then
+  say "resume precheck: verifying steps 1-$((FROM_STEP - 1)) evidence (tag ${TAG}, head ${HEAD_SHA})"
+  grep -Eq "^### Gauntlet run ${TAG} \(.*head ${HEAD_SHA}" SCALE.md \
+    || fail "resume precheck: no step-1 scale_smoke block for tag ${TAG} at head ${HEAD_SHA} in SCALE.md"
+fi
+if [ "$FROM_STEP" -gt 2 ]; then
+  grep -Eq "tag=${TAG}-sf001 .*head=${HEAD_SHA} rc=0" REHEARSAL.md \
+    || fail "resume precheck: no step-2 sf0.01 suite entry for tag ${TAG}-sf001 at head ${HEAD_SHA} in REHEARSAL.md"
+fi
+if [ "$FROM_STEP" -gt 3 ]; then
+  grep -Eq "tag=${TAG}-sf01 .*head=${HEAD_SHA} rc=0" REHEARSAL.md \
+    || fail "resume precheck: no step-3 sf0.1 suite entry for tag ${TAG}-sf01 at head ${HEAD_SHA} in REHEARSAL.md"
+fi
+if [ "$FROM_STEP" -gt 4 ]; then
+  [ -f "BENCH_${TAG}.json" ] \
+    || fail "resume precheck: BENCH_${TAG}.json not found (step 4 evidence missing)"
+fi
+
+# One appender for both SCALE.md block generations — the step-1 smoke
+# and the optional x64 stage (r15 review: the two verbatim copies meant
+# the r13-item-6 header-labeling fix had to be mirrored by hand, the
+# exact drift class check_scale_claims' two-generation header regex
+# exists to absorb).  $1 = kind (smoke|x64), $2 = run log, $3 = tag
+# suffix ("" | "-x64").
+#
+# Header labeling (r13 verdict item 6): the old header sampled
+# /proc/loadavg AFTER the run finished ("load at start 9.35" — our own
+# just-ended executor threads), while the GOVERNING gate is the
+# script's internal one (bench._await_quiet_machine, stamped as
+# load_1m_start in the log's first JSON line). Print both, labeled, so
+# an idle-discipline auditor reads the in-script gate value first.
+#
+# Derived claims (r12 verdict item 2): the monotonicity/skew/bound
+# claims are DERIVED from the raw block just appended (outliers named
+# with load context), so the committed summary can never again
+# contradict its own appendix the way the r12 hand prose did
+# ("flat-or-falling everywhere" over a 12x quality_score spike
+# recorded 400 lines below it).
+append_scale_block() {
+  local kind="$1" log="$2" suffix="$3" unit desc gate_load claims
+  case "$kind" in
+    smoke) unit="op"; desc="the curated tables above interpret these";;
+    x64)   unit="leg"; desc="design bounds stamped next to the walls";;
+  esac
+  gate_load="$(python - "$log" <<'PY' || true
 import json, sys
 for ln in open(sys.argv[1]):
     ln = ln.strip()
@@ -150,24 +202,28 @@ PY
 )"
   {
     echo ""
-    echo "### Gauntlet run ${TAG} ($(STAMP), head ${HEAD_SHA}; scale_smoke calm-gated at load ${SMOKE_GATE_LOAD:-n/a}, post-run load at append $(awk '{print $1}' /proc/loadavg))"
+    echo "### Gauntlet run ${TAG}${suffix} ($(STAMP), head ${HEAD_SHA}; scale_${kind} calm-gated at load ${gate_load:-n/a}, post-run load at append $(awk '{print $1}' /proc/loadavg))"
     echo ""
-    echo "Raw scale_smoke output (one JSON line per op; appended verbatim by"
-    echo "scripts/gauntlet.sh — the curated tables above interpret these):"
+    echo "Raw scale_${kind} output (one JSON line per ${unit}; appended verbatim by"
+    echo "scripts/gauntlet.sh — ${desc}):"
     echo ""
     echo '```json'
-    cat "$SMOKE_LOG"
+    cat "$log"
     echo '```'
   } >> SCALE.md
-  # r12 verdict item 2: the monotonicity/skew claims are DERIVED from the
-  # raw block just appended (outliers named with load context), so the
-  # committed summary can never again contradict its own appendix the way
-  # the r12 hand prose did ("flat-or-falling everywhere" over a 12x
-  # quality_score spike recorded 400 lines below it)
-  CLAIMS="$(python scripts/check_scale_claims.py SCALE.md --tag "${TAG}")" \
-    || fail "check_scale_claims"
-  { echo ""; echo "$CLAIMS"; } >> SCALE.md
-  say "scale_smoke appended to SCALE.md ($(wc -l < "$SMOKE_LOG") JSON lines) + derived claims"
+  claims="$(python scripts/check_scale_claims.py SCALE.md --tag "${TAG}${suffix}")" \
+    || return 1
+  { echo ""; echo "$claims"; } >> SCALE.md
+  say "scale_${kind} appended to SCALE.md ($(wc -l < "$log") JSON lines) + derived claims"
+}
+
+if should_run 1; then
+  say "step 1/7: scale_smoke (calm-gated; BEFORE the full-width suites — r14 verdict item 3)"
+  await_calm
+  SMOKE_LOG="$(mktemp /tmp/scale_smoke_${TAG}_XXXX.log)"
+  python scripts/scale_smoke.py > "$SMOKE_LOG" 2>/tmp/scale_smoke_stderr.log \
+    || fail "scale_smoke (stderr: /tmp/scale_smoke_stderr.log)"
+  append_scale_block smoke "$SMOKE_LOG" "" || fail "check_scale_claims"
 fi
 
 if should_run 2; then
@@ -279,31 +335,7 @@ if [ "${SPARK_GRAFT_GAUNTLET_X64:-0}" = "1" ]; then
   X64_LOG="$(mktemp /tmp/scale_x64_${TAG}_XXXX.log)"
   python scripts/scale_x64.py > "$X64_LOG" 2>/tmp/scale_x64_stderr.log \
     || fail "scale_x64 (stderr: /tmp/scale_x64_stderr.log)"
-  X64_GATE_LOAD="$(python - "$X64_LOG" <<'PY' || true
-import json, sys
-for ln in open(sys.argv[1]):
-    ln = ln.strip()
-    if ln.startswith("{"):
-        o = json.loads(ln)
-        if "load_1m_start" in o:
-            print(o["load_1m_start"]); break
-PY
-)"
-  {
-    echo ""
-    echo "### Gauntlet run ${TAG}-x64 ($(STAMP), head ${HEAD_SHA}; scale_x64 calm-gated at load ${X64_GATE_LOAD:-n/a}, post-run load at append $(awk '{print $1}' /proc/loadavg))"
-    echo ""
-    echo "Raw scale_x64 output (one JSON line per leg; appended verbatim by"
-    echo "scripts/gauntlet.sh — design bounds stamped next to the walls):"
-    echo ""
-    echo '```json'
-    cat "$X64_LOG"
-    echo '```'
-  } >> SCALE.md
-  X64_CLAIMS="$(python scripts/check_scale_claims.py SCALE.md --tag "${TAG}-x64")" \
-    || fail "check_scale_claims (x64)"
-  { echo ""; echo "$X64_CLAIMS"; } >> SCALE.md
-  say "scale_x64 appended to SCALE.md ($(wc -l < "$X64_LOG") JSON lines) + derived bound claims"
+  append_scale_block x64 "$X64_LOG" "-x64" || fail "check_scale_claims (x64)"
 fi
 
 # End-of-round artifact rule (r11 verdict item 3): evidence artifacts
@@ -325,7 +357,7 @@ fi
 
 RESUME_NOTE=""
 if [ "$FROM_STEP" -gt 1 ]; then
-  RESUME_NOTE="; resumed from step ${FROM_STEP} — steps 1-$((FROM_STEP - 1)) ran in a prior invocation at the same head"
+  RESUME_NOTE="; resumed from step ${FROM_STEP} — steps 1-$((FROM_STEP - 1)) ran in a prior invocation at the same head (evidence verified by the resume precheck)"
 fi
 echo "- $(STAMP) tag=${TAG} head=${HEAD_SHA} rc=0: GAUNTLET OK (suite sf0.01 + sf0.1 green, scale_smoke appended, ${BENCH_OUT} written + pins OK, PLANS.md + COVERAGE.md regenerated${RESUME_NOTE})" >> REHEARSAL.md
 say "OK — all 7 steps green${RESUME_NOTE}"

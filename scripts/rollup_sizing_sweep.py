@@ -168,7 +168,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     results: dict[int, dict] = {}
-    stress_stats: dict[int, dict] = {}
     for stores in sweep:
         run_once(spark, sf_dir, stores)  # warm (also stages the source)
         if fsync_stress:
@@ -184,7 +183,7 @@ def main() -> None:
                 passes = [
                     run_once(spark, sf_dir, stores) for _ in range(n_timed)
                 ]
-            stress_stats[stores] = hammer.stats()
+            hammer_stats = hammer.stats()
         else:
             passes = [run_once(spark, sf_dir, stores) for _ in range(n_timed)]
         med = sorted(passes, key=lambda r: r["wall"])[len(passes) // 2]
@@ -193,7 +192,7 @@ def main() -> None:
             "max": max(r["wall"] for r in passes),
         }
         if fsync_stress:
-            med["fsync_stress"] = stress_stats[stores]
+            med["fsync_stress"] = hammer_stats
         results[stores] = med
         print(json.dumps({"stores": stores, **med}), flush=True)
 

@@ -738,7 +738,38 @@ def test_scale_claims_auto_attribute_r14_slow_block():
     assert outliers == 2
     assert "DEGRADED machine window" in joined
     assert joined.count("auto-attributed to machine mode") == 2
-    assert "MACHINE-MODE WINDOW: 2 outlier(s)" in joined
+    assert "MACHINE-MODE WINDOW: the 2 timing outlier(s)" in joined
+
+    # a planner-flag inversion in the same degraded window is a
+    # BEHAVIOR outlier: counted, but explicitly excluded from the
+    # machine-mode attribution (r15 review — a flag cannot move with
+    # CPU speed, so the degraded-window dismissal must not cover it)
+    inverted = {
+        **stamped,
+        "ops": {
+            **stamped["ops"],
+            "custkey_join_shuffle_skew": {
+                "sf0.1x8": {
+                    "rows_in": 1200000,
+                    "sec": 0.5,
+                    "sec_per_mrow": 0.417,
+                    "skew_split_engaged": True,  # engaged at the UNIFORM point
+                },
+                "sf0.1x8skew": {
+                    "rows_in": 1200000,
+                    "sec": 0.55,
+                    "sec_per_mrow": 0.458,
+                    "skew_split_engaged": False,
+                },
+            },
+        },
+    }
+    lines, outliers = derive(inverted)
+    joined = "\n".join(lines)
+    assert outliers == 3  # 2 timing + 1 behavior
+    assert "MACHINE-MODE WINDOW: the 2 timing outlier(s)" in joined
+    assert "UNEXPECTED" in joined
+    assert "NOT covered by the machine-mode attribution" in joined
 
     # in-band stamps: no attribution, the window is called idle-band
     calm = {
@@ -802,8 +833,11 @@ def test_derive_x64_bound_claims():
     """r14 verdict item 8: the x64 stateful-leg block is a repeatable
     gauntlet-optional stage whose design-bound claims are DERIVED from
     the stamped numbers (never read off the script's own boolean) —
-    held bounds become claims, violated ones become outliers, and a
-    degraded calib window auto-attributes them like any other block."""
+    held bounds become claims, violated ones become outliers.  Unlike
+    derive()'s timing outliers, these are COUNT-based invariants a slow
+    machine cannot inflate, so a degraded calib window must NOT
+    auto-attribute them to machine mode (r15 review: the first cut did,
+    which would have filed a real bound violation as machine noise)."""
     sys.path.insert(0, os.path.join(REPO, "scripts"))
     from check_scale_claims import derive_x64, parse_blocks
 
@@ -860,9 +894,14 @@ def test_derive_x64_bound_claims():
     assert "OUTLIER (candidate explosion)" in joined
     assert "auto-attributed" not in joined  # calib in band: real findings
 
-    # same violations in a stamped degraded window: auto-attributed
+    # same violations in a stamped degraded window: still real findings
+    # (counts don't move with CPU speed) — each carries the explicit
+    # do-NOT-dismiss suffix instead of the machine-mode attribution
     lines, outliers = derive_x64(
         parse_blocks(block_text(70000, 3000000, exploded, calib_end=2100.0))[0]
     )
+    joined = "\n".join(lines)
     assert outliers == 3
-    assert "\n".join(lines).count("auto-attributed to machine mode") == 3
+    assert "auto-attributed to machine mode" not in joined
+    assert joined.count("count-based invariant") == 3
+    assert "treat as code/data" in joined

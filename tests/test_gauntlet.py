@@ -14,6 +14,10 @@ Covered:
 * full run executes all 7 steps and writes BENCH_<tag>.json;
 * resume-from-3 skips steps 1-2 (no markers, no SCALE.md append) and
   the OK line records the resume point;
+* the resume precheck: a resume whose skipped steps left no evidence
+  at this tag+head fails BEFORE running anything — without it, a
+  typo'd resume would write a GAUNTLET OK record certifying suites
+  and artifacts that never ran anywhere (r15 review);
 * resume-from-5 without the earlier invocation's bench artifact fails
   loudly instead of pinning absent bytes;
 * a non-1..7 resume argument is rejected before anything runs.
@@ -131,6 +135,36 @@ def _stub_tree(root: str) -> None:
         _write(os.path.join(root, f), "")
 
 
+def _seed_prior_evidence(root: str, tag: str, through_step: int) -> None:
+    """Leave the evidence a prior invocation's steps 1..through_step
+    would have left, in the exact shapes the resume precheck greps for
+    (SCALE.md block header, REHEARSAL.md suite entries, bench
+    artifact). HEAD is always the git-shim's stub0000."""
+    if through_step >= 1:
+        with open(os.path.join(root, "SCALE.md"), "a") as f:
+            f.write(
+                f"### Gauntlet run {tag} (2026-01-01T00:00:00Z, head "
+                "stub0000; scale_smoke calm-gated at load 0.1, post-run "
+                "load at append 0.2)\n"
+            )
+    with open(os.path.join(root, "REHEARSAL.md"), "a") as f:
+        if through_step >= 2:
+            f.write(
+                f"- 2026-01-01T00:00:00Z tag={tag}-sf001 sf_dir=/x "
+                "head=stub0000 rc=0: stub suite\n"
+            )
+        if through_step >= 3:
+            f.write(
+                f"- 2026-01-01T00:00:00Z tag={tag}-sf01 sf_dir=/x "
+                "head=stub0000 rc=0: stub suite\n"
+            )
+    if through_step >= 4:
+        _write(
+            os.path.join(root, f"BENCH_{tag}.json"),
+            '{"value": 1.0, "queries": {"q": 1.0}}',
+        )
+
+
 def _run(root: str, *args: str) -> subprocess.CompletedProcess:
     env = dict(
         os.environ,
@@ -177,6 +211,8 @@ def test_full_run_executes_all_seven_steps(tmp_path):
 def test_resume_from_step_3_skips_smoke_and_sf001(tmp_path):
     root = str(tmp_path)
     _stub_tree(root)
+    _seed_prior_evidence(root, "t2", 2)
+    scale_before = open(os.path.join(root, "SCALE.md")).read()
     res = _run(root, "t2", "3")
     assert res.returncode == 0, res.stderr
     marks = _markers(root)
@@ -186,14 +222,42 @@ def test_resume_from_step_3_skips_smoke_and_sf001(tmp_path):
     assert marks.count("step4") == 2, marks
     # skipped steps still announced, so the log keeps the 7-step shape
     assert "step 1/7: skipped (resuming from step 3)" in res.stderr
-    assert open(os.path.join(root, "SCALE.md")).read() == ""
+    # step 1 skipped: SCALE.md keeps only the prior invocation's block
+    assert open(os.path.join(root, "SCALE.md")).read() == scale_before
     rehearsal = open(os.path.join(root, "REHEARSAL.md")).read()
     assert "resumed from step 3 — steps 1-2 ran in a prior invocation" in rehearsal
+
+
+def test_resume_precheck_rejects_resume_with_no_prior_evidence(tmp_path):
+    """A resume whose skipped steps left nothing at this tag+head must
+    fail before running anything — the OK line would otherwise certify
+    suites and a smoke that never ran anywhere."""
+    root = str(tmp_path)
+    _stub_tree(root)
+    res = _run(root, "t6", "3")  # empty SCALE.md/REHEARSAL.md: no prior run
+    assert res.returncode == 1
+    assert _markers(root) == []
+    rehearsal = open(os.path.join(root, "REHEARSAL.md")).read()
+    assert "GAUNTLET FAILED" in rehearsal and "resume precheck" in rehearsal
+    assert "GAUNTLET OK" not in rehearsal
+
+    # step-1 evidence alone is not enough for a resume past step 2
+    root2 = str(tmp_path / "two")
+    os.makedirs(root2)
+    _stub_tree(root2)
+    _seed_prior_evidence(root2, "t7", 1)
+    res = _run(root2, "t7", "3")
+    assert res.returncode == 1
+    assert "tag=t7-sf001" in open(os.path.join(root2, "REHEARSAL.md")).read() or (
+        "resume precheck" in open(os.path.join(root2, "REHEARSAL.md")).read()
+    )
+    assert _markers(root2) == []
 
 
 def test_resume_from_5_without_bench_artifact_fails_loudly(tmp_path):
     root = str(tmp_path)
     _stub_tree(root)
+    _seed_prior_evidence(root, "t3", 3)  # steps 1-3 ran, bench did not
     res = _run(root, "t3", "5")
     assert res.returncode == 1
     marks = _markers(root)
@@ -205,7 +269,7 @@ def test_resume_from_5_without_bench_artifact_fails_loudly(tmp_path):
 def test_resume_from_5_uses_prior_invocations_artifact(tmp_path):
     root = str(tmp_path)
     _stub_tree(root)
-    _write(os.path.join(root, "BENCH_t4.json"), '{"value": 1.0, "queries": {"q": 1.0}}')
+    _seed_prior_evidence(root, "t4", 4)
     res = _run(root, "t4", "5")
     assert res.returncode == 0, res.stderr
     marks = _markers(root)
