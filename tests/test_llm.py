@@ -920,6 +920,101 @@ def test_decoder_quarantine_mode(spark):
         extract_binary_features(media, on_error="bogus")
 
 
+def test_decoder_quarantine_catches_struct_error(spark):
+    """r15 review: a payload truncated MID-FIELD makes the header
+    decoders raise struct.error (not ValueError) from unpack_from —
+    exactly the corrupt-crawl shape quarantine exists for. It must
+    become a tag='error' row, not kill the task."""
+    import struct
+
+    from video_stream_processor_spark.llm.multimodal import (
+        WAV_FEATURE_SCHEMA,
+        extract_binary_features,
+        wav_header_decoder,
+    )
+
+    truncated = (
+        b"RIFF" + struct.pack("<I", 36) + b"WAVE"
+        + b"fmt " + struct.pack("<I", 16)  # fmt chunk header, no body
+    )
+    with pytest.raises(struct.error):  # the raw decoder shape under test
+        wav_header_decoder(truncated)
+    media = spark.createDataFrame(
+        [(1, truncated)], "doc_id bigint, payload binary"
+    )
+    got = extract_binary_features(
+        media,
+        decoder=wav_header_decoder,
+        schema=WAV_FEATURE_SCHEMA,
+        on_error="quarantine",
+    ).collect()
+    assert len(got) == 1 and got[0]["tag"] == "error"
+
+
+def test_word_shingles_short_docs_yield_empty_not_error(spark):
+    """r15 review: the old greatest(size-(n-1), 0) clamp did not guard
+    — sequence(1, 0) counts DOWN in Spark and element_at(tok, 0)
+    throws. Docs under n tokens must yield an empty shingle array."""
+    from video_stream_processor_spark.llm.dedup import tokens, word_shingles
+
+    df = spark.createDataFrame(
+        [(1, "only"), (2, ""), (3, "two words here")],
+        "doc_id bigint, text string",
+    )
+    got = {
+        r["doc_id"]: r["sh"]
+        for r in df.select(
+            "doc_id", word_shingles(tokens()).alias("sh")
+        ).collect()
+    }
+    assert got[1] == [] and got[2] == []
+    assert got[3] == ["two words", "words here"]
+
+
+def test_contamination_overlap_keeps_short_docs(spark):
+    """r15 review: a training doc under n tokens must keep its row
+    (n_shingles=0, contaminated=false) — the old filter dropped it
+    entirely, so a decontam pipeline joining the flags back silently
+    lost short docs from the training set."""
+    from video_stream_processor_spark.llm.dedup import contamination_overlap
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d"), (2, "xy")], "doc_id bigint, text string"
+    )
+    bench = spark.createDataFrame([("a b c",)], "text string")
+    for portable in (True, False):
+        got = {
+            r["doc_id"]: r
+            for r in contamination_overlap(
+                docs, bench, n=3, threshold=0.5, portable=portable
+            ).collect()
+        }
+        assert set(got) == {1, 2}, f"portable={portable}"
+        short = got[2]
+        assert short["n_shingles"] == 0
+        assert short["n_overlap"] == 0
+        assert short["frac_overlap"] == 0.0
+        assert short["contaminated"] is False
+        assert got[1]["n_overlap"] == 1  # 'a b c' of ['a b c','b c d']
+        assert got[1]["contaminated"] is True  # 1/2 >= 0.5
+
+
+def test_pq_subvectors_cover_remainder_dims(spark):
+    """r15 review: when dim % m != 0 the old floor-everywhere split
+    silently dropped the last dim % m components from every PQ code
+    and every ADC distance; the last slice now carries the remainder,
+    covering all dims."""
+    from video_stream_processor_spark.llm.similarity import _subvectors
+
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(10)])],
+        "vec_id bigint, embedding array<double>",
+    )
+    rows = sorted(_subvectors(df, 3).collect(), key=lambda r: r["sub"])
+    assert [len(r["sv"]) for r in rows] == [3, 3, 4]
+    assert [x for r in rows for x in r["sv"]] == [float(i) for i in range(10)]
+
+
 def test_minhash_oph_recall_vs_exact(docs):
     """One-permutation-hashing variant: precision still 1.0 (same exact
     verification), recall vs exact Jaccard>=0.5 pairs stays high."""

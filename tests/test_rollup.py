@@ -1720,6 +1720,32 @@ def test_migrate_rollup_refuses_remote_old_tiers(spark, tmp_path):
     assert not os.path.exists(new_live)
 
 
+def test_migrate_rollup_rejects_in_place_migration(spark, tmp_path):
+    """r15 review: new_live_dir == an old tier is the intuitive misuse
+    (an "in-place upgrade") and would be catastrophic — the backfill
+    writes the new table into the dir, then the old-tier cleanup
+    rmtree's it, reporting a successful migration with the table gone.
+    Must raise up front, before any backfill work."""
+    import os
+
+    from video_stream_processor_spark.streaming import migrate_rollup
+
+    pdf = pd.DataFrame(FILE_A, columns=COLS)
+    pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+    ev = _normalize_events(spark.createDataFrame(pdf, schema=EVENTS_RAW_SCHEMA))
+    target = str(tmp_path / "rollup_live")
+    with pytest.raises(ValueError, match="same path"):
+        migrate_rollup(ev, target, old_live_dir=target)
+    # a symlinked spelling of the same dir must not sneak past
+    real = tmp_path / "real_live"
+    real.mkdir()
+    link = tmp_path / "link_live"
+    os.symlink(str(real), str(link))
+    with pytest.raises(ValueError, match="same path"):
+        migrate_rollup(ev, str(link), old_live_dir=str(real))
+    assert not os.path.exists(target)
+
+
 def test_writer_p_stamp_guards_empty_sink_restart(spark, tmp_path):
     """r12 verdict item 4: the row-derived p guard has a structural
     gap — a maintainer restarted at a new p before the FIRST window

@@ -512,6 +512,103 @@ def test_closed_user_sessions(spark, tmp_path):
     assert len(want) == 3  # A, B, X all present in the twin
 
 
+def test_closed_user_sessions_late_rows_land_in_right_session(spark, tmp_path):
+    """r15 review: with a watermark delay, Spark still delivers rows
+    OLDER than the open session — they must land in the RIGHT session:
+    one within gap before the open session lowers its start; one more
+    than gap before everything opens its own (earlier) session; one
+    between two open sessions bridges them into one. The old
+    single-session state absorbed all three into the newest session
+    and eagerly emitted sessions the watermark had not yet made final.
+    Every closed session must match the batch session_window twin."""
+    import time
+
+    from video_stream_processor_spark.io import _normalize_events
+    from video_stream_processor_spark.schemas import EVENTS_RAW_SCHEMA
+
+    src_dir = tmp_path / "late_sess_events"
+    src_dir.mkdir()
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+
+    def mk(rows, name):
+        pdf = pd.DataFrame(rows, columns=cols)
+        pdf["ts"] = pd.to_datetime(pdf["ts"]).astype("datetime64[us]")
+        pdf.to_parquet(src_dir / name)
+
+    # batch 0: u1 open session [10:00, 10:10]; u2 two sessions (10:00
+    # and 10:50 are 50min > gap apart); u9 advances the clock.
+    mk(
+        [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-01 10:10:00", 1, "click", 1.0, "{}"),
+            (3, "2024-01-01 10:00:00", 2, "view", 1.0, "{}"),
+            (4, "2024-01-01 10:50:00", 2, "view", 1.0, "{}"),
+            (5, "2024-01-01 11:00:00", 9, "click", 1.0, "{}"),
+        ],
+        "a.parquet",
+    )
+    time.sleep(1.1)
+    # batch 1 (watermark now 9:00 = 11:00 - 2h): all three late shapes
+    # are in-watermark and must re-shape the open sessions —
+    #   u1 9:50  -> lowers session start (9:50 is within gap of 10:00)
+    #   u1 8:30  -> its own earlier session (> gap before 9:50)
+    #   u2 10:25 -> bridges [10:00] and [10:50] into one session
+    mk(
+        [
+            (6, "2024-01-01 09:50:00", 1, "click", 1.0, "{}"),
+            (7, "2024-01-01 08:30:00", 1, "click", 1.0, "{}"),
+            (8, "2024-01-01 10:25:00", 2, "view", 1.0, "{}"),
+            (9, "2024-01-01 13:00:00", 9, "click", 1.0, "{}"),
+        ],
+        "b.parquet",
+    )
+    time.sleep(1.1)
+    # batch 2: u9 16:00 -> final watermark 14:00 closes every session
+    # whose boundary it passed (u9's own 16:00 session stays open).
+    mk([(10, "2024-01-01 16:00:00", 9, "click", 1.0, "{}")], "c.parquet")
+
+    raw = (
+        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src_dir))
+    )
+    sdf = closed_user_sessions(
+        _normalize_events(raw).withWatermark("ts", "2 hours"),
+        gap="30 minutes",
+    )
+    got, _ = run_stream_append(sdf, tmp_path)
+
+    batch = _normalize_events(
+        spark.read.schema(EVENTS_RAW_SCHEMA).parquet(str(src_dir))
+    )
+    final_wm_us = int(pd.Timestamp("2024-01-01 14:00:00").value) // 1000
+    want = [
+        tuple(r)
+        for r in closed_sessions_batch(batch, gap="30 minutes").collect()
+        if int(pd.Timestamp(r["session_end"]).value) // 1000 < final_wm_us
+    ]
+    assert sorted(tuple(r) for r in got) == sorted(want)
+    # the twin really contains the reshaped sessions the late rows made
+    starts = sorted(
+        pd.Timestamp(w[1]).strftime("%H:%M") for w in want
+    )
+    assert starts == ["08:30", "09:50", "10:00", "11:00", "13:00"]
+
+
+def test_session_gap_accepts_full_interval_grammar():
+    """r15 review: the session builders' gap parser is the package's
+    shared interval grammar (analytics.interval_ns), not a private
+    subset — '1 day' and multi-part intervals parse, fractional
+    quantities fail loudly."""
+    from video_stream_processor_spark.streaming.stateful import _duration_us
+
+    assert _duration_us("30 minutes") == 1_800_000_000
+    assert _duration_us("1 day") == 86_400_000_000
+    assert _duration_us("1 hour 30 minutes") == 5_400_000_000
+    with pytest.raises(ValueError, match="fractional|non-integer"):
+        _duration_us("1.5 hours")
+
+
 def test_stream_stream_interval_join_equals_batch(
     spark, sf_dir, events_batch, events_stream, tmp_path
 ):

@@ -120,12 +120,21 @@ def tokens(col: str = "text") -> Column:
 
 
 def word_shingles(tok: Column, n: int = 2) -> Column:
-    """Distinct n-word shingles of a token array (n=2: bigrams)."""
+    """Distinct n-word shingles of a token array (n=2: bigrams).
+
+    Empty array (not an error) for docs shorter than n tokens: the
+    first cut clamped with greatest(size-(n-1), 0), but sequence(1, 0)
+    counts DOWN in Spark ([1, 0]) and element_at(tok, 0) then throws
+    INVALID_INDEX_OF_ZERO — the same trap text.repetition_signals
+    documents and guards against, so the guard lives here where every
+    shingle consumer inherits it (r15 review)."""
     joined = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0))),
+        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
         lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]),
     )
-    return F.array_distinct(joined)
+    return F.when(F.size(tok) >= n, F.array_distinct(joined)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def _spread(docs: DataFrame) -> DataFrame:
@@ -878,18 +887,24 @@ def contamination_overlap(
     else:
         # per-doc distinct n-gram hash array, map-side (shares the
         # xxhash64 long-hash convention of _doc_shingle_arrays:
-        # collisions p~n^2/2^65)
-        sh_col = F.array_distinct(
-            F.transform(
-                F.sequence(F.lit(1), F.greatest(F.size(tok) - (n - 1), F.lit(0))),
-                lambda i: F.xxhash64(*[F.get(tok, i + j - 1) for j in range(n)]),
-            )
-        )
-    doc_arr = (
-        _spread(docs)
-        .filter(F.size(tok) >= n)
-        .select("doc_id", sh_col.alias("sh_arr"))
-    )
+        # collisions p~n^2/2^65); same short-doc guard as
+        # word_shingles — sequence(1, 0) counts DOWN
+        sh_col = F.when(
+            F.size(tok) >= n,
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(tok) - (n - 1)),
+                    lambda i: F.xxhash64(*[F.get(tok, i + j - 1) for j in range(n)]),
+                )
+            ),
+        ).otherwise(F.array().cast("array<bigint>"))
+    # every training doc keeps a row — a short doc (under n tokens)
+    # carries n_shingles=0 / contaminated=false rather than vanishing:
+    # the first cut filtered them out entirely, so a pipeline joining
+    # the flags back (or filtering NOT contaminated over a left join's
+    # NULLs) silently dropped short docs from the training set with no
+    # signal (r15 review)
+    doc_arr = _spread(docs).select("doc_id", sh_col.alias("sh_arr"))
     bench_sh = (
         benchmark.filter(F.size(tok) >= n)
         .select(F.explode(sh_col).alias("sh"))
@@ -901,6 +916,9 @@ def contamination_overlap(
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
+    frac = F.when(F.col("n_shingles") == 0, F.lit(0.0)).otherwise(
+        F.coalesce("n_overlap", F.lit(0)) / F.col("n_shingles")
+    )
     return (
         doc_arr.select("doc_id", F.size("sh_arr").alias("n_shingles"))
         .join(hits, "doc_id", "left")
@@ -908,13 +926,8 @@ def contamination_overlap(
             "doc_id",
             "n_shingles",
             F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.round(
-                F.coalesce("n_overlap", F.lit(0)) / F.col("n_shingles"), 6
-            ).alias("frac_overlap"),
-            (
-                F.coalesce("n_overlap", F.lit(0)) / F.col("n_shingles")
-                >= F.lit(threshold)
-            ).alias("contaminated"),
+            F.round(frac, 6).alias("frac_overlap"),
+            (frac >= F.lit(threshold)).alias("contaminated"),
         )
     )
 

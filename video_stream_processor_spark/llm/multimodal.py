@@ -189,12 +189,20 @@ def extract_binary_features(
     wav_header_decoder for a real, dependency-free decoder example).
 
     ``on_error='quarantine'`` is the at-scale mode: a payload the
-    decoder rejects (ValueError) yields a row with NULL features and
+    decoder rejects yields a row with NULL features and
     ``tag='error'`` instead of failing the whole task — one corrupt
     crawled file must not kill a 10-GB partition. Filter
     ``tag = 'error'`` into a quarantine sink downstream. The default
     stays fail-fast for pipelines that prefer loud breakage.
+    Quarantine catches ``ValueError`` (a decoder's explicit reject)
+    AND ``struct.error`` — the header decoders' unpack_from raises the
+    latter on payloads truncated mid-field, which is exactly the
+    corrupt-file shape quarantine exists for (r15 review: the first
+    cut caught only ValueError, so a mid-field truncation killed the
+    task anyway).
     """
+    import struct
+
     if on_error not in ("raise", "quarantine"):
         raise ValueError(f"on_error must be raise|quarantine, got {on_error!r}")
     names = [f.name for f in schema.fields]
@@ -204,7 +212,7 @@ def extract_binary_features(
             return decoder(payload)
         try:
             return decoder(payload)
-        except ValueError:
+        except (ValueError, struct.error):
             return {n: None for n in names if n != "doc_id"} | {"tag": "error"}
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

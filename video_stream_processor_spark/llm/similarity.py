@@ -573,13 +573,24 @@ def _sqdist(a: Column, b: Column) -> Column:
 
 def _subvectors(embeddings: DataFrame, m: int) -> DataFrame:
     """(vec_id, sub, sv): each vector split into m contiguous
-    d/m-dim sub-vectors — long form so ALL m subspaces train/encode in
-    the same jobs (one plan, not m plans)."""
+    sub-vectors — long form so ALL m subspaces train/encode in the
+    same jobs (one plan, not m plans).
+
+    When dim is not divisible by m the LAST slice carries the
+    remainder (floor(d/m)+d%m dims) instead of the tail being silently
+    dropped — the first cut floored every slice, so with d=64/m=12 the
+    last 4 dims were invisible to every code and every ADC distance
+    and vectors differing only in the tail quantized identically (r15
+    review). Train and encode share this function, so the longer last
+    subspace is consistent end-to-end. m should be <= dim; beyond that
+    the leading slices degenerate to empty sub-vectors."""
     v = _dvec("embedding")
     sub_d = (F.size(v) / m).cast("int")
     slices = F.transform(
         F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda s: F.slice(v, s * sub_d + 1, sub_d),
+        lambda s: F.when(s < m - 1, F.slice(v, s * sub_d + 1, sub_d)).otherwise(
+            F.slice(v, s * sub_d + 1, F.size(v) - s * sub_d)
+        ),
     )
     return embeddings.select(
         "vec_id", F.posexplode(slices).alias("sub", "sv")

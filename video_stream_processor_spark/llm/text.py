@@ -29,12 +29,16 @@ BPE_TOKEN_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
 # order is fixed — first max score wins, so ties are stable. The test
 # corpus is synthetic word-soup, so the interesting property is the
 # classifier's determinism and shape, not its accuracy on fake labels.
+# No marker-less entry: a language with no markers scores a constant 0
+# and predicted_lang requires best > 0, so it could never be predicted —
+# the actual no-marker fallback is the 'und' literal in predicted_lang
+# (r15 review: a dead 'zh' entry here claimed to be "the explicit
+# default" while being unreachable).
 LANG_MARKERS: list[tuple[str, list[str]]] = [
     ("en", ["the", "a", "and", "of"]),
     ("de", ["der", "die", "und", "nicht"]),
     ("es", ["el", "la", "que", "los"]),
     ("fr", ["le", "la", "et", "les"]),
-    ("zh", []),  # no latin markers — reachable only as explicit default
 ]
 
 FP_BASE = 1000003
@@ -108,10 +112,7 @@ def predicted_lang() -> Column:
     """Marker-scored language prediction with fixed priority order."""
     tok = tokens()
     scores = [
-        (
-            lang,
-            F.size(F.filter(tok, _contains_any(markers))) if markers else F.lit(0),
-        )
+        (lang, F.size(F.filter(tok, _contains_any(markers))))
         for lang, markers in LANG_MARKERS
     ]
     best = F.greatest(*[s for _, s in scores])

@@ -688,8 +688,7 @@ WITH pii AS (
          len(list_filter({_TOKS}, x -> x IN ('the','a','and','of'))) AS s_en,
          len(list_filter({_TOKS}, x -> x IN ('der','die','und','nicht'))) AS s_de,
          len(list_filter({_TOKS}, x -> x IN ('el','la','que','los'))) AS s_es,
-         len(list_filter({_TOKS}, x -> x IN ('le','la','et','les'))) AS s_fr,
-         0 AS s_zh
+         len(list_filter({_TOKS}, x -> x IN ('le','la','et','les'))) AS s_fr
   FROM documents
 ), tri AS (
   SELECT doc_id,
@@ -697,7 +696,6 @@ WITH pii AS (
            generate_series(1, len(t) - 2),
            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])) AS g
   FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
-  WHERE len(t) >= 3
 ), bset AS (
   SELECT DISTINCT unnest(g) AS sh FROM tri WHERE doc_id % 7 = 0
 ), hits AS (
@@ -708,23 +706,24 @@ WITH pii AS (
   SELECT tri.doc_id,
          CAST(len(g) AS BIGINT) AS n_shingles,
          CAST(coalesce(hits.n_overlap, 0) AS BIGINT) AS n_overlap,
-         round(coalesce(hits.n_overlap, 0) * 1.0 / len(g), 6) AS frac_overlap,
-         CAST(CASE WHEN coalesce(hits.n_overlap, 0) * 1.0 / len(g) >= 0.05
+         CASE WHEN len(g) = 0 THEN 0.0
+              ELSE round(coalesce(hits.n_overlap, 0) * 1.0 / len(g), 6)
+         END AS frac_overlap,
+         CAST(CASE WHEN len(g) > 0
+                    AND coalesce(hits.n_overlap, 0) * 1.0 / len(g) >= 0.05
                    THEN 1 ELSE 0 END AS BIGINT) AS contam
   FROM tri LEFT JOIN hits USING (doc_id)
 )
 SELECT scored.doc_id, lang,
        CASE
-         WHEN s_en = greatest(s_en, s_de, s_es, s_fr, s_zh)
-              AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'en'
-         WHEN s_de = greatest(s_en, s_de, s_es, s_fr, s_zh)
-              AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'de'
-         WHEN s_es = greatest(s_en, s_de, s_es, s_fr, s_zh)
-              AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'es'
-         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr, s_zh)
-              AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'fr'
-         WHEN s_zh = greatest(s_en, s_de, s_es, s_fr, s_zh)
-              AND greatest(s_en, s_de, s_es, s_fr, s_zh) > 0 THEN 'zh'
+         WHEN s_en = greatest(s_en, s_de, s_es, s_fr)
+              AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'en'
+         WHEN s_de = greatest(s_en, s_de, s_es, s_fr)
+              AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'de'
+         WHEN s_es = greatest(s_en, s_de, s_es, s_fr)
+              AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'es'
+         WHEN s_fr = greatest(s_en, s_de, s_es, s_fr)
+              AND greatest(s_en, s_de, s_es, s_fr) > 0 THEN 'fr'
          ELSE 'und'
        END AS predicted,
        list_reduce(
@@ -759,7 +758,9 @@ def llm_doc_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
       benchmark corpus (here the doc_id % 7 == 0 slice stands in for an
       eval set) via ``contamination_overlap`` — benchmark shingles
       broadcast, the corpus never shuffles; docs under 3 tokens carry
-      NULLs (no shingles to leak). The portable string-shingle form is
+      n_shingles=0 / contaminated=false (no shingles to leak — zeros,
+      not dropped rows, so a decontam join can never silently lose
+      short docs). The portable string-shingle form is
       registered; the xxhash64 production form is equality-pinned in
       tests/test_llm.py.
     * L4 PII scrub: per-kind ``regexp_count`` columns plus the md5 of

@@ -80,7 +80,7 @@ UNION ALL
 SELECT 'sliding_1h_15m', win_start, win_start + 3600,
        NULL::VARCHAR,
        count(*),
-       round(sum(value), 2),
+       sum(CAST(round(value * 100) AS BIGINT)) / 100.0,
        NULL::DOUBLE,
        NULL::BIGINT
 FROM expanded
@@ -294,7 +294,6 @@ WITH flagged AS (
          epoch_us(min(ts)) AS start_us,
          epoch_us(max(ts)) AS last_us,
          count(*) AS n_events,
-         round(sum(value), 2) AS sum_value,
          sum(CAST(round(value * 100) AS BIGINT)) AS cents
   FROM numbered
   GROUP BY user_id, sess
@@ -302,7 +301,7 @@ WITH flagged AS (
 SELECT 'session' AS part,
        start_us // 1000000 AS sess_start,
        (last_us + 1800000000) // 1000000 AS sess_end,
-       user_id, n_events, sum_value
+       user_id, n_events, cents / 100.0 AS sum_value
 FROM islands
 UNION ALL
 SELECT 'sliced',

@@ -162,9 +162,14 @@ def sliding_counts(
     """T6 sliding: overlapping windows — each event lands in
     size/slide windows; Spark expands via the same ``window`` expr."""
     w = _maybe_watermark(events, watermark)
+    # exact integer cents, same argument as tumbling_stats: a float
+    # sum's addition order differs between streaming micro-batches and
+    # the one-pass batch twin, so round(sum, 2) can split on a hot
+    # window while cents sum identically in any order (r15 review)
+    cents = F.round(F.col("value") * 100).cast("long")
     agg = w.groupBy(F.window("ts", size, slide)).agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.sum(cents) / 100.0).alias("sum_value"),
     )
     return windowed_to_flat(agg)
 
@@ -184,9 +189,15 @@ def session_stats(
     last_ts + gap).
     """
     w = _maybe_watermark(events, watermark)
+    # exact integer cents (the tumbling_stats argument): the sliced
+    # twin already summed cents, so the pinned session==sliced equality
+    # could break on exactly the hot-user corpora the sliced path
+    # exists for if this side kept order-dependent float sums (r15
+    # review) — now both legs are exact by construction
+    cents = F.round(F.col("value") * 100).cast("long")
     agg = w.groupBy(F.session_window("ts", gap), "user_id").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        (F.sum(cents) / 100.0).alias("sum_value"),
     )
     return agg.select(
         F.unix_timestamp(F.col("session_window.start")).alias("sess_start"),

@@ -1476,6 +1476,23 @@ def migrate_rollup(
                 "with your storage tooling, then re-run with that "
                 "argument omitted"
             )
+        # The in-place reading (new == old) is the intuitive misuse,
+        # and it would be catastrophic: the backfill writes the new
+        # table INTO the dir, then the old-tier cleanup rmtree's it —
+        # a successful-looking migration with the whole table gone
+        # (r15 review). realpath so symlinked spellings can't sneak
+        # past the guard.
+        new_local = _local_checkpoint_path(new_live_dir)
+        if new_local is not None and os.path.realpath(local) == os.path.realpath(
+            new_local
+        ):
+            raise ValueError(
+                f"migrate_rollup: new_live_dir {new_live_dir!r} is the "
+                f"same path as old tier {d!r} — the migration must land "
+                "in a FRESH dir (the old dir's _spark_metadata log would "
+                "shadow batch-written files, and the old-tier cleanup "
+                "would delete the freshly migrated table)"
+            )
         old_dirs.append(local)
 
     backfill_rollup(events_batch, new_live_dir, size=size, replace_all=True)
