@@ -144,3 +144,60 @@ def test_merge_raises_on_null_sketch(spark):
         with_null.groupBy("g").agg(
             hll.merge_registers_agg("regs", p=8).alias("m")
         ).collect()
+
+
+def test_r15_fast_forms_equal_first_cut_forms(spark):
+    """r15 optimization regression pin: `map_to_registers` (now sorted-
+    entry zero-run concatenation) and `estimate_col` (now one let-bound
+    (inv_sum, zeros) fold) must stay element-/value-identical to the
+    first-cut per-index/map-lookup forms they replaced — including the
+    empty-map, single-entry, dense, and NULL-map edges. The old forms
+    are restated inline here as the executable spec."""
+    import random
+
+    p = 6
+    m = 1 << p
+
+    def old_map_to_registers(mp, p):
+        return F.transform(
+            F.sequence(F.lit(0), F.lit((1 << p) - 1)),
+            lambda i: F.coalesce(F.col(mp)[i], F.lit(0)).cast("tinyint"),
+        )
+
+    def old_estimate(regs, p):
+        checked = hll._checked_registers(F.col(regs), p)
+        m = 1 << p
+        alpha = 0.7213 / (1 + 1.079 / m)
+        inv = F.aggregate(
+            checked,
+            F.lit(0.0),
+            lambda a, x: a + F.pow(F.lit(2.0), -x.cast("double")),
+        )
+        zeros = F.size(F.filter(checked, lambda x: x == 0))
+        raw = F.lit(alpha * m * m) / inv
+        lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+        return F.round(F.when(zeros > 0, F.least(lc, raw)).otherwise(raw)).cast(
+            "long"
+        )
+
+    rnd = random.Random(7)
+    rows = [
+        (n, {b: rnd.randint(1, 59) for b in rnd.sample(range(m), n)})
+        for n in (0, 1, 3, 17, m - 1, m)
+    ]
+    df = spark.createDataFrame(rows, "n int, mp map<int,int>")
+    chk = df.select(
+        "n",
+        old_map_to_registers("mp", p).alias("old_regs"),
+        hll.map_to_registers("mp", p=p).alias("new_regs"),
+    )
+    assert chk.filter(F.col("old_regs") != F.col("new_regs")).count() == 0
+    est = chk.select(
+        old_estimate("old_regs", p).alias("e_old"),
+        hll.estimate_col("new_regs", p=p).alias("e_new"),
+    )
+    assert est.filter(F.col("e_old") != F.col("e_new")).count() == 0
+    # NULL map -> all-zero registers (old coalesce semantics preserved)
+    nul = spark.range(1).select(F.lit(None).cast("map<int,int>").alias("mp"))
+    regs = nul.select(hll.map_to_registers("mp", p=4).alias("r")).first()["r"]
+    assert regs == [0] * 16

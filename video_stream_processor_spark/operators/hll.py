@@ -88,15 +88,71 @@ def register_map_agg(
     return F.map_from_entries(pairs)
 
 
+def _let(value: Column, body) -> Column:
+    """Let-bind ``value`` as a higher-order-function lambda variable so
+    ``body`` can reference it many times at one evaluation's cost.
+
+    Why this exists (r15 optimization round, guide §1.2/§4): Catalyst's
+    higher-order functions (transform/aggregate/filter) are evaluated
+    interpreted (CodegenFallback) and whole-stage codegen's common-
+    subexpression elimination does not reach into them — an expensive
+    array expression referenced k times in one projection is computed
+    k times. Measured on rollup_stats at sf0.1 (3600 groups, p=12):
+    the 4096-slot register assembly re-evaluated per reference made the
+    estimate projection 35 s; let-binding + the O(n) assembly below
+    brought the whole query to ~1 s with byte-identical output.
+    ``transform`` evaluates its input array once and hands elements to
+    the lambda as bound variables, so wrapping the value in a 1-element
+    array is a zero-copy let."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def map_to_registers(mp: Column | str, p: int = DEFAULT_P) -> Column:
     """bucket->rho map to the canonical fixed-order register array
     (absent buckets = 0). Fixed iteration order makes the bytes a pure
-    function of the map contents."""
+    function of the map contents.
+
+    Built by sorted-entry zero-run concatenation — O(entries + 2^p)
+    array construction — instead of the first-cut per-index map lookup
+    (``transform(sequence(0..m-1), i -> mp[i])``), whose GetMapValue
+    linear scan made it O(entries x 2^p) interpreted work per group
+    (r15 optimization: 5.5 s of a 40 s rollup_stats pass at sf0.1).
+    Output is element-identical: same length, same tinyint values."""
     mp = F.col(mp) if isinstance(mp, str) else mp
     m = 1 << p
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(m - 1)),
-        lambda i: F.coalesce(mp[i], F.lit(0)).cast("tinyint"),
+    zero = F.lit(0).cast("tinyint")
+
+    def build(entries: Column) -> Column:
+        # gap of zeros before each entry, then the entry's rho; keys
+        # are unique ints in [0, m) so sorting by (key, value) structs
+        # orders by key and every gap is >= 0
+        runs = F.transform(
+            entries,
+            lambda e, i: F.concat(
+                F.array_repeat(
+                    zero,
+                    e.getField("key")
+                    - F.coalesce(
+                        F.get(entries, i - 1).getField("key"), F.lit(-1)
+                    )
+                    - 1,
+                ),
+                F.array(e.getField("value").cast("tinyint")),
+            ),
+        )
+        last_key = F.coalesce(
+            F.get(entries, F.size(entries) - 1).getField("key"), F.lit(-1)
+        )
+        return F.concat(
+            F.flatten(runs), F.array_repeat(zero, F.lit(m - 1) - last_key)
+        )
+
+    # NULL map -> all-zero registers, matching the old coalesce(mp[i], 0)
+    # semantics (unreachable from shipped writers, which always emit a
+    # map; kept for exact behavioral parity)
+    return F.coalesce(
+        _let(F.array_sort(F.map_entries(mp)), build),
+        F.array_repeat(zero, m),
     )
 
 
@@ -175,16 +231,40 @@ def estimate_col(regs: Column | str, p: int = DEFAULT_P) -> Column:
     estimator's alpha/m constants are precision-specific, so a silent
     answer would be a confidently wrong one — see `_checked_registers`."""
     regs = F.col(regs) if isinstance(regs, str) else regs
-    regs = _checked_registers(regs, p)
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
-    inv_sum = F.aggregate(
-        regs,
-        F.lit(0.0),
-        lambda acc, x: acc + F.pow(F.lit(2.0), -x.cast("double")),
+
+    # One fold computes (inv_sum, zeros) together, and every expensive
+    # sub-value is let-bound (see _let) so the register array and the
+    # fold are each evaluated exactly once per row — the first-cut
+    # form referenced the (interpreted, CSE-less) register expression
+    # from inv_sum, zeros, and the size check independently, which
+    # re-ran the whole 2^p-slot assembly per reference (r15
+    # optimization: 35 s -> ~1 s on stream_window_counts' rollup legs
+    # at sf0.1). The fold adds 2^-M_j in the same index order as the
+    # old single-purpose aggregate, so inv_sum is bit-identical.
+    def fold(checked: Column) -> Column:
+        return F.aggregate(
+            checked,
+            F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("z")),
+            lambda a, x: F.struct(
+                (
+                    a.getField("s") + F.pow(F.lit(2.0), -x.cast("double"))
+                ).alias("s"),
+                (
+                    a.getField("z") + F.when(x == 0, F.lit(1)).otherwise(F.lit(0))
+                ).alias("z"),
+            ),
+        )
+
+    def est_of(acc: Column) -> Column:
+        inv_sum = acc.getField("s")
+        zeros = acc.getField("z")
+        raw = F.lit(alpha * m * m) / inv_sum
+        lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
+        est = F.when(zeros > 0, F.least(lc, raw)).otherwise(raw)
+        return F.round(est).cast("long")
+
+    return _let(
+        regs, lambda r: _let(fold(_checked_registers(r, p)), est_of)
     )
-    zeros = F.size(F.filter(regs, lambda x: x == 0))
-    raw = F.lit(alpha * m * m) / inv_sum
-    lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
-    est = F.when(zeros > 0, F.least(lc, raw)).otherwise(raw)
-    return F.round(est).cast("long")
