@@ -127,14 +127,28 @@ def word_shingles(tok: Column, n: int = 2) -> Column:
     counts DOWN in Spark ([1, 0]) and element_at(tok, 0) then throws
     INVALID_INDEX_OF_ZERO — the same trap text.repetition_signals
     documents and guards against, so the guard lives here where every
-    shingle consumer inherits it (r15 review)."""
-    joined = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-        lambda i: F.concat_ws(" ", *[F.element_at(tok, i + j) for j in range(n)]),
-    )
-    return F.when(F.size(tok) >= n, F.array_distinct(joined)).otherwise(
-        F.array().cast("array<string>")
-    )
+    shingle consumer inherits it (r15 review).
+
+    ``tok`` is let-bound before use (operators.hll._let): callers pass
+    the tokenization EXPRESSION, and higher-order-function lambdas
+    re-evaluate free subexpressions per element — unbound, each of the
+    ~n shingles re-ran split+filter over the full text, turning the
+    shingle build O(n^2) in document length (measured r15 — see
+    OPTIMIZATION_r15.md, opbench word_shingle_explode)."""
+    from ..operators.hll import _let
+
+    def _build(t: Column) -> Column:
+        joined = F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(t, i + j) for j in range(n)]
+            ),
+        )
+        return F.when(F.size(t) >= n, F.array_distinct(joined)).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return _let(tok, _build)
 
 
 def _spread(docs: DataFrame) -> DataFrame:
@@ -328,15 +342,27 @@ def _doc_shingle_arrays(docs: DataFrame) -> DataFrame:
     over hashed sets equals Jaccard over strings). Keeping the set
     un-exploded is what lets signatures, banding, and verification all
     run without a per-shingle shuffle."""
+    from ..operators.hll import _let
+
     tok = tokens()
-    hashed = F.transform(
-        F.sequence(F.lit(1), F.size(tok) - 1),
-        lambda i: F.xxhash64(F.get(tok, i - 1), F.get(tok, i)),
+    # let-bind the token array: the per-element lambda otherwise
+    # re-evaluates split+filter for BOTH gets of every shingle —
+    # O(n^2) characters per doc (measured r15: 1.78 -> ~0.5 s noop med
+    # over sf0.1, and the downstream un-memoized signature build
+    # 21.1 -> 0.52 s; see OPTIMIZATION_r15.md)
+    hashed = _let(
+        tok,
+        lambda t: F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(t) - 1),
+                lambda i: F.xxhash64(F.get(t, i - 1), F.get(t, i)),
+            )
+        ),
     )
     base = docs if docs.isStreaming else _spread(docs)
     return (
         base.filter(F.size(tok) >= 2)
-        .select("doc_id", F.array_distinct(hashed).alias("sh_arr"))
+        .select("doc_id", hashed.alias("sh_arr"))
     )
 
 
@@ -381,28 +407,58 @@ def minhash_signatures_oph(
     differs slightly from k-permutation MinHash because slot emptiness
     correlates across similar sets).
     """
+    from ..operators.hll import _let
+
     (a, b) = _minhash_family(1, seed)[0]
-    h1 = F.transform(
-        "sh_arr",
-        lambda x: F.pmod(F.lit(a) * _fold31(x) + F.lit(b), F.lit(_MERSENNE_P)),
-    )
-    # nullable per-bucket minima; k filter+min passes of comparisons
-    raw = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.filter(h1, lambda x: F.pmod(x, F.lit(k)) == i)
-        ),
-    )
     slots = F.sequence(F.lit(0), F.lit(k - 1))
-    filled_idx = F.filter(slots, lambda i: F.get(raw, i).isNotNull())
-    # cyclic "next filled slot at or after i": search the index list
-    # unrolled once past k (non-empty shingle sets fill >= 1 slot)
-    wrapped = F.concat(filled_idx, F.transform(filled_idx, lambda j: j + k))
-    dense = F.transform(
-        slots,
-        lambda i: F.get(
-            raw, F.pmod(F.array_min(F.filter(wrapped, lambda j: j >= i)), F.lit(k))
+
+    # Nested let-bindings (r15): h1, raw, and the filled-slot index
+    # list are each referenced from inside a downstream lambda, where
+    # free subexpressions re-evaluate PER ELEMENT — unbound, ``dense``
+    # re-built ``raw`` for every slot and every ``raw`` bucket re-built
+    # ``h1``, making the "one-pass" scheme O(k^2 * n) hash evaluations.
+    # Bound, each layer evaluates exactly once per row.
+    def _dense(h1: Column) -> Column:
+        return _let(
+            F.transform(
+                slots,
+                lambda i: F.array_min(
+                    F.filter(h1, lambda x: F.pmod(x, F.lit(k)) == i)
+                ),
+            ),
+            lambda raw: _let(
+                # cyclic "next filled slot at or after i": search the
+                # index list unrolled once past k (non-empty shingle
+                # sets fill >= 1 slot)
+                F.filter(slots, lambda i: F.get(raw, i).isNotNull()),
+                lambda filled_idx: _let(
+                    F.concat(
+                        filled_idx, F.transform(filled_idx, lambda j: j + k)
+                    ),
+                    lambda wrapped: F.transform(
+                        slots,
+                        lambda i: F.get(
+                            raw,
+                            F.pmod(
+                                F.array_min(
+                                    F.filter(wrapped, lambda j: j >= i)
+                                ),
+                                F.lit(k),
+                            ),
+                        ),
+                    ),
+                ),
+            ),
+        )
+
+    dense = _let(
+        F.transform(
+            "sh_arr",
+            lambda x: F.pmod(
+                F.lit(a) * _fold31(x) + F.lit(b), F.lit(_MERSENNE_P)
+            ),
         ),
+        _dense,
     )
     out = arr.select("doc_id", "sh_arr", dense.alias("__sig"))
     return out.select(
@@ -889,15 +945,24 @@ def contamination_overlap(
         # xxhash64 long-hash convention of _doc_shingle_arrays:
         # collisions p~n^2/2^65); same short-doc guard as
         # word_shingles — sequence(1, 0) counts DOWN
-        sh_col = F.when(
-            F.size(tok) >= n,
-            F.array_distinct(
-                F.transform(
-                    F.sequence(F.lit(1), F.size(tok) - (n - 1)),
-                    lambda i: F.xxhash64(*[F.get(tok, i + j - 1) for j in range(n)]),
-                )
-            ),
-        ).otherwise(F.array().cast("array<bigint>"))
+        # let-bound like word_shingles: unbound, every n-gram's n gets
+        # re-ran the tokenization (O(n^2) per doc — r15)
+        from ..operators.hll import _let
+
+        sh_col = _let(
+            tok,
+            lambda t: F.when(
+                F.size(t) >= n,
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(t) - (n - 1)),
+                        lambda i: F.xxhash64(
+                            *[F.get(t, i + j - 1) for j in range(n)]
+                        ),
+                    )
+                ),
+            ).otherwise(F.array().cast("array<bigint>")),
+        )
     # every training doc keeps a row — a short doc (under n tokens)
     # carries n_shingles=0 / contaminated=false rather than vanishing:
     # the first cut filtered them out entirely, so a pipeline joining
@@ -966,16 +1031,27 @@ def segment_dedup(
     """
     from .text import FP_BASE, FP_MOD
 
+    from ..operators.hll import _let
+
     tok = tokens()
     n = F.size(tok)
     n_segs = F.ceil(n / F.lit(float(seg_len))).cast("int")
-    segs = F.transform(
-        F.sequence(F.lit(0), n_segs - 1),
-        lambda i: F.struct(
-            i.alias("pos"),
-            F.concat_ws(
-                " ", F.slice(tok, i * seg_len + 1, seg_len)
-            ).alias("seg"),
+    # segs re-derives n_segs from the BOUND array inside the let:
+    # let-bound token array, because every segment's slice otherwise
+    # re-ran the tokenization — O(n^2 / seg_len) characters per doc (r15)
+    segs = _let(
+        tok,
+        lambda t: F.transform(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.size(t) / F.lit(float(seg_len))).cast("int") - 1,
+            ),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(
+                    " ", F.slice(t, i * seg_len + 1, seg_len)
+                ).alias("seg"),
+            ),
         ),
     )
     ex = (

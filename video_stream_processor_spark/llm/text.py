@@ -467,32 +467,45 @@ def repetition_signals(docs: DataFrame) -> DataFrame:
     per-doc distinct-token scan is O(distinct x n) on arrays already in
     memory, never a join.
     """
+    from ..operators.hll import _let
+
     tok = tokens()
     n = F.size(tok)
 
     def _gram_dup_frac(k: int) -> Column:
-        grams = F.transform(
-            F.sequence(F.lit(1), n - (k - 1)),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(tok, i + j) for j in range(k)]
-            ),
-        )
+        # double let (r15): unbound, every gram's element_at re-ran the
+        # tokenization (O(n^2) per doc), and the three ``grams``
+        # references re-built the gram array per reference.
+        def _frac(t: Column) -> Column:
+            return _let(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(t) - (k - 1)),
+                    lambda i: F.concat_ws(
+                        " ", *[F.element_at(t, i + j) for j in range(k)]
+                    ),
+                ),
+                lambda grams: F.round(
+                    (F.size(grams) - F.size(F.array_distinct(grams)))
+                    / F.size(grams),
+                    6,
+                ),
+            )
+
         # CASE guards the descending-sequence trap: sequence(1, 0)
         # counts DOWN in Spark, and element_at(, 0) throws under ANSI.
-        return F.when(
-            n >= k,
-            F.round(
-                (F.size(grams) - F.size(F.array_distinct(grams)))
-                / F.size(grams),
-                6,
-            ),
-        )
+        return F.when(n >= k, _let(tok, _frac))
 
-    top_chars = F.array_max(
-        F.transform(
-            F.array_distinct(tok),
-            lambda x: F.size(F.filter(tok, lambda y: y == x)) * F.length(x),
-        )
+    # let-bound (r15): the per-distinct-token filter otherwise re-ran
+    # the tokenization once PER DISTINCT TOKEN — O(distinct * n) full
+    # re-tokenizations per doc, the hottest site in this module.
+    top_chars = _let(
+        tok,
+        lambda t: F.array_max(
+            F.transform(
+                F.array_distinct(t),
+                lambda x: F.size(F.filter(t, lambda y: y == x)) * F.length(x),
+            )
+        ),
     )
     total_chars = F.aggregate(
         tok, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
@@ -569,23 +582,30 @@ def chunk_token_windows(
     before the explode — map-side only, no shuffle, no Python; 100 TB
     chunks in one scan. Empty docs produce no chunks on both engines.
     """
+    from ..operators.hll import _let
+
     keep = [c for c in docs.columns if c != "text"]
     tok = tokens()
     n = F.size(tok)
     payload = "chunk_text" if with_text else "chunk_md5"
 
-    def body(s):
-        joined = F.concat_ws(" ", F.slice(tok, s, F.lit(window)))
-        return joined if with_text else F.md5(joined)
+    # let-bound token array (r15): each chunk's two slices otherwise
+    # re-ran the tokenization — O(n^2 / stride) characters per doc.
+    def _chunks(t: Column) -> Column:
+        def body(s):
+            joined = F.concat_ws(" ", F.slice(t, s, F.lit(window)))
+            return joined if with_text else F.md5(joined)
 
-    chunks = F.transform(
-        F.sequence(F.lit(1), n, F.lit(stride)),
-        lambda s: F.struct(
-            F.floor((s - 1) / stride + 1).cast("int").alias("chunk_idx"),
-            F.size(F.slice(tok, s, F.lit(window))).alias("chunk_tokens"),
-            body(s).alias(payload),
-        ),
-    )
+        return F.transform(
+            F.sequence(F.lit(1), F.size(t), F.lit(stride)),
+            lambda s: F.struct(
+                F.floor((s - 1) / stride + 1).cast("int").alias("chunk_idx"),
+                F.size(F.slice(t, s, F.lit(window))).alias("chunk_tokens"),
+                body(s).alias(payload),
+            ),
+        )
+
+    chunks = _let(tok, _chunks)
     return (
         docs.filter(n >= 1)
         .select(*keep, F.explode(chunks).alias("c"))
