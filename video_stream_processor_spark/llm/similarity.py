@@ -34,18 +34,52 @@ def _dvec(col: Column | str) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
 
 
-def dot(a: Column, b: Column) -> Column:
+#: Plan-time dimension HINT for the unrolled dot-product fast path
+#: (r15 optimization, guide §1.2 step 2): higher-order functions are
+#: CodegenFallback, so the zip_with+aggregate fold runs interpreted —
+#: ~0.5 ms per 64-dim evaluation, which dominates every pair-verify
+#: and scoring path (llm_srp_pairs spent ~10 s of its 22 s in verify
+#: cosines at sf0.1). Vectors of exactly this length instead take a
+#: flat left-associated arithmetic chain that whole-stage codegen
+#: compiles; ANY other length falls back to the generic fold. Both
+#: forms compute the same left-to-right double sum, so results are
+#: bit-identical either way — the hint only selects the execution
+#: strategy, never the value.
+VEC_DIM_HINT = 64
+
+
+def _fold_dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x
     )
 
 
-def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+def dot(a: Column, b: Column, dim: int | None = VEC_DIM_HINT) -> Column:
+    """IMPORTANT: with a dim hint, pass ATTRIBUTES (column references),
+    not derived expressions — the flat chain references each operand
+    ``dim`` times, and attributes are free while an expression operand
+    (e.g. ``_dvec(...)``) would re-evaluate per term. The flat form
+    must also stay OUTSIDE any higher-order function: inside a lambda
+    it would run interpreted and lose to the fold it replaces (probed
+    r15: a _let-wrapped chain made embedding_near_dup 6x SLOWER)."""
+    if not dim:
+        return _fold_dot(a, b)
+    # F.get (0-based) returns NULL out of bounds — never throws under
+    # ANSI; NULL elements propagate exactly like the fold.
+    unrolled: Column = F.lit(0.0)
+    for i in range(dim):
+        unrolled = unrolled + F.get(a, i) * F.get(b, i)
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), unrolled
+    ).otherwise(_fold_dot(a, b))
 
 
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+def norm(a: Column, dim: int | None = VEC_DIM_HINT) -> Column:
+    return F.sqrt(dot(a, a, dim))
+
+
+def cosine(a: Column, b: Column, dim: int | None = VEC_DIM_HINT) -> Column:
+    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
 def cosine_topk(
@@ -60,10 +94,14 @@ def cosine_topk(
     scored = (
         embeddings.filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(q))
+        # bind the cast vector once: cosine's unrolled chain references
+        # its operands dim times (attributes are free, expressions are
+        # not — see dot)
+        .withColumn("__v", _dvec("embedding"))
         .select(
             "vec_id",
             "label",
-            F.round(cosine(_dvec("embedding"), F.col("qe")), 6).alias("cosine"),
+            F.round(cosine(F.col("__v"), F.col("qe")), 6).alias("cosine"),
         )
     )
     return scored.orderBy(F.desc("cosine"), "vec_id").limit(k)
@@ -91,11 +129,12 @@ def cosine_topk_batch(
     )
     scored = (
         embeddings.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .withColumn("__v", _dvec("embedding"))
         .select(
             "query_id",
             "vec_id",
             "label",
-            F.round(cosine(_dvec("embedding"), F.col("qe")), 6).alias("cosine"),
+            F.round(cosine(F.col("__v"), F.col("qe")), 6).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "vec_id")
@@ -116,30 +155,53 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     sum / L1 mass, and a polynomial checksum of the int8 stream.
     Rounding is ``floor(x + 0.5)`` — identical in Spark and DuckDB,
     unlike round()'s half-even/half-away ambiguity."""
-    v = _dvec("embedding")
-    s = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    # all-zero vector: scale is 0 and x/s would be NaN (ANSI cast of
-    # NaN to long throws) — quantize to all zeros instead
-    q = F.transform(
-        v,
-        lambda x: F.when(s == 0, F.lit(0))
-        .otherwise(F.floor(x * 127.0 / s + 0.5))
-        .cast("long"),
-    )
-    checksum = F.aggregate(
-        q,
-        F.lit(0).cast("long"),
-        lambda acc, x: (acc * 31 + (x + 128)) % F.lit((1 << 31) - 1),
-    )
-    return embeddings.select(
+    from ..operators.hll import _let
+
+    # Nested lets (r15): unbound, the scale ``s`` (which itself
+    # re-derives the cast vector) sat INSIDE the quantize lambda and
+    # was re-evaluated once per element — O(dim^2) work per vector,
+    # times four sibling outputs. Bound, the cast vector, the scale
+    # and the int stream each evaluate once per row; the four outputs
+    # come out of one struct.
+    def _summary(v: Column) -> Column:
+        def _with_scale(s: Column) -> Column:
+            q = F.transform(
+                v,
+                # all-zero vector: scale is 0 and x/s would be NaN
+                # (ANSI cast of NaN to long throws) — all zeros instead
+                lambda x: F.when(s == 0, F.lit(0))
+                .otherwise(F.floor(x * 127.0 / s + 0.5))
+                .cast("long"),
+            )
+            return _let(
+                q,
+                lambda qq: F.struct(
+                    F.round(s, 6).alias("scale"),
+                    F.aggregate(
+                        qq, F.lit(0).cast("long"), lambda a, x: a + x
+                    ).alias("q_sum"),
+                    F.aggregate(
+                        qq, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+                    ).alias("q_l1"),
+                    F.aggregate(
+                        qq,
+                        F.lit(0).cast("long"),
+                        lambda acc, x: (acc * 31 + (x + 128))
+                        % F.lit((1 << 31) - 1),
+                    ).alias("q_checksum"),
+                ),
+            )
+
+        return _let(F.array_max(F.transform(v, lambda x: F.abs(x))), _with_scale)
+
+    qz = _let(_dvec("embedding"), _summary)
+    return embeddings.select("vec_id", "label", qz.alias("__qz")).select(
         "vec_id",
         "label",
-        F.round(s, 6).alias("scale"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
-        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias(
-            "q_l1"
-        ),
-        checksum.alias("q_checksum"),
+        F.col("__qz.scale").alias("scale"),
+        F.col("__qz.q_sum").alias("q_sum"),
+        F.col("__qz.q_l1").alias("q_l1"),
+        F.col("__qz.q_checksum").alias("q_checksum"),
     )
 
 
@@ -303,7 +365,9 @@ def ivf_assignments(
         if centroids is None
         else centroids
     )
-    scored = embeddings.join(F.broadcast(cent)).select(
+    scored = embeddings.join(F.broadcast(cent)).withColumn(
+        "__v", _dvec("embedding")
+    ).select(
         "vec_id",
         "label",
         "embedding",
@@ -311,7 +375,7 @@ def ivf_assignments(
         # round before argmax, and break exact ties on centroid_id, so
         # the assignment is engine-stable (float summation order would
         # otherwise pick different winners on near-ties)
-        F.round(cosine(_dvec("embedding"), F.col("cv")), 9).alias("ccos"),
+        F.round(cosine(F.col("__v"), F.col("cv")), 9).alias("ccos"),
     )
     return (
         scored.groupBy("vec_id")
@@ -365,10 +429,11 @@ def ivf_topk(
         assigned.join(F.broadcast(probe), "centroid_id")
         .filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(q))
+        .withColumn("__v", _dvec("embedding"))
         .select(
             "vec_id",
             "label",
-            F.round(cosine(_dvec("embedding"), F.col("qe")), 6).alias("cosine"),
+            F.round(cosine(F.col("__v"), F.col("qe")), 6).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), "vec_id")
         .limit(k)
@@ -431,11 +496,12 @@ def ivf_topk_batch(
     return (
         assigned.join(F.broadcast(probe_q), "centroid_id")
         .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("__v", _dvec("embedding"))
         .select(
             "query_id",
             "vec_id",
             "label",
-            F.round(cosine(_dvec("embedding"), F.col("qe")), 6).alias("cosine"),
+            F.round(cosine(F.col("__v"), F.col("qe")), 6).alias("cosine"),
         )
         .withColumn("rank", F.row_number().over(kw))
         .filter(F.col("rank") <= k)
@@ -471,11 +537,12 @@ def srp_signatures(embeddings: DataFrame) -> DataFrame:
     bits = []
     for w in _srp_weights():
         warr = F.array(*[F.lit(float(x)) for x in w])
-        s = F.aggregate(
-            F.zip_with("v", warr, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
+        # dim=None deliberately (r15): 32 unrolled 64-term chains in ONE
+        # projection measured 3x SLOWER than the folds here (3.2 vs
+        # ~1.0 s at sf0.1 — a 6400-node projection defeats codegen),
+        # while a single unrolled chain per expression wins everywhere
+        # else; same bit-identical sum either way.
+        s = dot(F.col("v"), warr, dim=None)
         bits.append(F.when(s > 0, F.lit("1")).otherwise(F.lit("0")))
     return e.select("vec_id", "v", F.concat(*bits).alias("sig"))
 
@@ -558,14 +625,31 @@ def srp_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFra
 # math; the training state and LUT are k x d doubles — broadcast-class.
 
 
-def _sqdist(a: Column, b: Column) -> Column:
+def _sqdist(a: Column, b: Column, dim: int | None = VEC_DIM_HINT) -> Column:
     """Squared L2 — the PQ sub-quantizer metric, rounded to 9dp before
-    any argmin so assignments are engine-stable."""
-    return F.round(
-        F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+    any argmin so assignments are engine-stable. Same unrolled-at-the-
+    dim-hint / fold-fallback strategy as `dot` (r15): full-vector
+    distances (64-dim) take the codegen chain; PQ sub-vector slices
+    (dim d/m) fail the size guard and keep the generic fold —
+    bit-identical value either way."""
+
+    def _fold(x: Column, y: Column) -> Column:
+        return F.aggregate(
+            F.zip_with(x, y, lambda p, q: (p - q) * (p - q)),
             F.lit(0.0),
-            lambda acc, x: acc + x,
+            lambda acc, z: acc + z,
+        )
+
+    if not dim:
+        return F.round(_fold(a, b), 9)
+    # flat codegen chain at the hint; attribute operands only (see dot)
+    unrolled: Column = F.lit(0.0)
+    for i in range(dim):
+        d = F.get(a, i) - F.get(b, i)
+        unrolled = unrolled + d * d
+    return F.round(
+        F.when((F.size(a) == dim) & (F.size(b) == dim), unrolled).otherwise(
+            _fold(a, b)
         ),
         9,
     )
@@ -781,10 +865,11 @@ def pq_topk_rerank(
     return (
         embeddings.join(F.broadcast(shortlist), "vec_id")
         .join(F.broadcast(q))
+        .withColumn("__v", _dvec("embedding"))
         .select(
             "vec_id",
             "label",
-            _sqdist(_dvec("embedding"), F.col("qe")).alias("l2_dist"),
+            _sqdist(F.col("__v"), F.col("qe")).alias("l2_dist"),
         )
         .orderBy(F.asc("l2_dist"), "vec_id")
         .limit(topk)
@@ -894,11 +979,12 @@ def pq_topk_batch(
     exact = (
         embeddings.join(F.broadcast(shortlist), "vec_id")
         .join(F.broadcast(qvecs), "query_id")
+        .withColumn("__v", _dvec("embedding"))
         .select(
             "query_id",
             "vec_id",
             "label",
-            _sqdist(_dvec("embedding"), F.col("qe")).alias("l2_dist"),
+            _sqdist(F.col("__v"), F.col("qe")).alias("l2_dist"),
         )
     )
     w2 = Window.partitionBy("query_id").orderBy(F.asc("l2_dist"), "vec_id")
@@ -1072,10 +1158,11 @@ def ivfpq_topk(
     return (
         embeddings.join(F.broadcast(shortlist), "vec_id")
         .join(F.broadcast(q))
+        .withColumn("__v", _dvec("embedding"))
         .select(
             "vec_id",
             "label",
-            _sqdist(_dvec("embedding"), F.col("qe")).alias("l2_dist"),
+            _sqdist(F.col("__v"), F.col("qe")).alias("l2_dist"),
         )
         .orderBy(F.asc("l2_dist"), "vec_id")
         .limit(topk)
