@@ -54,7 +54,7 @@ def _fold_dot(a: Column, b: Column) -> Column:
     )
 
 
-def dot(a: Column, b: Column, dim: int | None = VEC_DIM_HINT) -> Column:
+def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """IMPORTANT: with a dim hint, pass ATTRIBUTES (column references),
     not derived expressions — the flat chain references each operand
     ``dim`` times, and attributes are free while an expression operand
@@ -74,11 +74,11 @@ def dot(a: Column, b: Column, dim: int | None = VEC_DIM_HINT) -> Column:
     ).otherwise(_fold_dot(a, b))
 
 
-def norm(a: Column, dim: int | None = VEC_DIM_HINT) -> Column:
+def norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, dim: int | None = VEC_DIM_HINT) -> Column:
+def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
     return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
 
 
@@ -94,8 +94,8 @@ def cosine_topk(
     scored = (
         embeddings.filter(F.col("vec_id") != query_vec_id)
         .join(F.broadcast(q))
-        # bind the cast vector once: cosine's unrolled chain references
-        # its operands dim times (attributes are free, expressions are
+        # bind the cast vector once: cosine evaluates each operand in
+        # three inner products (attributes are free, expressions are
         # not — see dot)
         .withColumn("__v", _dvec("embedding"))
         .select(
@@ -221,7 +221,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(cosine(F.col("va"), F.col("vb"), dim=VEC_DIM_HINT), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -607,7 +607,7 @@ def srp_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFra
         .select(
             "id_a",
             "id_b",
-            F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+            F.round(cosine(F.col("va"), F.col("vb"), dim=VEC_DIM_HINT), 6).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
     )
@@ -625,7 +625,7 @@ def srp_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFra
 # math; the training state and LUT are k x d doubles — broadcast-class.
 
 
-def _sqdist(a: Column, b: Column, dim: int | None = VEC_DIM_HINT) -> Column:
+def _sqdist(a: Column, b: Column, dim: int | None = None) -> Column:
     """Squared L2 — the PQ sub-quantizer metric, rounded to 9dp before
     any argmin so assignments are engine-stable. Same unrolled-at-the-
     dim-hint / fold-fallback strategy as `dot` (r15): full-vector
