@@ -662,6 +662,16 @@ def main() -> None:
     sf = float(m.group(1)) if m else None
     spark = get_spark(app_name="vsp-bench")
     spark.sparkContext.setLogLevel("ERROR")
+    # Self-describing parallelism (r15 verdict item 2): the driver's
+    # scaling harness flagged suspect_cpus_ignored even though
+    # SPARK_GRAFT_CPUS is honored (session.py builds local[N] from it)
+    # because nothing in the artifact said what parallelism the session
+    # actually ran. Stamp the RESOLVED values — observed from the live
+    # SparkContext, not re-derived from the env — into both JSON lines.
+    sc = spark.sparkContext
+    default_parallelism = sc.defaultParallelism
+    master = sc.master
+    cpus_env = os.environ.get("SPARK_GRAFT_CPUS")
     specs = all_specs()
     builders = {name: spec.builder for name, spec in specs.items()}
     # the enriched registered queries (timed under their own new names)
@@ -700,10 +710,32 @@ def main() -> None:
         str, list[tuple[float, dict[str, float], float, tuple, str | None]]
     ] = {}
     lifecycle_legs = tuple(LEG_ROLES)
+
+    # Memo provenance (r15 verdict item 7): some legs serve from a
+    # derived table the warm passes memoized in-process (llm_minhash
+    # shingle arrays / candidates, the PQ codes+trainer) — legitimate
+    # steady-state-serving framing, but the artifact must SAY which
+    # legs do, mirroring open_groups_src. A leg is stamped true iff any
+    # of its timed passes was served a memoized checkpoint/artifact.
+    def _memo_hit_total() -> int:
+        from video_stream_processor_spark.llm.dedup import (
+            _CKPT_LOCK,
+            _MEMO_HITS,
+        )
+
+        with _CKPT_LOCK:
+            return sum(_MEMO_HITS.values())
+
+    served_from_memo: dict[str, bool] = {}
     for name in mix:
         ts = []
         for _ in range(n_timed):
+            hits_before = _memo_hit_total()
             ts.append(run(name))
+            served_from_memo[name] = (
+                served_from_memo.get(name, False)
+                or _memo_hit_total() > hits_before
+            )
             if name in lifecycle_legs:
                 # _ROLLUP_PHASES/_ROLLUP_COMMIT_S/_ROLLUP_SIZING hold
                 # the latest invocation's eager phases, summed
@@ -776,6 +808,20 @@ def main() -> None:
                 "metric": "headline_query_mix_detail",
                 "spread": spread,
                 "phases": phases,
+                # which legs' timed passes were served an in-process
+                # memoized derived table (steady-state-serving framing;
+                # see _memo_hit_total above) — provenance, like
+                # open_groups_src, so a reader sees what each number
+                # measures without reading the builders
+                "served_from_memo": {
+                    k: v for k, v in served_from_memo.items() if v
+                },
+                # resolved session parallelism (see stamps in main):
+                # the scaling harness verifies SPARK_GRAFT_CPUS from
+                # the artifact instead of suspecting it was ignored
+                "default_parallelism": default_parallelism,
+                "master": master,
+                "cpus_env": cpus_env,
                 # which lifecycle number is the shipped default vs the
                 # pinned control — in the artifact itself, so a reader
                 # (or the pins checker) never has to infer it from
@@ -812,6 +858,12 @@ def main() -> None:
             "calib_ms": calib_start_ms,
             "calib_ms_end": calibrate_ms(),
             "calib_band_ms": CALIB_IDLE_BAND_MS,
+            # observed parallelism of THIS run (r15 verdict item 2):
+            # defaultParallelism + the resolved master string prove the
+            # SPARK_GRAFT_CPUS contract from the artifact alone
+            "default_parallelism": default_parallelism,
+            "master": master,
+            "cpus_env": cpus_env,
         }
     )
     # the whole point of the split — never hand the driver a final

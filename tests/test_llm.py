@@ -471,6 +471,30 @@ def test_near_dup_clusters_transitive(spark):
     assert got == {10: 10, 20: 10, 30: 10, 99: 99}
 
 
+def test_near_dup_clusters_pointer_jumping_cuts_rounds(spark):
+    """r16 adaptive pointer jumping: a diameter-7 chain converges in 5
+    rounds (2 plain HashMin + doubling from round 3 + the confirming
+    one) where plain HashMin needs diameter+1 = 8 — same labels (min
+    doc_id of the one component), fewer shuffle+checkpoint+action
+    rounds."""
+    from video_stream_processor_spark.llm.dedup import (
+        _LAST_CC_ROUNDS,
+        near_dup_clusters,
+    )
+
+    ids = list(range(1, 9))  # chain 1-2-...-8, diameter 7
+    docs = spark.createDataFrame([(i, "x") for i in ids], ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in ids[:-1]], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"]
+        for r in near_dup_clusters(docs, pairs, max_iter=5).collect()
+    }
+    assert got == {i: 1 for i in ids}
+    assert _LAST_CC_ROUNDS[0] <= 5  # HashMin alone needs 8
+
+
 def test_near_dup_clusters_raises_on_non_convergence(spark):
     """A chain longer than max_iter rounds must raise, not silently
     return wrong cluster labels."""
@@ -501,6 +525,56 @@ def test_srp_recall_vs_exact(spark, sf_dir):
     srp = {(r.id_a, r.id_b) for r in srp_near_dup_pairs(e, threshold=0.4).collect()}
     assert srp <= exact
     assert len(srp & exact) / len(exact) >= 0.6
+
+
+def test_embedding_dim_hint_non64_takes_fast_path(spark):
+    """r16 (r15 verdict item 8): the codegen dot-chain hint is resolved
+    from the table itself, so a non-64-dim corpus takes the fast path
+    too — and the unrolled chain is value-identical to the fold."""
+    from video_stream_processor_spark.llm.similarity import (
+        MAX_UNROLL_DIM,
+        cosine,
+        embedding_dim_hint,
+        embedding_near_dup_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "a", [1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0]),
+            (2, "b", [2.0, 4.0, 6.0, 8.0, 10.0, 12.0, 14.0, 16.0]),
+            (3, "c", [8.0, -7.0, 6.0, -5.0, 4.0, -3.0, 2.0, -1.0]),
+        ],
+        "vec_id long, label string, embedding array<double>",
+    )
+    assert embedding_dim_hint(df) == 8
+    # memoized: second call answers without a job (same object → same key)
+    assert embedding_dim_hint(df) == 8
+    # unrolled (hinted) == fold (dim=None), bit-identical
+    a = df.select(
+        "vec_id", F.col("embedding").alias("va"), F.col("embedding").alias("vb")
+    )
+    from video_stream_processor_spark.llm.similarity import _sqdist
+
+    both = a.select(
+        cosine(F.col("va"), F.col("vb"), dim=8).alias("fast"),
+        cosine(F.col("va"), F.col("vb"), dim=None).alias("fold"),
+        _sqdist(F.col("va"), F.col("vb"), dim=8).alias("dfast"),
+        _sqdist(F.col("va"), F.col("vb"), dim=None).alias("dfold"),
+    ).collect()
+    assert all(r["fast"] == r["fold"] for r in both)
+    assert all(r["dfast"] == r["dfold"] for r in both)
+    # the exact pair query over the 8-dim frame uses the resolved hint
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in embedding_near_dup_pairs(df, threshold=0.95).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    # an absurd dim keeps the fold (plan-bloat ceiling)
+    wide = spark.createDataFrame(
+        [(1, "a", [1.0] * (MAX_UNROLL_DIM + 1))],
+        "vec_id long, label string, embedding array<double>",
+    )
+    assert embedding_dim_hint(wide) is None
 
 
 def test_quantize_zero_vector_guard(spark):

@@ -45,6 +45,15 @@ _CKPT_MEMO: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _CKPT_MEMO_MAX = 16
 _CKPT_LOCK = threading.Lock()
 
+#: tag -> memo-hit count, incremented whenever a memoized checkpoint
+#: (or trained artifact — similarity._memo_train records here too,
+#: "train:"-prefixed) is SERVED instead of recomputed. Read by bench.py
+#: to stamp per-leg ``served_from_memo`` provenance into the artifact
+#: (r15 verdict item 7: a reader must be able to see which bench legs
+#: serve from a warm-pass memoized build). Monotone counters, never
+#: reset — consumers diff snapshots.
+_MEMO_HITS: dict[str, int] = {}
+
 
 def invalidate_checkpoint_memo() -> None:
     """Drop every memoized checkpoint AND trained artifact (e.g. after
@@ -102,6 +111,8 @@ def _memo_checkpoint(df: DataFrame, tag: str) -> DataFrame:
         with _CKPT_LOCK:
             hit = _CKPT_MEMO.get(key)
         if hit is not None and hit[0].sameSemantics(df):
+            with _CKPT_LOCK:
+                _MEMO_HITS[tag] = _MEMO_HITS.get(tag, 0) + 1
             return hit[1]
     except Exception:
         return materialize(df, tag)
@@ -803,7 +814,14 @@ def simhash_near_dup_pairs_portable(docs: DataFrame, max_hamming: int = 3) -> Da
     equals the quadratic scan exactly — so the DuckDB oracle (which
     does the quadratic scan) checks the whole approximate path."""
     chunk = SIMHASH_BITS // SIMHASH_CHUNKS
-    sig = simhash_portable_signatures(docs)
+    # Materialize the signature table ONCE (r16): the pigeonhole
+    # blocking references it 8 times (4 chunk joins x 2 sides), and
+    # unmaterialized each reference re-ran the whole md5-bit signature
+    # aggregation — measured 4.6 s noop med (12.6 s cold) at sf0.1 vs
+    # ~0.6 s materialized; the leg was the actual wall of
+    # llm_near_dup_pairs. At scale: write the signature table, then
+    # block against it (same framing as the MinHash array table).
+    sig = _memo_checkpoint(simhash_portable_signatures(docs), "simhash_sig")
     cands = None
     for c in range(SIMHASH_CHUNKS):
         ck = F.substring("sh", c * chunk + 1, chunk)
@@ -836,7 +854,12 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     by the pigeonhole principle: distance <= 3 over 4 chunks implies at
     least one identical 16-bit chunk, so candidates come from 4 chunk
     equi-joins (union) and only candidates pay the popcount check."""
-    sig = simhash64(docs).select("doc_id", "simhash", "c0", "c1", "c2", "c3")
+    # materialized once for the same 8-reference reason as the portable
+    # twin above (r16)
+    sig = _memo_checkpoint(
+        simhash64(docs).select("doc_id", "simhash", "c0", "c1", "c2", "c3"),
+        "simhash64_sig",
+    )
     cands = None
     for c in range(SIMHASH_CHUNKS):
         a = sig.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("sh_a"), F.col(f"c{c}").alias("ck"))
@@ -851,6 +874,12 @@ def simhash_near_dup_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
+#: rounds the most recent near_dup_clusters call took to converge
+#: (including the final confirming round) — instrumentation so tests
+#: can pin the pointer-jumping round-count cut (r16).
+_LAST_CC_ROUNDS: list[int] = [0]
+
+
 def near_dup_clusters(
     docs: DataFrame, pairs: DataFrame, max_iter: int = 20
 ) -> DataFrame:
@@ -859,13 +888,21 @@ def near_dup_clusters(
     their own id. The training-pipeline form of dedup: keep ONE doc per
     cluster, not merely drop pair-members.
 
-    HashMin label propagation: each round every node takes the min
-    label among itself and its neighbors. Rounds = graph diameter —
-    tiny for near-dup clusters. Labels are MONOTONE non-increasing, so
-    sum(label) is a one-scalar convergence certificate per round (equal
-    sum <=> fixpoint); at 100 TB each round is one co-partitioned
-    node-key shuffle, the classic large-graph CC pattern (GraphX/
-    Pregel's HashMin) expressed in DataFrames.
+    HashMin label propagation with ADAPTIVE POINTER JUMPING (path
+    halving): each round every node takes the min label among itself
+    and its neighbors; from round 3 on (a component deeper than the
+    common near-dup case is then proven) every label is additionally
+    replaced by its label's label (``label <- label[label]``) — the
+    classic shortcut that turns convergence from O(diameter) rounds
+    into O(log diameter) (r16 optimization, guide §2: each round is a
+    shuffle + checkpoint + driver action, so rounds are the unit of
+    cost). The jump cannot change the fixpoint: labels stay monotone
+    non-increasing (every label value is itself a node whose label is
+    <= it), a HashMin fixpoint is jump-stable (label[min] = min), and
+    the unique fixpoint of both operators is cluster_id = min doc_id
+    per component — so the OUTPUT is identical, only the round count
+    drops. sum(label) stays the one-scalar convergence certificate
+    (monotone labels: equal sum <=> pointwise equal <=> fixpoint).
     """
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
@@ -882,21 +919,45 @@ def near_dup_clusters(
     )
     prev_sum = labels.agg(F.sum("label")).first()[0]
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         prop = edges.join(labels, edges.src == labels.node).select(
             F.col("dst").alias("node"), "label"
         )
-        labels = materialize(
+        merged = (
             labels.unionByName(prop)
             .groupBy("node")
-            .agg(F.min("label").alias("label")),
-            "cc_labels",
+            .agg(F.min("label").alias("label"))
         )
+        if rounds >= 3:
+            # pointer jump: label <- label[label]. Every label value is
+            # a node id (labels start as doc ids and min() keeps them
+            # doc ids), so the self-join always finds the parent row;
+            # the left join + coalesce is belt-and-braces, not a
+            # semantic choice. ADAPTIVE (r16 A/B): near-dup components
+            # are usually diameter <= 2 and converge in 2 rounds of
+            # plain HashMin — jumping there is a pure extra join per
+            # round (measured +0.5 s on the sf0.1 fixture) — so the
+            # jump engages only once round 3 proves a deeper component,
+            # where it turns the remaining convergence logarithmic.
+            parent = merged.select(
+                F.col("node").alias("__p_node"),
+                F.col("label").alias("__p_label"),
+            )
+            merged = merged.join(
+                parent, merged["label"] == F.col("__p_node"), "left"
+            ).select(
+                "node",
+                F.coalesce("__p_label", "label").alias("label"),
+            )
+        labels = materialize(merged, "cc_labels")
         cur_sum = labels.agg(F.sum("label")).first()[0]
         if cur_sum == prev_sum:
             converged = True
             break
         prev_sum = cur_sum
+    _LAST_CC_ROUNDS[0] = rounds
     if not converged:
         # Silent non-convergence would return wrong cluster ids on
         # long chain-shaped components (diameter > max_iter).

@@ -234,37 +234,36 @@ def estimate_col(regs: Column | str, p: int = DEFAULT_P) -> Column:
     m = 1 << p
     alpha = 0.7213 / (1 + 1.079 / m)
 
-    # One fold computes (inv_sum, zeros) together, and every expensive
-    # sub-value is let-bound (see _let) so the register array and the
-    # fold are each evaluated exactly once per row — the first-cut
-    # form referenced the (interpreted, CSE-less) register expression
-    # from inv_sum, zeros, and the size check independently, which
-    # re-ran the whole 2^p-slot assembly per reference (r15
-    # optimization: 35 s -> ~1 s on stream_window_counts' rollup legs
-    # at sf0.1). The fold adds 2^-M_j in the same index order as the
-    # old single-purpose aggregate, so inv_sum is bit-identical.
-    def fold(checked: Column) -> Column:
-        return F.aggregate(
-            checked,
-            F.struct(F.lit(0.0).alias("s"), F.lit(0).alias("z")),
-            lambda a, x: F.struct(
-                (
-                    a.getField("s") + F.pow(F.lit(2.0), -x.cast("double"))
-                ).alias("s"),
-                (
-                    a.getField("z") + F.when(x == 0, F.lit(1)).otherwise(F.lit(0))
-                ).alias("z"),
-            ),
-        )
-
-    def est_of(acc: Column) -> Column:
-        inv_sum = acc.getField("s")
-        zeros = acc.getField("z")
+    # The register array is let-bound (see _let) so it is evaluated
+    # exactly once per row — the first-cut form referenced the
+    # (interpreted, CSE-less) register expression from inv_sum, zeros,
+    # and the size check independently, which re-ran the whole
+    # 2^p-slot assembly per reference (r15 optimization: 35 s -> ~1 s
+    # on stream_window_counts' rollup legs at sf0.1). Over the BOUND
+    # array, (inv_sum, zeros) come from two primitive-accumulator
+    # passes — a plain double fold plus size(filter(=0)) — rather than
+    # r15's single struct-accumulator fold: the per-element struct
+    # allocation made the one-pass form 2.1x SLOWER than two simple
+    # passes (r16 probe at sf0.1: 3.9 s -> 1.8 s over 3600 sketches;
+    # bit-identity over every fixture group verified — the double fold
+    # adds 2^-M_j in the same index order, zeros is an integer count).
+    # inv_sum and zeros are themselves let-bound: zeros is referenced
+    # twice below and nothing CSEs across interpreted HOF boundaries.
+    def est_of(inv_sum: Column, zeros: Column) -> Column:
         raw = F.lit(alpha * m * m) / inv_sum
         lc = F.lit(float(m)) * F.log(F.lit(float(m)) / zeros.cast("double"))
         est = F.when(zeros > 0, F.least(lc, raw)).otherwise(raw)
         return F.round(est).cast("long")
 
-    return _let(
-        regs, lambda r: _let(fold(_checked_registers(r, p)), est_of)
-    )
+    def over(checked: Column) -> Column:
+        inv_sum = F.aggregate(
+            checked,
+            F.lit(0.0),
+            lambda a, x: a + F.pow(F.lit(2.0), -x.cast("double")),
+        )
+        zeros = F.size(F.filter(checked, lambda x: x == 0))
+        return _let(
+            inv_sum, lambda s: _let(zeros, lambda z: est_of(s, z))
+        )
+
+    return _let(regs, lambda r: over(_checked_registers(r, p)))

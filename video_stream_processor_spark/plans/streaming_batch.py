@@ -151,6 +151,15 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
       exact vs the oracle's direct day recompute, merged-sketch
       estimate bound-checked against the true day distinct count.
     """
+    # The raw events scan is deliberately NOT checkpoint-shared across
+    # the legs (r16 negative probe): with the hour rollup tier
+    # materialized (below — the change that pays), an in-query
+    # localCheckpoint of the projected events measured FLAT vs six
+    # direct parquet scans (5.0-6.0 s vs 5.0-5.3 s same-window at
+    # sf0.1) — the 16 MB-split parquet scans are already cheap and the
+    # checkpoint write+read just moves the bytes once more.
+    from ..session import materialize
+
     ev = load_table(spark, sf_dir, "events")
     tum = tumbling_stats(ev, size="1 hour").select(
         F.lit("tumbling_1h").alias("kind"),
@@ -172,7 +181,7 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("avg_value"),
         F.lit(None).cast("long").alias("n_users"),
     )
-    wm = stream_watermark_late_drop(spark, sf_dir).select(
+    wm = stream_watermark_late_drop(spark, sf_dir, events=ev).select(
         F.lit("tumbling_1h_wm10m").alias("kind"),
         "win_start",
         (F.col("win_start") + 3600).alias("win_end"),
@@ -184,8 +193,13 @@ def stream_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # rollup_1h: routed through the rollup table's own builder, with
     # the HLL estimate checked against an exact-distinct twin (null-safe
-    # key join: a NULL event_type group is a legitimate rollup row)
-    roll = rollup_stats(ev, size="1 hour")
+    # key join: a NULL event_type group is a legitimate rollup row).
+    # The hour tier is materialized ONCE (r16): the day leg below
+    # derives from it, and unmaterialized it re-ran the whole stage-1/
+    # stage-2 sketch aggregation a second time (measured 1.9 s of the
+    # query at sf0.1) — at scale the hour tier is a written table the
+    # day derivation reads, which is exactly what this models.
+    roll = materialize(rollup_stats(ev, size="1 hour"), "swc_roll")
     exact = windowed_to_flat(
         ev.groupBy(F.window("ts", "1 hour"), "event_type").agg(
             F.count_distinct("user_id").alias("_exact_users")
@@ -342,6 +356,11 @@ def stream_session_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.analytics import session_stats_sliced
     from ..streaming.stateful import closed_sessions_batch
 
+    # NOT shared-scan-materialized (r16 negative probe, unlike
+    # stream_window_counts): the three legs' event scans are cheap next
+    # to their aggregations, and a same-window A/B showed the in-query
+    # checkpoint saves nothing here (plain 0.93-1.28 s vs shared
+    # 1.10-1.20 s noop at sf0.1, ordering noise dominating both).
     ev = load_table(spark, sf_dir, "events")
     base = session_stats(ev, gap="30 minutes").select(
         F.lit("session").alias("part"),
@@ -411,7 +430,9 @@ def stream_first_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stream_watermark_late_drop(
+    spark: SparkSession, sf_dir: str, events: DataFrame | None = None
+) -> DataFrame:
     """T5/T10 driver evidence: watermark late-data semantics as a
     deterministic batch replay (the streaming engine's actual behavior
     is proven stream-side in tests/test_streaming.py::
@@ -432,8 +453,11 @@ def stream_watermark_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     per arrival segment; the production path is the streaming engine's
     own watermark (``withWatermark``), which tracks the max per trigger
     without any global sort.
+
+    Pass ``events`` to share a scan with other legs (r16:
+    stream_window_counts feeds its one materialized pass here).
     """
-    ev = load_table(spark, sf_dir, "events")
+    ev = load_table(spark, sf_dir, "events") if events is None else events
     ak = (
         F.col("ts_ns")
         + F.col("event_id") * F.lit(2654435761) % 1200 * F.lit(1_000_000_000)
