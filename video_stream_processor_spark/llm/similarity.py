@@ -274,10 +274,18 @@ def embedding_near_dup_pairs(
     # norms once per vector, not once per pair (r16 — see
     # srp_near_dup_pairs): the O(n^2) pair stream then pays ONE inner
     # product per pair; values bit-identical (same deterministic sums,
-    # earlier materialization).
+    # earlier materialization). The stream side is also spread across
+    # the shuffle-partition count first — one fixture parquet file
+    # otherwise puts the whole O(n^2) cross-product evaluation in ONE
+    # task (see srp_near_dup_pairs).
     dim = embedding_dim_hint(embeddings)
-    v = e.select("vec_id", _dvec("embedding").alias("v")).select(
-        "vec_id", "v", norm(F.col("v"), dim).alias("nv")
+    n_spread = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    v = (
+        e.repartition(n_spread, "vec_id")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", "v", norm(F.col("v"), dim).alias("nv"))
     )
     a = v.select(
         F.col("vec_id").alias("id_a"),
@@ -697,8 +705,21 @@ def srp_near_dup_pairs(embeddings: DataFrame, threshold: float = 0.4) -> DataFra
     # split keeps ``v`` an attribute under the norm chain
     # (CollapseProject declines multi-ref non-cheap aliases).
     dim = embedding_dim_hint(embeddings)
-    vecs = embeddings.select("vec_id", _dvec("embedding").alias("v")).select(
-        "vec_id", "v", norm(F.col("v"), dim).alias("nv")
+    # Spread the vector table before the verify joins (r16, same
+    # rationale as dedup._spread): the fixture embeddings are one
+    # parquet file -> one scan task, and since both verify joins are
+    # broadcast-builds, the ENTIRE 816k-pair chain evaluation ran in
+    # that single task (measured: verify stage 3.2-3.6 s as-is vs
+    # 1.1-1.3 s spread at sf0.1, byte-identical output). At cluster
+    # scale the corpus arrives pre-split and this 1 MB shuffle is
+    # noise; locally it is a 32x parallelism unlock.
+    n_spread = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    vecs = (
+        embeddings.repartition(n_spread, "vec_id")
+        .select("vec_id", _dvec("embedding").alias("v"))
+        .select("vec_id", "v", norm(F.col("v"), dim).alias("nv"))
     )
     step1 = vecs.select(
         F.col("vec_id").alias("id_a"),
